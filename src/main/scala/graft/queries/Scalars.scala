@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Projection / filter / conditional / cast-ladder and the scalar
+  * function families (SURVEY.md §2B "Projection" + "Scalar function
+  * library").
+  *
+  * All expressions here are per-row and codegen'd builtins — they stay
+  * inside one WholeStageCodegen span over the parquet scan, with the
+  * filters and column pruning pushed into the scan itself. Per-row
+  * double arithmetic is a fixed sequence of IEEE ops, so results are
+  * bit-identical to the DuckDB oracle without decimal tricks (order
+  * sensitivity only exists in aggregation).
+  */
+object Scalars {
+
+  /** Projection, aliasing, computed columns. */
+  val projCompute: QueryDef = QueryDef(
+    "q_proj_compute",
+    """SELECT p_partkey,
+      | upper(p_brand) AS brand_uc,
+      | p_retailprice * 1.1 AS price_up,
+      | p_size + 100 AS size_plus,
+      | concat(p_type, '/', p_brand) AS type_brand
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_uc"),
+      (col("p_retailprice") * lit(1.1)).as("price_up"),
+      (col("p_size") + lit(100)).as("size_plus"),
+      concat(col("p_type"), lit("/"), col("p_brand")).as("type_brand"))
+  }
+
+  /** Filters: comparisons, boolean logic, IN, BETWEEN, LIKE, null
+    * handling (null manufactured via nullif), null-safe equality. */
+  val filterPred: QueryDef = QueryDef(
+    "q_filter_pred",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice BETWEEN 1000 AND 200000
+      |  AND o_orderstatus IN ('O','F')
+      |  AND o_orderpriority LIKE '%URGENT%'
+      |  AND NOT (o_custkey < 0)
+      |  AND nullif(o_orderstatus, 'X') IS NOT NULL""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice").between(1000, 200000)
+        && col("o_orderstatus").isin("O", "F")
+        && col("o_orderpriority").like("%URGENT%")
+        && !(col("o_custkey") < 0)
+        && expr("nullif(o_orderstatus, 'X')").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
+  /** Null-safe equality (<=>) — Spark eqNullSafe vs DuckDB IS NOT
+    * DISTINCT FROM; nulls manufactured with nullif. */
+  val filterNullSafe: QueryDef = QueryDef(
+    "q_filter_nullsafe",
+    """SELECT o_orderkey,
+      | (nullif(o_orderstatus,'P') IS NOT DISTINCT FROM nullif(o_orderstatus,'P')) AS eq_self,
+      | (nullif(o_orderstatus,'P') IS NOT DISTINCT FROM 'O') AS eq_o,
+      | (nullif(o_orderstatus,'P') IS NULL) AS is_p
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      expr("nullif(o_orderstatus,'P')").eqNullSafe(expr("nullif(o_orderstatus,'P')")).as("eq_self"),
+      expr("nullif(o_orderstatus,'P')").eqNullSafe(lit("O")).as("eq_o"),
+      expr("nullif(o_orderstatus,'P')").isNull.as("is_p"))
+  }
+
+  /** CASE WHEN / coalesce / nullif / greatest / least. */
+  val condCase: QueryDef = QueryDef(
+    "q_cond_case",
+    """SELECT o_orderkey,
+      | CASE WHEN o_totalprice < 50000 THEN 'small'
+      |      WHEN o_totalprice < 150000 THEN 'medium'
+      |      ELSE 'large' END AS bucket,
+      | coalesce(nullif(o_orderstatus,'O'), 'open') AS status_or_open,
+      | greatest(o_totalprice, 100000.0) AS at_least_100k,
+      | least(CAST(o_custkey AS BIGINT), o_orderkey) AS min_key
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") < 50000, "small")
+        .when(col("o_totalprice") < 150000, "medium")
+        .otherwise("large").as("bucket"),
+      coalesce(expr("nullif(o_orderstatus,'O')"), lit("open")).as("status_or_open"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("at_least_100k"),
+      least(col("o_custkey").cast("long"), col("o_orderkey")).as("min_key"))
+  }
+
+  /** Corrie's type-coercion ladder (SURVEY §2A-8,
+    * reference writer/writer.go:250-277 makeCHArray): a JSON-ish cell
+    * becomes Int64 if it parses as an integer, else Float64, else
+    * passes through as a string. Expressed with an explicit
+    * integer-regex so Spark and DuckDB agree (DuckDB TRY_CAST to
+    * BIGINT *rounds* '1.5', Spark nulls it — regex sidesteps both). */
+  val castLadder: QueryDef = QueryDef(
+    "q_cast_ladder",
+    """WITH cells AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE CAST(l_orderkey % 4 AS INT)
+      |      WHEN 0 THEN CAST(l_orderkey AS VARCHAR)
+      |      WHEN 1 THEN CAST(l_orderkey AS VARCHAR) || '.25'
+      |      WHEN 2 THEN '-' || CAST(l_linenumber AS VARCHAR)
+      |      ELSE 'txt_' || CAST(l_linenumber AS VARCHAR) END AS cell
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, cell,
+      |  CASE WHEN regexp_matches(cell, '^-?[0-9]+$') THEN CAST(cell AS BIGINT) END AS as_long,
+      |  CASE WHEN regexp_matches(cell, '^-?[0-9]+$') THEN NULL
+      |       ELSE TRY_CAST(cell AS DOUBLE) END AS as_double,
+      |  CASE WHEN regexp_matches(cell, '^-?[0-9]+$') THEN 'int64'
+      |       WHEN TRY_CAST(cell AS DOUBLE) IS NOT NULL THEN 'float64'
+      |       ELSE 'passthrough' END AS kind
+      |FROM cells""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .withColumn("cell", expr(
+        """CASE CAST(l_orderkey % 4 AS INT)
+          |  WHEN 0 THEN CAST(l_orderkey AS STRING)
+          |  WHEN 1 THEN CAST(l_orderkey AS STRING) || '.25'
+          |  WHEN 2 THEN '-' || CAST(l_linenumber AS STRING)
+          |  ELSE 'txt_' || CAST(l_linenumber AS STRING) END""".stripMargin))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("cell"),
+        expr("CASE WHEN cell RLIKE '^-?[0-9]+$' THEN CAST(cell AS BIGINT) END").as("as_long"),
+        expr("CASE WHEN cell RLIKE '^-?[0-9]+$' THEN NULL ELSE TRY_CAST(cell AS DOUBLE) END").as("as_double"),
+        expr("""CASE WHEN cell RLIKE '^-?[0-9]+$' THEN 'int64'
+                |WHEN TRY_CAST(cell AS DOUBLE) IS NOT NULL THEN 'float64'
+                |ELSE 'passthrough' END""".stripMargin).as("kind"))
+  }
+
+  /** String function family. */
+  val strFuncs: QueryDef = QueryDef(
+    "q_str_funcs",
+    """SELECT c_custkey,
+      | concat(c_name, ':', c_mktsegment) AS cat,
+      | substr(c_name, 1, 8) AS name8,
+      | upper(c_mktsegment) AS seg_uc,
+      | lower(c_name) AS name_lc,
+      | trim('  ' || c_mktsegment || ' ') AS trimmed,
+      | CAST(length(c_name) AS BIGINT) AS name_len,
+      | CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts,
+      | regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+      | regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+      | CAST(instr(c_name, '0') AS BIGINT) AS zero_at,
+      | (c_mktsegment LIKE 'BU%') AS is_building
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      concat(col("c_name"), lit(":"), col("c_mktsegment")).as("cat"),
+      substring(col("c_name"), 1, 8).as("name8"),
+      upper(col("c_mktsegment")).as("seg_uc"),
+      lower(col("c_name")).as("name_lc"),
+      trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+      length(col("c_name")).cast("long").as("name_len"),
+      size(split(col("c_name"), "#")).cast("long").as("n_parts"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_num"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+      instr(col("c_name"), "0").cast("long").as("zero_at"),
+      col("c_mktsegment").like("BU%").as("is_building"))
+  }
+
+  /** Date/time function family (session TZ = UTC both engines). */
+  val dateFuncs: QueryDef = QueryDef(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS BIGINT) AS y,
+      | CAST(month(o_orderdate) AS BIGINT) AS m,
+      | CAST(day(o_orderdate) AS BIGINT) AS d,
+      | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      | CAST(o_orderdate AS DATE) + 30 AS plus30,
+      | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+      | CAST(o_orderdate AS DATE) AS od,
+      | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_ts
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since"),
+      col("o_orderdate").cast("date").as("od"),
+      unix_timestamp(col("o_orderdate")).as("unix_ts"))
+  }
+
+  /** Math function family. ln() output rounded to 6 decimals (libm
+    * last-ulp differences between JVM and glibc). */
+  val mathFuncs: QueryDef = QueryDef(
+    "q_math_funcs",
+    """SELECT p_partkey,
+      | round(p_retailprice / 7, 2) AS div_round,
+      | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      | CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+      | abs(p_size - 25) AS size_dev,
+      | p_retailprice * p_retailprice AS price_sq,
+      | sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+      | round(ln(p_retailprice), 6) AS price_ln,
+      | ((p_partkey % 7) + 7) % 7 AS key_mod7,
+      | CAST(sign(p_size - 25) AS DOUBLE) AS size_sign
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      round(col("p_retailprice") / 7, 2).as("div_round"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+      abs(col("p_size") - 25).as("size_dev"),
+      (col("p_retailprice") * col("p_retailprice")).as("price_sq"),
+      sqrt(col("p_size").cast("double")).as("size_sqrt"),
+      round(log(col("p_retailprice")), 6).as("price_ln"),
+      pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+      signum(col("p_size") - 25).cast("double").as("size_sign"))
+  }
+
+  /** Array / higher-order function family over embeddings.embedding
+    * (array<float>). Dot products fold sequentially in both engines
+    * (Spark aggregate == DuckDB list_reduce) over doubles, so FP
+    * results are bit-identical. */
+  val arrayFuncs: QueryDef = QueryDef(
+    "q_array_funcs",
+    """SELECT vec_id,
+      | CAST(len(embedding) AS BIGINT) AS dims,
+      | CAST(embedding[1] AS DOUBLE) AS first_dim,
+      | list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2) AS head_x2,
+      | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      | list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x) AS vec_sum,
+      | list_sort(list_transform(embedding[1:2], x -> CAST(x AS DOUBLE))) AS head_sorted,
+      | list_contains(range(1, CAST(label AS BIGINT) + 2), 3) AS label_has_3,
+      | CAST(len(list_distinct([label % 2, label % 3, label % 2])) AS BIGINT) AS n_distinct_mods
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dims"),
+      element_at(col("embedding"), 1).cast("double").as("first_dim"),
+      expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2)").as("head_x2"),
+      expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+      expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)").as("vec_sum"),
+      expr("sort_array(transform(slice(embedding, 1, 2), x -> CAST(x AS DOUBLE)))").as("head_sorted"),
+      expr("array_contains(sequence(1L, CAST(label AS BIGINT) + 1), 3L)").as("label_has_3"),
+      expr("size(array_distinct(array(label % 2, label % 3, label % 2)))").cast("long").as("n_distinct_mods"))
+  }
+
+  /** Map functions — maps built per-row, emitted as ordered key/value
+    * arrays (map column ordering is engine-dependent; arrays are not). */
+  val mapFuncs: QueryDef = QueryDef(
+    "q_map_funcs",
+    """SELECT event_id,
+      | map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS ks,
+      | map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS vs,
+      | element_at(MAP {'type': event_type}, 'type')[1] AS type_val
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      map_keys(map(lit("type"), col("event_type"), lit("uid"),
+        col("user_id").cast("string"))).as("ks"),
+      map_values(map(lit("type"), col("event_type"), lit("uid"),
+        col("user_id").cast("string"))).as("vs"),
+      element_at(map(lit("type"), col("event_type")), "type").as("type_val"))
+  }
+
+  /** JSON function family over events.props. */
+  val jsonFuncs: QueryDef = QueryDef(
+    "q_json_funcs",
+    """SELECT event_id,
+      | json_extract_string(props, '$.k') AS k_str,
+      | CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      | to_json({'k': CAST(json_extract_string(props, '$.k') AS INT)}) AS rt,
+      | json_extract_string(props, '$.missing') AS missing
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+      to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k")))
+        .as("rt"),
+      get_json_object(col("props"), "$.missing").as("missing"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    projCompute, filterPred, filterNullSafe, condCase, castLadder,
+    strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs)
+}

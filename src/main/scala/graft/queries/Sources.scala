@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Sources & sinks (SURVEY.md §2B "Sources / sinks"): parquet scans
+  * with pushdown, CSV/JSON file formats (round-tripped through a
+  * scratch dir so the oracle can compare against the original table),
+  * and the corrie wire-format JSON codec (reference
+  * message/message.go:8-11 — `{Query, Data}`; Data cells stay strings
+  * until the per-target cast, mirroring jsoniter UseNumber).
+  */
+object Sources {
+
+  private def scratch(name: String): String = {
+    val d = s"/tmp/graft_scratch/$name"
+    new java.io.File(d).getParentFile.mkdirs()
+    d
+  }
+
+  /** Projection + predicate pushed into the parquet scan: the physical
+    * plan shows PushedFilters + a 3-column ReadSchema — at 100 TB this
+    * is the difference between reading 3 columns of matching row
+    * groups and reading everything. */
+  val scanPushdown: QueryDef = QueryDef(
+    "q_scan_pushdown",
+    """SELECT l_orderkey, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_extendedprice > 50000""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_extendedprice") > 50000)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+  }
+
+  /** CSV sink + schema'd CSV source round-trip; result must equal the
+    * original table (oracle reads the parquet directly). */
+  val csvRoundtrip: QueryDef = QueryDef(
+    "q_csv_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+    val path = scratch("nation_csv")
+    Tables.nation(s, dir).write.mode("overwrite").option("header", "true").csv(path)
+    s.read
+      .schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+      .option("header", "true").csv(path)
+  }
+
+  /** JSON-lines sink + source round-trip (doubles survive via
+    * shortest-round-trip formatting). */
+  val jsonRoundtrip: QueryDef = QueryDef(
+    "q_json_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier") { (s, dir) =>
+    val path = scratch("supplier_json")
+    Tables.supplier(s, dir).write.mode("overwrite").json(path)
+    s.read
+      .schema(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+      .json(path)
+  }
+
+  /** Corrie wire-format codec: rows → `{Query, Data}` JSON messages →
+    * parse back with the envelope schema (STRUCT<Query: STRING,
+    * Data: ARRAY<STRING>>), then the typed extract. Exercises
+    * SURVEY §2A-2 encode/decode losslessly (numerics via strings). */
+  val msgCodec: QueryDef = QueryDef(
+    "q_msg_codec",
+    """SELECT l_orderkey, l_linenumber,
+      | 'INSERT INTO default.lineitem (l_orderkey, l_quantity) VALUES (?, ?);' AS query,
+      | CAST(l_orderkey AS VARCHAR) AS cell0,
+      | CAST(l_quantity AS VARCHAR) AS cell1,
+      | l_quantity AS qty_rt
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    val envelope = StructType(Seq(
+      StructField("Query", StringType),
+      StructField("Data", ArrayType(StringType))))
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        to_json(struct(
+          lit("INSERT INTO default.lineitem (l_orderkey, l_quantity) VALUES (?, ?);").as("Query"),
+          array(col("l_orderkey").cast("string"),
+            col("l_quantity").cast("string")).as("Data"))).as("msg"))
+      .withColumn("parsed", from_json(col("msg"), envelope))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("parsed.Query").as("query"),
+        element_at(col("parsed.Data"), 1).as("cell0"),
+        element_at(col("parsed.Data"), 2).as("cell1"),
+        element_at(col("parsed.Data"), 2).cast("double").as("qty_rt"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, msgCodec)
+}
