@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.Tables
+
+/** Join surface (SURVEY.md §2B "Joins") on the TPC-H-ish keys.
+  *
+  * Scale notes: dimension sides (region/nation/supplier/customer at
+  * their natural cardinalities) are explicitly `broadcast()` — on a
+  * 1000-executor cluster that is a map-side join with no shuffle of
+  * the fact table. The orders⋈lineitem join is the genuine big-big
+  * case and is left to shuffle on the join key so AQE can pick
+  * sort-merge vs shuffled-hash and split skewed partitions.
+  */
+object Joins {
+
+  /** Equi inner join + aggregate: revenue per market segment.
+    * customer is dimension-sized → broadcast. */
+  val joinInner: QueryDef = QueryDef(
+    "q_join_inner",
+    """SELECT c_mktsegment,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("total_price"))
+  }
+
+  /** Star join through three broadcast dims: lineitem⋈supplier⋈nation⋈region. */
+  val joinBroadcastStar: QueryDef = QueryDef(
+    "q_join_broadcast_star",
+    """SELECT r_name, n_name,
+      | COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))").as("revenue"))
+  }
+
+  /** Left outer join: every customer, with order count (0 allowed). */
+  val joinLeft: QueryDef = QueryDef(
+    "q_join_left",
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Right outer join (row level; unmatched right side yields nulls). */
+  val joinRight: QueryDef = QueryDef(
+    "q_join_right",
+    """SELECT o_orderkey, c_custkey, c_acctbal
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** Full outer join: nations vs suppliers (nations without suppliers
+    * survive with nulls). */
+  val joinFull: QueryDef = QueryDef(
+    "q_join_full",
+    """SELECT n_nationkey, n_name, s_suppkey, s_name
+      |FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir)
+      .join(Tables.supplier(s, dir), col("n_nationkey") === col("s_nationkey"), "full")
+      .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+  }
+
+  /** Left semi: customers that have at least one order (EXISTS). */
+  val joinSemi: QueryDef = QueryDef(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left anti: customers with no URGENT order (NOT EXISTS over a
+    * filtered right side — the unfiltered variant is empty on this
+    * data, which would make the check vacuous). */
+  val joinAnti: QueryDef = QueryDef(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Theta/range join against a tiny inline band table →
+    * BroadcastNestedLoopJoin (the band side is bytes). */
+  val joinRange: QueryDef = QueryDef(
+    "q_join_range",
+    """SELECT p_partkey, p_retailprice, band
+      |FROM part
+      |JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0),
+      |             ('high', 1500.0, 100000.0)) AS bands(band, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin) { (s, dir) =>
+    val bands = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row("low", 0.0, 1000.0), Row("mid", 1000.0, 1500.0),
+        Row("high", 1500.0, 100000.0)),
+      StructType(Seq(
+        StructField("band", StringType), StructField("lo", DoubleType),
+        StructField("hi", DoubleType))))
+    Tables.part(s, dir)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .select(col("p_partkey"), col("p_retailprice"), col("band"))
+  }
+
+  /** As-of join: for each order, the latest event of that customer at
+    * or before the order date. Composed as range-join + per-key max of
+    * (ts, event_id) — the Spark-native as-of pattern; ties broken by
+    * event_id so both engines agree. */
+  val joinAsof: QueryDef = QueryDef(
+    "q_join_asof",
+    """WITH j AS (
+      |  SELECT o_orderkey, ts, event_id,
+      |    row_number() OVER (PARTITION BY o_orderkey
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM orders LEFT JOIN events
+      |    ON user_id = o_custkey AND ts <= o_orderdate)
+      |SELECT o_orderkey, ts AS asof_ts, event_id AS asof_event
+      |FROM j WHERE rn = 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.events(s, dir),
+        col("user_id") === col("o_custkey") && col("ts") <= col("o_orderdate"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("o_orderkey"), col("last.ts").as("asof_ts"),
+        col("last.event_id").as("asof_event"))
+  }
+
+  /** Cross join (tiny × tiny). */
+  val joinCross: QueryDef = QueryDef(
+    "q_join_cross",
+    """SELECT a.r_name AS r1, b.r_name AS r2
+      |FROM region a CROSS JOIN region b""".stripMargin) { (s, dir) =>
+    val a = Tables.region(s, dir).select(col("r_name").as("r1"))
+    val b = Tables.region(s, dir).select(col("r_name").as("r2"))
+    a.crossJoin(b)
+  }
+
+  /** Self join: supplier pairs from the same nation. */
+  val joinSelf: QueryDef = QueryDef(
+    "q_join_self",
+    """SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2, n_name
+      |FROM supplier a
+      |JOIN supplier b ON a.s_nationkey = b.s_nationkey
+      |              AND a.s_suppkey < b.s_suppkey
+      |JOIN nation ON a.s_nationkey = n_nationkey""".stripMargin) { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+    val a = sup.select(col("s_suppkey").as("sk1"), col("s_nationkey").as("nk1"))
+    val b = sup.select(col("s_suppkey").as("sk2"), col("s_nationkey").as("nk2"))
+    a.join(b, col("nk1") === col("nk2") && col("sk1") < col("sk2"))
+      .join(broadcast(Tables.nation(s, dir)), col("nk1") === col("n_nationkey"))
+      .select(col("sk1"), col("sk2"), col("n_name"))
+  }
+
+  /** Big⋈big shuffle join: orders⋈lineitem — no broadcast possible at
+    * scale; shuffles both sides on the order key and lets AQE handle
+    * skew. */
+  val joinShuffle: QueryDef = QueryDef(
+    "q_join_shuffle",
+    """SELECT o_orderpriority,
+      | COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
+    joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
+    joinShuffle)
+}
