@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.WeightedMean
+
+/** Aggregation surface (SURVEY.md §2B "Aggregation").
+  *
+  * All of these compile to partial (map-side) + final hash aggregation;
+  * the only full shuffles are on the group keys. Distinct aggregates
+  * expand to the standard two-phase distinct plan.
+  */
+object Aggregations {
+
+  /** Multi-distinct: two COUNT(DISTINCT) branches in one aggregate. */
+  val aggDistinct: QueryDef = QueryDef(
+    "q_agg_distinct",
+    """SELECT l_returnflag,
+      | COUNT(*) AS n,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  /** HLL approximate distinct — algorithm-specific, so no SQL oracle;
+    * the driver records a rows-only check and the scalatest spec bounds
+    * the relative error against the exact count. */
+  val aggApprox: QueryDef = QueryDef.noOracle("q_agg_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+  }
+
+  /** ROLLUP with grouping() flags (cast-aligned across engines). */
+  val aggRollup: QueryDef = QueryDef(
+    "q_agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      | CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"),
+        col("g_ls"), col("n"), col("sum_qty"))
+  }
+
+  /** CUBE over order status × priority. */
+  val aggCube: QueryDef = QueryDef(
+    "q_agg_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(grouping(o_orderstatus) AS INT) AS g_st,
+      | CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("g_st"),
+        col("g_pr"), col("n"), col("sum_price"))
+  }
+
+  /** Explicit GROUPING SETS (the two single-key sets). */
+  val aggGroupingSets: QueryDef = QueryDef(
+    "q_agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"))
+  }
+
+  /** collect_list / collect_set — emitted sorted so the unordered
+    * accumulation is comparable. */
+  val aggCollect: QueryDef = QueryDef(
+    "q_agg_collect",
+    """SELECT o_custkey,
+      | list_sort(list(o_orderpriority)) AS prio_list,
+      | list_sort(list_distinct(list(o_orderstatus))) AS status_set
+      |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderpriority"))).as("prio_list"),
+        sort_array(array_distinct(collect_list(col("o_orderstatus")))).as("status_set"))
+  }
+
+  /** max_by / min_by with a unique ordering key (arg_max/arg_min). */
+  val aggMaxBy: QueryDef = QueryDef(
+    "q_agg_max_by",
+    """SELECT user_id,
+      | arg_max(event_type, event_id) AS last_type,
+      | arg_min(event_type, event_id) AS first_type,
+      | max(event_id) AS max_eid
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max(col("event_id")).as("max_eid"))
+  }
+
+  /** Filtered aggregation: FILTER (WHERE …) and sum(CASE WHEN …). */
+  val aggFiltered: QueryDef = QueryDef(
+    "q_agg_filtered",
+    """SELECT l_returnflag,
+      | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      | CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_discounted,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("COUNT(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+        expr("CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)").as("qty_discounted"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Custom typed Aggregator UDAF: quantity-weighted mean price
+    * (see [[graft.functions.WeightedMean]]). Inputs are pre-scaled to
+    * unscaled longs so the UDAF is exact integer arithmetic. */
+  val aggWeightedUdaf: QueryDef = QueryDef(
+    "q_agg_weighted_udaf",
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wmean_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    val wmean = udaf(WeightedMean)
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("pq"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(wmean(col("pq"), col("q")).as("wmean_price"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
+    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf)
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sort / limit / set-operation surface (SURVEY.md §2B).
+  *
+  * Scale notes: `orderBy.limit(k)` plans as TakeOrderedAndProject —
+  * per-partition top-k then a k-row merge on the driver, never a global
+  * sort of the data. Set ops are hash-based distinct/except shuffles on
+  * the full row.
+  */
+object SetOps {
+
+  /** Global multi-key sort + limit with a unique tie-break. */
+  val sortLimit: QueryDef = QueryDef(
+    "q_sort_limit",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+  }
+
+  /** Sort with NULLS FIRST/LAST control (nulls manufactured). */
+  val sortNulls: QueryDef = QueryDef(
+    "q_sort_nulls",
+    """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+      |FROM orders
+      |ORDER BY nullif(o_orderstatus, 'P') ASC NULLS FIRST, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'P')").as("st"))
+      .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** UNION ALL of two disjoint slices. */
+  val unionAll: QueryDef = QueryDef(
+    "q_union_all",
+    """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .union(o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey"), col("o_orderpriority")))
+  }
+
+  /** unionByName with reordered columns (names drive alignment). */
+  val unionByNameQ: QueryDef = QueryDef(
+    "q_union_by_name",
+    """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .unionByName(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderstatus"), col("o_orderkey")))
+  }
+
+  /** UNION (distinct): overlapping slices deduplicated. */
+  val unionDistinct: QueryDef = QueryDef(
+    "q_union_distinct",
+    """SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 10
+      |UNION
+      |SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 30""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_quantity") > 10).select(col("l_returnflag"), col("l_linestatus"))
+      .union(li.filter(col("l_quantity") <= 30).select(col("l_returnflag"), col("l_linestatus")))
+      .distinct()
+  }
+
+  /** INTERSECT (set semantics). */
+  val intersectQ: QueryDef = QueryDef(
+    "q_intersect",
+    """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT
+      |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      .intersect(li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+  }
+
+  /** EXCEPT (set semantics). */
+  val exceptQ: QueryDef = QueryDef(
+    "q_except",
+    """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT
+      |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      .except(li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+  }
+
+  /** INTERSECT ALL (multiset semantics — multiplicities matter). */
+  val intersectAllQ: QueryDef = QueryDef(
+    "q_intersect_all",
+    """SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+      |INTERSECT ALL
+      |SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 30""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_quantity") > 25).select(col("l_returnflag"), col("l_linestatus"))
+      .intersectAll(li.filter(col("l_quantity") < 30).select(col("l_returnflag"), col("l_linestatus")))
+  }
+
+  /** EXCEPT ALL (multiset difference). */
+  val exceptAllQ: QueryDef = QueryDef(
+    "q_except_all",
+    """SELECT l_returnflag FROM lineitem WHERE l_quantity > 25
+      |EXCEPT ALL
+      |SELECT l_returnflag FROM lineitem WHERE l_quantity > 40""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_quantity") > 25).select(col("l_returnflag"))
+      .exceptAll(li.filter(col("l_quantity") > 40).select(col("l_returnflag")))
+  }
+
+  /** DISTINCT over a projection. */
+  val distinctQ: QueryDef = QueryDef(
+    "q_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+  }
+
+  /** Keyed dedup with a deterministic survivor (row_number = 1; plain
+    * dropDuplicates keeps an arbitrary row, which can't be
+    * oracle-compared — its semantics are unit-tested instead). One
+    * survivor per (l_orderkey): the lowest line number. */
+  val dedupByKey: QueryDef = QueryDef(
+    "q_dedup_bykey",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity) AS rn
+      |  FROM lineitem) t WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    sortLimit, sortNulls, unionAll, unionByNameQ, unionDistinct,
+    intersectQ, exceptQ, intersectAllQ, exceptAllQ, distinctQ, dedupByKey)
+}

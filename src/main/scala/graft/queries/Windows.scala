@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function surface (SURVEY.md §2B "Window functions").
+  *
+  * Scale note: each window is a single shuffle on its partition key
+  * followed by an in-partition sort — no driver involvement. Ordering
+  * keys are chosen unique (or the function is tie-invariant like
+  * rank/dense_rank) so results are deterministic across engines.
+  */
+object Windows {
+
+  /** Ranking family: row_number / rank / dense_rank / ntile. */
+  val winRank: QueryDef = QueryDef(
+    "q_win_rank",
+    """SELECT o_orderkey, o_custkey,
+      | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+      | CAST(rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS BIGINT) AS yr_rank,
+      | CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS BIGINT) AS yr_dense,
+      | CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byYear = Window.partitionBy(col("o_custkey"))
+      .orderBy(year(col("o_orderdate")))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(byPrice).cast("long").as("rn"),
+      rank().over(byYear).cast("long").as("yr_rank"),
+      dense_rank().over(byYear).cast("long").as("yr_dense"),
+      ntile(4).over(byPrice).cast("long").as("quartile"))
+  }
+
+  /** Analytic family: lag / lead / first_value / last_value over a
+    * unique per-user event ordering. */
+  val winLagLead: QueryDef = QueryDef(
+    "q_win_lag_lead",
+    """SELECT event_id, user_id, value,
+      | lag(value) OVER w AS prev_value,
+      | lead(event_type) OVER w AS next_type,
+      | lag(value, 2, -1.0) OVER w AS prev2_value,
+      | first_value(event_id) OVER w AS first_eid,
+      | last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_eid
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      lag(col("value"), 2, -1.0).over(w).as("prev2_value"),
+      first(col("event_id")).over(w).as("first_eid"),
+      last(col("event_id")).over(wFull).as("last_eid"))
+  }
+
+  /** Frames: running total (ROWS unbounded→current), moving sum of the
+    * last 3 rows, and a RANGE frame over a numeric key. Sums are
+    * decimal-exact; in-frame order is fixed by the unique sort key. */
+  val winFrames: QueryDef = QueryDef(
+    "q_win_frames",
+    """SELECT o_orderkey, o_custkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_sum,
+      | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |   RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_in_band
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)").as("running_total"),
+      expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)").as("moving3_sum"),
+      expr("COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)").as("n_in_band"))
+  }
+
+  /** Top-K per group: top 3 orders per customer (row_number ≤ k). */
+  val winTopK: QueryDef = QueryDef(
+    "q_win_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK)
+}
