@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corrie wire model (reference message/message.go:8-11): a message is
+  * `{Query: "<INSERT … VALUES (?,…)>", Data: [cells…]}` published as
+  * JSON. Numerics must survive losslessly (jsoniter UseNumber,
+  * message/message.go:5) — so the engine's envelope keeps every cell a
+  * STRING until the per-target cast (SURVEY §1.4), never routing
+  * through DoubleType.
+  */
+object Messages {
+
+  /** Envelope schema: fixed; the payload schema is resolved per target
+    * table at sink time (≙ ClickHouse readMeta, clickhouse.go:76-87). */
+  val envelope: StructType = StructType(Seq(
+    StructField("Query", StringType),
+    StructField("Data", ArrayType(StringType))))
+
+  /** Encode rows into wire messages (producer side,
+    * example/example.go:58-61): `to_json(struct(Query, Data))`. */
+  def encode(query: String, cells: Seq[Column]): Column =
+    to_json(struct(
+      lit(query).as("Query"),
+      array(cells.map(_.cast("string")): _*).as("Data")))
+
+  /** Decode a message body; corrupt JSON yields a null struct, which
+    * the pipeline routes to the dead-letter sink (§2A-3). */
+  def decode(body: Column): Column = from_json(body, envelope)
+
+  /** The demo target table (≙ a ClickHouse table the INSERT names). */
+  val lineSinkQuery =
+    "INSERT INTO default.line_sink (l_orderkey, l_linenumber, l_quantity, l_returnflag) VALUES (?, ?, ?, ?);"
+
+  val lineSinkSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_returnflag", StringType)))
+
+  /** Registry: query string → target schema (≙ server-side metadata
+    * lookup at prepare time). Unknown queries are a prepare failure —
+    * the whole group dead-letters (writer/writer.go:203-213). */
+  val targetSchemas: Map[String, StructType] = Map(lineSinkQuery -> lineSinkSchema)
+
+  val unknownQuery =
+    "INSERT INTO default.no_such_table (x) VALUES (?);"
+
+  /** Deterministic message corpus derived from lineitem: mostly good
+    * messages, with poison JSON injected at l_orderkey % 97 == 0, a
+    * row-level bad cell (unparseable quantity) at % 101 == 0, and an
+    * unregistered target table at % 89 == 0 (prepare-failure class).
+    * Precedence: 97 > 101 > 89 > good.
+    */
+  def corpusFromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+    val good = encode(lineSinkQuery, Seq(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag")))
+    val badCell = encode(lineSinkQuery, Seq(
+      col("l_orderkey"), col("l_linenumber"), lit("not_a_number"), col("l_returnflag")))
+    val unknown = encode(unknownQuery, Seq(col("l_orderkey")))
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 97 === 0,
+        concat(lit("""{"Query": "INSERT INTO default.line_sink ("""),
+          col("l_orderkey").cast("string")))
+        .when(col("l_orderkey") % 101 === 0, badCell)
+        .when(col("l_orderkey") % 89 === 0, unknown)
+        .otherwise(good).as("body"))
+  }
+}

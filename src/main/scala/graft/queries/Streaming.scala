@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.pipeline.{Messages, Pipeline}
+
+/** Streaming surface (SURVEY.md §2B "Streaming"): the corrie pipeline
+  * in batch and true Structured-Streaming form, plus event-time window
+  * aggregations. Streaming entries run a real `readStream` →
+  * `foreachBatch`/memory-sink query with `Trigger.AvailableNow` (the
+  * drain-the-queue trigger, ≙ corrie shutdown drain §2A-7) and return
+  * the materialized result, so the driver's oracle check covers the
+  * actual streaming path.
+  */
+object Streaming {
+
+  private def scratch(name: String): String = {
+    val d = new java.io.File(s"/tmp/graft_scratch/$name")
+    if (d.exists()) { // deterministic rerun: clear prior state
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** Oracle body for the good-row expectation: everything in lineitem
+    * except the three injected failure classes. */
+  private val goodRowsSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+      | l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE NOT (l_orderkey % 97 = 0)
+      |  AND NOT (l_orderkey % 101 = 0)
+      |  AND NOT (l_orderkey % 89 = 0)""".stripMargin
+
+  /** Batch-mode corrie pipeline: encode → parse → poison-route →
+    * per-target cast ladder → good rows (typed exactly as the target
+    * schema). */
+  val pipelineBatch: QueryDef = QueryDef(
+    "q_pipeline_batch", goodRowsSql) { (s, dir) =>
+    val corpus = Messages.corpusFromLineitem(s, dir).select(col("body"))
+    val routed = Pipeline.route(Pipeline.parse(corpus))
+    routed.groups(Messages.lineSinkQuery).good
+  }
+
+  /** Dead-letter side output: every failed message with its ORIGINAL
+    * body verbatim (≙ reader.ToFailedQueue forwarding raw m.Body,
+    * reference reader/reader.go:168-179) and the failure class. */
+  val pipelineDeadletter: QueryDef = QueryDef(
+    "q_pipeline_deadletter",
+    """SELECT
+      | CASE
+      |  WHEN l_orderkey % 97 = 0 THEN '{"Query": "INSERT INTO default.line_sink (' || CAST(l_orderkey AS VARCHAR)
+      |  WHEN l_orderkey % 101 = 0 THEN '{"Query":"INSERT INTO default.line_sink (l_orderkey, l_linenumber, l_quantity, l_returnflag) VALUES (?, ?, ?, ?);","Data":["' || CAST(l_orderkey AS VARCHAR) || '","' || CAST(l_linenumber AS VARCHAR) || '","not_a_number","' || l_returnflag || '"]}'
+      |  ELSE '{"Query":"INSERT INTO default.no_such_table (x) VALUES (?);","Data":["' || CAST(l_orderkey AS VARCHAR) || '"]}'
+      | END AS body,
+      | CASE
+      |  WHEN l_orderkey % 97 = 0 THEN 'decode_error'
+      |  WHEN l_orderkey % 101 = 0 THEN 'cast_error'
+      |  ELSE 'unknown_query'
+      | END AS reason
+      |FROM lineitem
+      |WHERE l_orderkey % 97 = 0 OR l_orderkey % 101 = 0 OR l_orderkey % 89 = 0""".stripMargin) { (s, dir) =>
+    val corpus = Messages.corpusFromLineitem(s, dir).select(col("body"))
+    Pipeline.route(Pipeline.parse(corpus)).dead
+  }
+
+  /** The full streaming pipeline: corpus written as text files into a
+    * 3-partition source dir (≙ shards messages.0-2, reference
+    * etc/corrie.yml:25), consumed by readStream + foreachBatch running
+    * the same route/cast/sink, good rows appended per query group,
+    * dead letters to failed/. Returns the re-read good output. */
+  val pipelineStream: QueryDef = QueryDef(
+    "q_pipeline_stream", goodRowsSql) { (s, dir) =>
+    val src = scratch("pipe_src")
+    val out = scratch("pipe_out")
+    val ckpt = scratch("pipe_ckpt")
+    Messages.corpusFromLineitem(s, dir).select(col("body"))
+      .repartition(3) // ≙ random shard assignment (producer.go:143-164)
+      .write.mode("overwrite").text(src)
+    val stream = s.readStream.text(src).withColumnRenamed("value", "body")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.sinkBatch(Pipeline.route(Pipeline.parse(batch)), out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/good")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+  }
+
+  /** Streaming tumbling-window aggregation (1 h) over events, complete
+    * output mode into a memory sink. */
+  val streamTumbling: QueryDef = QueryDef(
+    "q_stream_tumbling",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+      | time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+      | event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val src = scratch("tumb_src")
+    Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(
+      "ts TIMESTAMP, event_type STRING, value DOUBLE").parquet(src)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_tumbling")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_tumbling")
+  }
+
+  /** Sliding window (1 h window, 15 min slide): each event lands in 4
+    * windows. */
+  val streamSliding: QueryDef = QueryDef(
+    "q_stream_sliding",
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS win_start,
+      | time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') + INTERVAL '1 hour' AS win_end,
+      | COUNT(*) AS n
+      |FROM events, unnest(range(0, 4)) AS t(k)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n"))
+  }
+
+  /** Session windows (10 min gap) per user — Spark session_window vs
+    * the classic gaps-and-islands SQL. */
+  val sessionWindowQ: QueryDef = QueryDef(
+    "q_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |ids AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS sess_start,
+      | max(ts) + INTERVAL '10 minutes' AS sess_end, COUNT(*) AS n
+      |FROM ids GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n"))
+  }
+
+  /** Streaming dedup by event_id over a doubled source (state carries
+    * across micro-batches). */
+  val streamDedup: QueryDef = QueryDef(
+    "q_stream_dedup",
+    """SELECT event_id, user_id, event_type, value FROM events""".stripMargin) { (s, dir) =>
+    val src = scratch("dedup_src")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src) // duplicate every row
+    val stream = s.readStream.schema(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(src)
+    val q = stream.dropDuplicates("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_dedup")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    pipelineBatch, pipelineDeadletter, pipelineStream,
+    streamTumbling, streamSliding, sessionWindowQ, streamDedup)
+}
