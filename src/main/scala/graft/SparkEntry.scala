@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared queries, in build order. Later waves append modules. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Sources.defs ++ Scalars.defs ++ Joins.defs ++
-      Aggregations.defs ++ Windows.defs ++ SetOps.defs ++ Streaming.defs
+      Aggregations.defs ++ Windows.defs ++ SetOps.defs ++ Streaming.defs ++
+      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ MultimodalQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

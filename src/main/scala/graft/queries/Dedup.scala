@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * Scale design: every signature is computed per-row with higher-order
+  * expressions (no explode of shingles, no shuffle until the final
+  * bucket/pair join). LSH candidate generation joins on the band key —
+  * a hash-partitioned equi-join — with a bucket-size cap as the skew
+  * guard (a degenerate bucket would otherwise go quadratic; real
+  * pipelines cap or salt exactly the same way).
+  */
+object Dedup {
+
+  /** Normalized word list (shared by all text dedup/analysis). */
+  private val wordsSql =
+    "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
+  private val duckWordsSql =
+    "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** Exact dedup on a normalized content key: md5 of the normalized
+    * text; survivor = lowest doc_id per key. */
+  val dedupExact: QueryDef = QueryDef(
+    "q_dedup_exact",
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_key
+       |  FROM documents)
+       |SELECT content_key, min(doc_id) AS keep_doc, COUNT(*) AS n_copies
+       |FROM keyed GROUP BY content_key""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
+  }
+
+  /** MinHash signatures: 8 permutations, each the min md5 of
+    * seed-salted 3-word shingles. Entirely per-row (one pass, no
+    * shuffle) — at 100 TB this is a map-only stage. */
+  val dedupMinhashSig: QueryDef = QueryDef(
+    "q_dedup_minhash_sig",
+    s"""WITH w AS (SELECT doc_id, $duckWordsSql AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+       |  FROM w)
+       |SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(shingles,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+       |FROM sh""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(wordsSql))
+      .withColumn("shingles", expr(
+        """transform(sequence(1, greatest(size(ws) - 2, 0)),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))""".stripMargin))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 7),
+          |  s -> array_min(transform(shingles,
+          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs: unigram-set MinHash (8 hashes), 4
+    * bands × 2 rows; docs sharing a band key become candidates. Bucket
+    * size capped at 20 (skew guard — salting/capping is the production
+    * answer to degenerate buckets). */
+  val dedupLshPairs: QueryDef = QueryDef(
+    "q_dedup_lsh_pairs",
+    s"""WITH w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |bands AS (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+       |  FROM sig, unnest(range(0, 4)) AS t(b)),
+       |sized AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |JOIN sized sz ON a.bk = sz.bk""".stripMargin) { (s, dir) =>
+    val sig = Tables.documents(s, dir)
+      .withColumn("ws", expr(s"array_distinct($wordsSql)"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 7),
+          |  s -> array_min(transform(ws,
+          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    val bands = sig
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+    val sized = bands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val a = bands.select(col("doc_id").as("d1"), col("bk"))
+    val b = bands.select(col("doc_id").as("d2"), col("bk").as("bk2"))
+    a.join(b, col("bk") === col("bk2") && col("d1") < col("d2"))
+      .join(sized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** 16-bit SimHash from word md5s: bit j is the sign of the ±1 votes
+    * of each word's j-th hex digit high bit. Per-row, map-only. */
+  val dedupSimhash: QueryDef = QueryDef(
+    "q_dedup_simhash",
+    s"""WITH w AS (SELECT doc_id, $duckWordsSql AS ws FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(range(0, 16),
+       |    j -> CASE WHEN list_reduce(list_transform(ws,
+       |           x -> CASE WHEN substr(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+       |                     THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
+       |         THEN '1' ELSE '0' END), '') AS simhash
+       |FROM w""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(wordsSql))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(0, 15),
+          |  j -> CASE WHEN aggregate(ws,
+          |         0, (a, x) -> a + (CASE WHEN substring(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+          |                           THEN 1 ELSE -1 END)) > 0
+          |       THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+  }
+
+  /** n-gram (word-set) Jaccard near-dup pairs, candidates bounded by
+    * (lang, source) blocking — the standard blocking+verify shape. */
+  val dedupJaccard: QueryDef = QueryDef(
+    "q_dedup_jaccard",
+    s"""WITH w AS (SELECT doc_id, lang, source,
+       |  list_distinct($duckWordsSql) AS ws FROM documents)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE) AS jaccard
+       |FROM w a JOIN w b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE) >= 0.5""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"array_distinct($wordsSql)").as("ws"))
+    val a = w.select(col("doc_id").as("d1"), col("lang"), col("source"), col("ws").as("w1"))
+    val b = w.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("source").as("source2"), col("ws").as("w2"))
+    a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
+        && col("d1") < col("d2"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs via the native CosineSimilarity
+    * expression, blocked by label. */
+  val dedupEmbed: QueryDef = QueryDef(
+    "q_dedup_embed",
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |sims AS (
+      | SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT v1, v2, cos_sim FROM sims WHERE cos_sim >= 0.3""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .withColumn("cos_sim", expr("cosine_sim(e1, e2)"))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("v1"), col("v2"), col("cos_sim"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhashSig, dedupLshPairs, dedupSimhash,
+    dedupJaccard, dedupEmbed)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §2B north-star: similarity search).
+  *
+  * Two paths, as a 100 TB design requires:
+  *  - brute force (exact baseline): broadcast the query set, one
+  *    map-side pass over all vectors computing the native
+  *    CosineSimilarity expression, per-query top-k via window. Cost is
+  *    one full scan per query batch — right answer when the query set
+  *    is small and recall must be 1.0.
+  *  - LSH-bucketed (scale path): sign-random-projection bucket key
+  *    computed per-row; candidates are only same-bucket vectors, so
+  *    the pair space collapses from N² to sum of bucket². Recall
+  *    trades against bucket bits, deterministic here.
+  */
+object Similarity {
+
+  /** Exact brute-force top-10 cosine neighbors for query vectors
+    * (vec_id < 5). */
+  val simTopK: QueryDef = QueryDef(
+    "q_sim_topk",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 5),
+      |sims AS (
+      | SELECT qid, vec_id,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM q JOIN e ON vec_id <> qid),
+      |ranked AS (SELECT qid, vec_id, cos_sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      | FROM sims)
+      |SELECT qid, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 10""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
+  /** LSH-bucketed ANN: bucket = sign bits of the first 8 dims (a fixed
+    * axis-aligned random projection); top-3 within the query's bucket.
+    * Approximate by construction — the oracle runs the identical
+    * algorithm, so results still hash-match. */
+  val simLsh: QueryDef = QueryDef(
+    "q_sim_lsh",
+    """WITH e AS (SELECT vec_id, embedding,
+      |  array_to_string(list_transform(range(1, 9),
+      |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      | FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id < 20),
+      |sims AS (
+      | SELECT qid, e.vec_id, e.bucket,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> qid),
+      |ranked AS (SELECT qid, vec_id, bucket, cos_sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      | FROM sims)
+      |SELECT qid, vec_id, bucket, cos_sim, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 3""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), expr(
+        """array_join(transform(sequence(1, 8),
+          |  i -> CASE WHEN element_at(embedding, i) >= 0 THEN '1' ELSE '0' END), '')""".stripMargin)
+        .as("bucket"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("qb") === col("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"), col("bucket"), col("cos_sim"), col("rk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simLsh)
+}

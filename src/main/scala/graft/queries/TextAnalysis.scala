@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for a training-data pipeline: language ID (stopword
+  * n-gram heuristic), quality scoring, token counting, document
+  * fingerprinting. All map-only per-document expressions — at 100 TB
+  * these run as one codegen'd pass over the text column with no
+  * shuffle (aggregate variants shuffle only the tiny per-group
+  * results).
+  */
+object TextAnalysis {
+
+  private val wordsSql =
+    "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
+  private val duckWordsSql =
+    "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** Stopword vote lists (tiny public function-word sets). */
+  private val stop = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "a", "en", "un", "ser", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "es", "sie", "du"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+    "zh" -> Seq("de", "yi", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta"))
+
+  private def sparkScore(lang: String, words: Seq[String]): String =
+    s"size(filter(ws, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private def duckScore(lang: String, words: Seq[String]): String =
+    s"len(list_filter(ws, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** Language ID: per-language stopword occurrence counts, fixed
+    * precedence argmax (en > es > de > fr > zh on ties). */
+  val langId: QueryDef = {
+    val sScores = stop.map { case (l, ws) => s"${sparkScore(l, ws)} AS s_$l" }
+    val dScores = stop.map { case (l, ws) => s"${duckScore(l, ws)} AS s_$l" }
+    val langs = stop.map(_._1)
+    val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    QueryDef(
+      "q_text_langid",
+      s"""WITH w AS (SELECT doc_id, lang, $duckWordsSql AS ws FROM documents),
+         |scored AS (SELECT doc_id, lang, ${dScores.mkString(", ")} FROM w)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+         |  $caseSql AS pred_lang
+         |FROM scored""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("ws", expr(wordsSql))
+        .selectExpr(Seq("doc_id", "lang") ++ sScores: _*)
+        .withColumn("pred_lang", expr(caseSql))
+    }
+  }
+
+  /** Quality scoring: length/word/punctuation/digit/stopword ratios
+    * and a composite score — per-row IEEE arithmetic, deterministic. */
+  val quality: QueryDef = QueryDef(
+    "q_text_quality",
+    s"""WITH w AS (SELECT doc_id, text, $duckWordsSql AS ws FROM documents)
+       |SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS n_chars,
+       | CAST(len(ws) AS BIGINT) AS n_words,
+       | CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+       | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |   / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       | CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |   / CAST(length(text) AS DOUBLE) AS digit_ratio,
+       | CAST(len(list_filter(ws, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
+       |   / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
+       | CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END
+       |   * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality_score
+       |FROM w""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(wordsSql))
+      .selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(size(ws) AS BIGINT) AS n_words",
+        "CAST(length(text) AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS avg_word_len",
+        "CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio",
+        "CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio",
+        "CAST(size(filter(ws, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS stopword_ratio",
+        """CASE WHEN size(ws) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END
+          | * (1.0 - CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality_score""".stripMargin)
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other), per doc and rolled up
+    * per (lang, source). */
+  val tokens: QueryDef = QueryDef(
+    "q_text_tokens",
+    s"""WITH t AS (SELECT lang, source,
+       |  len($duckWordsSql) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+       | FROM documents)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       | CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       | CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       | CAST(SUM(bpe_tokens) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
+       |FROM t GROUP BY lang, source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .selectExpr("lang", "source",
+        s"size($wordsSql) AS ws_tokens",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_tokens")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_ws_tokens"),
+        sum(col("bpe_tokens")).cast("long").as("total_bpe_tokens"),
+        (sum(col("bpe_tokens")).cast("double") / count(lit(1))).as("avg_bpe_tokens"))
+  }
+
+  /** Document fingerprinting: order-insensitive content fingerprint
+    * (md5 of the sorted distinct word set) + its 4-hex prefix as a
+    * shard/bucket key. */
+  val fingerprint: QueryDef = QueryDef(
+    "q_text_fingerprint",
+    s"""WITH w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents)
+       |SELECT doc_id,
+       | md5(array_to_string(list_sort(ws), ' ')) AS fingerprint,
+       | substr(md5(array_to_string(list_sort(ws), ' ')), 1, 4) AS shard_key
+       |FROM w""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(s"array_distinct($wordsSql)"))
+      .selectExpr("doc_id",
+        "md5(array_join(sort_array(ws), ' ')) AS fingerprint",
+        "substring(md5(array_join(sort_array(ws), ' ')), 1, 4) AS shard_key")
+  }
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+}
