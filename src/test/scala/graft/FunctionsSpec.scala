@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions, WeightedMean}
+import graft.multimodal.{Codecs, Multimodal}
+import graft.pipeline.Retry
+
+/** Unit specs for the custom extension points and engine utilities. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity: known values, both eval paths") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(-1f, -2f, -3f)))
+      .toDF("a", "b")
+    val got = df.selectExpr("cosine_sim(a, b)").as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    // interpreted path (wholestage off) must agree bit-for-bit
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.selectExpr("cosine_sim(a, b)").as[Double].collect()
+      assert(interp.toSeq == got.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("CosineSimilarity: zero vector yields null, nulls propagate") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Some(Array(0f, 0f)), Some(Array(1f, 1f))),
+      (None: Option[Array[Float]], Some(Array(1f, 1f))))
+      .toDF("a", "b")
+    val got = df.selectExpr("cosine_sim(a, b)").collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
+  test("WeightedMean UDAF is partition-order invariant") {
+    val wmean = udaf(WeightedMean)
+    val data = (1 to 1000).map(i => (i % 3, i.toLong * 100, (i % 7 + 1).toLong * 100))
+    def run(parts: Int): Map[Int, Double] =
+      data.toDF("g", "pq", "q").repartition(parts)
+        .groupBy(col("g")).agg(wmean(col("pq"), col("q")).as("wm"))
+        .as[(Int, Double)].collect().toMap
+    assert(run(1) == run(7) && run(7) == run(32))
+  }
+
+  test("approx_count_distinct stays within the configured error bound") {
+    val li = Tables.lineitem(spark, sf())
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).head()
+    val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+
+  test("dropDuplicates keeps exactly one row per key, values from input") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val got = df.dropDuplicates("k").as[(Int, String)].collect().toMap
+    assert(got.keySet == Set(1, 2))
+    assert(Set("a", "b").contains(got(1)) && got(2) == "c")
+  }
+
+  test("multimodal featurizer: frame sampling and checksums") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf()))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_frames == math.ceil(f.n_bytes / 64.0).toInt)
+      assert(f.frame_checksums.length == f.n_frames)
+      assert(f.checksum.length == 32)
+    }
+  }
+
+  test("multimodal codec stub: empty payload → zero frames") {
+    assert(Codecs.decodeStub(Array.emptyByteArray).isEmpty)
+    assert(Codecs.md5hex("abc".getBytes) == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("retry: recovers from transient failures, rethrows after budget") {
+    var n = 0
+    val got = Retry.withBackoff(attempts = 5, baseMillis = 1) {
+      n += 1; if (n < 3) throw new RuntimeException("transient"); n
+    }
+    assert(got == 3)
+    var m = 0
+    intercept[RuntimeException] {
+      Retry.withBackoff(attempts = 3, baseMillis = 1) {
+        m += 1; throw new RuntimeException("permanent")
+      }
+    }
+    assert(m == 3)
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size == SparkEntry.allDefs.size, "duplicate query names")
+  }
+}

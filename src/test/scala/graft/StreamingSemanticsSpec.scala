@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics the oracle can't see (SURVEY §5.4): watermark
+  * late-data drop, and at-least-once delivery under foreachBatch
+  * failure (re-run ⇒ possible duplicates, never loss — corrie's
+  * contract, writer/writer.go:182-186 ack-after-commit).
+  */
+class StreamingSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .count()
+      .select(col("window.start").as("ws"), col("k"), col("count"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 10:30:00"), "a"))
+      q.processAllAvailable() // watermark → 10:20
+      in.addData((ts("2024-01-01 10:02:00"), "a")) // late for 10:00-10:10
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:00:00"), "a")) // push watermark forward
+      q.processAllAvailable()
+      val rows = spark.table("wm")
+        .select(col("ws").cast("string"), col("count")).as[(String, Long)]
+        .collect().toMap
+      // the 10:00 window finalized with 2 — the late 10:02 event was dropped
+      assert(rows("2024-01-01 10:00:00") == 2L)
+    } finally q.stop()
+  }
+
+  test("foreachBatch failure + restart = at-least-once, never loss") {
+    implicit val sql = spark.sqlContext
+    val received = new ConcurrentLinkedQueue[Int]()
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_alo").toString
+    val in = MemoryStream[Int]
+    in.addData(1 to 10: _*)
+
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.as[Int].collect()
+        rows.foreach(received.add) // partial effect BEFORE the failure
+        if (failedOnce.compareAndSet(false, true))
+          throw new RuntimeException("injected sink failure")
+      }
+      .start()
+
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // restart from checkpoint → batch 0 re-runs
+    q2.processAllAvailable()
+    q2.stop()
+
+    val seen = received.toArray(Array.empty[Integer]).map(_.toInt)
+    assert((1 to 10).forall(seen.contains), "no message may be lost")
+    assert(seen.length >= 10 && seen.length <= 20, "replay duplicates allowed, loss not")
+    assert(seen.length > 10, "this scenario must actually demonstrate a replay")
+  }
+
+  test("streaming drain processes everything before stop (AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString
+    spark.range(100).select(col("id")).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("id BIGINT").parquet(dir)
+    val q = stream.writeStream.format("memory").queryName("drain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("drain").count() == 100)
+  }
+}
