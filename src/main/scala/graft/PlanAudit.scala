@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries
+  * and flag the scale-critical properties — parquet predicate
+  * pushdown, column-pruned read schemas, broadcast joins on dims,
+  * whole-stage codegen coverage. `runMain graft.PlanAudit [sfDir]`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // WindowGroupLimit = per-partition top-k pushed below the shuffle;
+    // codegen is checked on the AQE-final executed plan ("*(n) Op").
+    val audit = Seq(
+      "q1_agg" -> Seq("PushedFilters: [IsNotNull(l_shipdate)", "partial_sum"),
+      "q_scan_pushdown" -> Seq("PushedFilters", "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate"),
+      "q_join_broadcast_star" -> Seq("BroadcastHashJoin", "partial_sum"),
+      "q_join_shuffle" -> Seq("Join", "partial_sum"),
+      "q_sim_topk" -> Seq("BroadcastNestedLoopJoin", "WindowGroupLimit", "cosine"),
+      "q_dedup_lsh_pairs" -> Seq("LeftSemi", "HashAggregate"),
+      "q_win_topk" -> Seq("WindowGroupLimit"))
+
+    audit.foreach { case (name, expects) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // execute THIS queryExecution (count() would plan separately),
+      // so AQE finalizes and codegen markers become real
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val executed = df.queryExecution.executedPlan.toString
+      println(s"\n######## $name")
+      (expects :+ "WholeStageCodegen").foreach { e =>
+        val hit = if (e == "WholeStageCodegen") executed.contains("*(")
+                  else plan.contains(e) || executed.contains(e)
+        println(s"  [${if (hit) "OK" else "MISS"}] $e")
+      }
+      if (args.length > 1) println(plan)
+    }
+    spark.stop()
+  }
+}

@@ -15,14 +15,24 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  /** Parse + tag. Adds `parsed` (envelope struct, null on corrupt
-    * JSON) and `decode_ok`. */
+  /** Parse + tag: one unconditional projection that extracts the
+    * envelope into plain columns (`query`, `data`, `decode_ok`).
+    *
+    * Why this shape: every from_json reference inside a later CASE
+    * branch would re-run the parse (Spark's subexpression elimination
+    * skips conditionally-evaluated exprs) — extracting here keeps
+    * exactly ONE parse per row for the whole downstream routing tree.
+    * A message without a Query is as dead as corrupt JSON. */
   def parse(raw: DataFrame, bodyCol: String = "body"): DataFrame = {
     raw
-      .withColumn("parsed", Messages.decode(col(bodyCol)))
-      // from_json returns a struct of nulls (not a null struct) on
-      // corrupt input; a message without a Query is equally dead.
-      .withColumn("decode_ok", col("parsed").isNotNull && col("parsed.Query").isNotNull)
+      .select(col(bodyCol).as("body"), Messages.decode(col(bodyCol)).as("p"))
+      .select(
+        col("body"),
+        col("p.Query").as("query"),
+        col("p.Data").as("data"),
+        // corrupt JSON → null struct → null Query; a message without
+        // a Query is equally dead, so one null check covers both
+        col("p.Query").isNotNull.as("decode_ok"))
   }
 
   /** Per-cell coercion ladder for one target column (mirrors
@@ -30,11 +40,11 @@ object Pipeline {
     * type; a null result from a non-null cell is a cast failure.
     * Missing cells (index beyond Data) are failures too. */
   private def castCell(i: Int, f: StructField): (Column, Column) = {
-    val cell = expr(s"try_element_at(parsed.Data, ${i + 1})")
+    val cell = expr(s"try_element_at(data, ${i + 1})")
     val castV = f.dataType match {
       case StringType => cell
       // try_cast: never throws (ANSI-safe), null signals failure.
-      case t => expr(s"try_cast(try_element_at(parsed.Data, ${i + 1}) AS ${t.sql})")
+      case t => expr(s"try_cast(try_element_at(data, ${i + 1}) AS ${t.sql})")
     }
     val ok = cell.isNotNull && (f.dataType match {
       case StringType => lit(true)
@@ -50,27 +60,38 @@ object Pipeline {
     * group) | cast_error (≙ row-level exec failure). */
   def route(parsed: DataFrame): RoutedBatch = {
     val known = Messages.targetSchemas.keys.toSeq
-    val isKnown = col("parsed.Query").isin(known: _*)
+    val isKnown = col("query").isin(known: _*)
 
-    val deadDecode = parsed.filter(!col("decode_ok"))
-      .select(col("body"), lit("decode_error").as("reason"))
-    val deadUnknown = parsed.filter(col("decode_ok") && !isKnown)
-      .select(col("body"), lit("unknown_query").as("reason"))
+    // Row validity per known target, evaluated lazily via CASE on the
+    // query string — the failure reason for EVERY lane comes out of
+    // one expression tree, so the dead-letter side output is a single
+    // filtered pass over the batch instead of a union of re-parses.
+    val castOkByQuery = Messages.targetSchemas.foldLeft(lit(true)) {
+      case (acc, (q, schema)) =>
+        val rowOk = schema.fields.zipWithIndex
+          .map { case (f, i) => castCell(i, f)._2 }.reduce(_ && _)
+        when(col("query") === q, rowOk).otherwise(acc)
+    }
+    val reason = when(!col("decode_ok"), "decode_error")
+      .when(!isKnown, "unknown_query")
+      .when(!castOkByQuery, "cast_error")
 
     val perQuery = Messages.targetSchemas.map { case (q, schema) =>
-      val rows = parsed.filter(col("decode_ok") && col("parsed.Query") === q)
       val cells = schema.fields.zipWithIndex.map { case (f, i) => castCell(i, f) }
       val rowOk = cells.map(_._2).reduce(_ && _)
-      val tagged = rows.withColumn("cast_ok", rowOk)
-      val good = tagged.filter(col("cast_ok"))
+      val good = parsed
+        .filter(col("decode_ok") && col("query") === q && rowOk)
         .select(cells.map(_._1): _*)
-      val deadCast = tagged.filter(!col("cast_ok"))
+      val deadCast = parsed
+        .filter(col("decode_ok") && col("query") === q && !rowOk)
         .select(col("body"), lit("cast_error").as("reason"))
       q -> GroupResult(good, deadCast)
     }
 
-    val allDead = (Seq(deadDecode, deadUnknown) ++ perQuery.values.map(_.dead))
-      .reduce(_ unionByName _)
+    val allDead = parsed
+      .withColumn("reason", reason)
+      .filter(col("reason").isNotNull)
+      .select(col("body"), col("reason"))
     RoutedBatch(perQuery, allDead)
   }
 

@@ -44,7 +44,7 @@ object Streaming {
     * schema). */
   val pipelineBatch: QueryDef = QueryDef(
     "q_pipeline_batch", goodRowsSql) { (s, dir) =>
-    val corpus = Messages.corpusFromLineitem(s, dir).select(col("body"))
+    val corpus = s.read.text(Messages.corpusDir(s, dir)).withColumnRenamed("value", "body")
     val routed = Pipeline.route(Pipeline.parse(corpus))
     routed.groups(Messages.lineSinkQuery).good
   }
@@ -67,7 +67,7 @@ object Streaming {
       | END AS reason
       |FROM lineitem
       |WHERE l_orderkey % 97 = 0 OR l_orderkey % 101 = 0 OR l_orderkey % 89 = 0""".stripMargin) { (s, dir) =>
-    val corpus = Messages.corpusFromLineitem(s, dir).select(col("body"))
+    val corpus = s.read.text(Messages.corpusDir(s, dir)).withColumnRenamed("value", "body")
     Pipeline.route(Pipeline.parse(corpus)).dead
   }
 
@@ -78,12 +78,11 @@ object Streaming {
     * dead letters to failed/. Returns the re-read good output. */
   val pipelineStream: QueryDef = QueryDef(
     "q_pipeline_stream", goodRowsSql) { (s, dir) =>
-    val src = scratch("pipe_src")
     val out = scratch("pipe_out")
     val ckpt = scratch("pipe_ckpt")
-    Messages.corpusFromLineitem(s, dir).select(col("body"))
-      .repartition(3) // ≙ random shard assignment (producer.go:143-164)
-      .write.mode("overwrite").text(src)
+    // corpusDir is 3-partition text (≙ random shard assignment,
+    // producer.go:143-164)
+    val src = Messages.corpusDir(s, dir)
     val stream = s.readStream.text(src).withColumnRenamed("value", "body")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)

@@ -16,21 +16,18 @@ class CodecSpec extends SparkSpec {
     val df = Seq(1).toDF("i").select(
       Messages.encode(Messages.lineSinkQuery, cells.map(lit(_))).as("body"))
     val parsed = Pipeline.parse(df)
-    parsed.select(col("parsed.Data")).as[Seq[String]].head()
+    parsed.select(col("data")).as[Seq[String]].head()
   }
 
   test("encode→decode round-trips arbitrary cell strings losslessly") {
     val gen = Gen.listOfN(4, Gen.asciiPrintableStr)
     val samples = Iterator.continually(gen.sample).flatten.take(40).toSeq
     val dfIn = samples.zipWithIndex.map { case (cells, i) => (i, cells) }.toDF("i", "cells")
-    val parsed = Pipeline.parse(dfIn.select(col("i"),
+    val parsed = Pipeline.parse(dfIn.select(
       Messages.encode(Messages.lineSinkQuery,
         (1 to 4).map(j => element_at(col("cells"), j))).as("body")))
-    val got = parsed.select(col("i"), col("parsed.Data")).as[(Int, Seq[String])]
-      .collect().toMap
-    samples.zipWithIndex.foreach { case (cells, i) =>
-      assert(got(i) == cells, s"sample $i mangled")
-    }
+    val got = parsed.select(col("data")).as[Seq[String]].collect().toSet
+    samples.foreach { cells => assert(got.contains(cells), s"$cells mangled") }
   }
 
   test("numeric strings survive without float mangling (UseNumber)") {
