@@ -204,8 +204,31 @@ object Joins {
         expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
   }
 
+  /** Salted skew join ([[graft.operators.SaltedJoin]]): lineitem's
+    * 3-value l_returnflag is the pathological hot-key case — salting
+    * fans each hot key across 8 shuffle partitions while the small
+    * side is exploded 8×. Result set identical to the plain join
+    * (which is exactly what the oracle checks). */
+  val joinSkewSalted: QueryDef = QueryDef(
+    "q_join_skew_salted",
+    """WITH flag_stats AS (
+      |  SELECT l_returnflag AS rf, COUNT(*) AS flag_n FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, flag_n
+      |FROM lineitem JOIN flag_stats ON l_returnflag = rf""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val stats = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("flag_n"))
+    graft.operators.SaltedJoin(
+      skewed = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_returnflag").as("rf")),
+      small = stats,
+      keys = Seq("rf"), numSalts = 8, saltSource = col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("flag_n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
-    joinShuffle)
+    joinShuffle, joinSkewSalted)
 }

@@ -94,5 +94,69 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("bucket"), col("cos_sim"), col("rk"))
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopK, simLsh)
+  /** IVF-style ANN (the classic scale path): per-label centroids
+    * (decimal-exact elementwise mean), queries probe only their
+    * nearest centroid's partition, top-5 by cosine inside it. On a
+    * cluster the inverted lists are just partitions of the embedding
+    * table by centroid id — probing is a partition-pruned scan. */
+  val simIvf: QueryDef = QueryDef(
+    "q_sim_ivf",
+    """WITH c AS (
+      |  SELECT label, i,
+      |    CAST(SUM(CAST(embedding[i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+      |  FROM embeddings, unnest(range(1, 65)) AS t(i)
+      |  GROUP BY label, i),
+      |cent AS (SELECT label, list(cv ORDER BY i) AS cvec FROM c GROUP BY label),
+      |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |d AS (SELECT qid, qe, label, cvec,
+      |  list_reduce(list_transform(range(1, 65),
+      |    i -> (CAST(qe[i] AS DOUBLE) - cvec[i]) * (CAST(qe[i] AS DOUBLE) - cvec[i])),
+      |    (a, b) -> a + b) AS dist
+      |  FROM q CROSS JOIN cent),
+      |assigned AS (SELECT qid, qe, label FROM (
+      |  SELECT qid, qe, label,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS rn
+      |  FROM d) t WHERE rn = 1),
+      |sims AS (SELECT qid, a.label, e.vec_id,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      |  FROM assigned a JOIN embeddings e ON e.label = a.label AND e.vec_id <> qid),
+      |ranked AS (SELECT qid, label, vec_id, cos_sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+      | FROM sims)
+      |SELECT qid, label AS probe_label, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 5""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*)").as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cvec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wd = Window.partitionBy(col("qid")).orderBy(col("dist"), col("label"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+          |  (acc, i) -> acc + (CAST(element_at(qe, i) AS DOUBLE) - element_at(cvec, i))
+          |                  * (CAST(element_at(qe, i) AS DOUBLE) - element_at(cvec, i)))""".stripMargin))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("qe"), col("label").as("probe_label"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(assigned),
+        col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("probe_label"), col("vec_id"), col("cos_sim"), col("rk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf)
 }

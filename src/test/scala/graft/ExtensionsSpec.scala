@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SaltedJoin
+
+/** Extension registration + salted-join equivalence. Own session:
+  * extensions must be installed at build time. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ExtensionsSpec")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("GraftExtensions installs cosine_sim for plain SQL") {
+    import spark.implicits._
+    val got = Seq((Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val sim = spark.sql("SELECT cosine_sim(a, b) FROM vecs").as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("SaltedJoin result set equals the plain join") {
+    import spark.implicits._
+    // skewed: one hot key with 10k rows, two cold keys
+    val skewed = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      Seq(("c1", -1L), ("c2", -2L))).toDF("k", "id")
+    val small = Seq(("hot", 1), ("c1", 2), ("c2", 3), ("absent", 4)).toDF("k", "v")
+    val plain = skewed.join(small, Seq("k"))
+      .select("k", "id", "v").as[(String, Long, Int)].collect().sorted
+    val salted = SaltedJoin(skewed, small, Seq("k"), numSalts = 8,
+      saltSource = col("id"))
+      .select("k", "id", "v").as[(String, Long, Int)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 10002)
+  }
+}
