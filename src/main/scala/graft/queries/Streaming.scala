@@ -83,7 +83,11 @@ object Streaming {
     // corpusDir is 3-partition text (≙ random shard assignment,
     // producer.go:143-164)
     val src = Messages.corpusDir(s, dir)
-    val stream = s.readStream.text(src).withColumnRenamed("value", "body")
+    // one shard file per micro-batch ≙ the prefetch/in-flight cap
+    // (reference reader/reader.go:98-104) — state and sink appends
+    // carry across batches
+    val stream = s.readStream.option("maxFilesPerTrigger", "1")
+      .text(src).withColumnRenamed("value", "body")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
