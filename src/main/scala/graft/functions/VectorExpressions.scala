@@ -72,8 +72,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register `cosine_sim(a, b)` for use in SQL/expr strings. */
-  def register(spark: SparkSession): Unit =
+  /** Register `cosine_sim(a, b)` and `ngrams_3(text)` for use in
+    * SQL/expr strings. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams_3", exprs => NGramGenerator(exprs.head, 3), "built-in")
+  }
 }

@@ -48,26 +48,28 @@ object Messages {
   val unknownQuery =
     "INSERT INTO default.no_such_table (x) VALUES (?);"
 
+  /** Materialize the corpus as a 24-shard text source dir (≙ the
+    * sharded queue; corrie's shard count is config, etc/corrie.yml:25)
+    * once per SF — routing queries then measure the pipeline itself,
+    * not corpus synthesis, and Catalyst can't clone the generator
+    * expressions into pushed-down predicates. 24 shards also gives the
+    * scan real parallelism (3 files = 3 tasks regardless of cores). */
+  def corpusDir(spark: SparkSession, dir: String): String = {
+    val path = "/tmp/graft_scratch/corpus_" +
+      dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      corpusFromLineitem(spark, dir).select(org.apache.spark.sql.functions.col("body"))
+        .repartition(24).write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   /** Deterministic message corpus derived from lineitem: mostly good
     * messages, with poison JSON injected at l_orderkey % 97 == 0, a
     * row-level bad cell (unparseable quantity) at % 101 == 0, and an
     * unregistered target table at % 89 == 0 (prepare-failure class).
     * Precedence: 97 > 101 > 89 > good.
     */
-  /** Materialize the corpus as a 3-partition text source dir (≙ the
-    * sharded queue) once per SF — routing queries then measure the
-    * pipeline itself, not corpus synthesis, and Catalyst can't clone
-    * the generator expressions into pushed-down predicates. */
-  def corpusDir(spark: SparkSession, dir: String): String = {
-    val path = "/tmp/graft_scratch/corpus_" +
-      dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      corpusFromLineitem(spark, dir).select(org.apache.spark.sql.functions.col("body"))
-        .repartition(3).write.mode("overwrite").text(path)
-    }
-    path
-  }
-
   def corpusFromLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.lineitem(spark, dir)
     val good = encode(lineSinkQuery, Seq(

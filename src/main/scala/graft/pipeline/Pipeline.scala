@@ -95,20 +95,35 @@ object Pipeline {
     RoutedBatch(perQuery, allDead)
   }
 
+  /** Parse and pin one micro-batch in executor memory (spilling to
+    * disk) — the exact analogue of corrie's in-memory per-batch
+    * buffers (reference writer/types.go:24-25). Without this, every
+    * downstream lane re-runs the (non-codegen, CSE-resistant)
+    * from_json per column reference; with it, JSON is parsed exactly
+    * once and routing runs over primitive columns. */
+  def parseMaterialized(raw: DataFrame, bodyCol: String = "body"): DataFrame =
+    parse(raw, bodyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Batched grouped sink (§2A-9): one parquet append per query group,
     * then dead letters — failures written BEFORE declaring the batch
     * done, mirroring ack-after-commit ordering (writer/writer.go:177-186).
-    * Writes are wrapped in the corrie retry policy. */
-  def sinkBatch(batch: RoutedBatch, outDir: String): Unit = {
-    batch.groups.foreach { case (q, g) =>
-      val safe = java.lang.Integer.toHexString(q.hashCode)
-      Retry.withBackoff() {
-        g.good.write.mode("append").parquet(s"$outDir/good/query=$safe")
+    * Writes are wrapped in the corrie retry policy; the pinned batch is
+    * released afterwards (≙ buffers cleared post-flush). */
+  def sinkBatch(raw: DataFrame, outDir: String): Unit = {
+    val parsed = parseMaterialized(raw)
+    try {
+      val batch = route(parsed)
+      batch.groups.foreach { case (q, g) =>
+        val safe = java.lang.Integer.toHexString(q.hashCode)
+        Retry.withBackoff() {
+          g.good.write.mode("append").parquet(s"$outDir/good/query=$safe")
+        }
       }
-    }
-    Retry.withBackoff() {
-      batch.dead.write.mode("append").json(s"$outDir/failed")
-    }
+      Retry.withBackoff() {
+        batch.dead.write.mode("append").json(s"$outDir/failed")
+      }
+    } finally parsed.unpersist(blocking = false)
   }
 }
 

@@ -45,7 +45,7 @@ object Streaming {
   val pipelineBatch: QueryDef = QueryDef(
     "q_pipeline_batch", goodRowsSql) { (s, dir) =>
     val corpus = s.read.text(Messages.corpusDir(s, dir)).withColumnRenamed("value", "body")
-    val routed = Pipeline.route(Pipeline.parse(corpus))
+    val routed = Pipeline.route(Pipeline.parseMaterialized(corpus))
     routed.groups(Messages.lineSinkQuery).good
   }
 
@@ -68,7 +68,7 @@ object Streaming {
       |FROM lineitem
       |WHERE l_orderkey % 97 = 0 OR l_orderkey % 101 = 0 OR l_orderkey % 89 = 0""".stripMargin) { (s, dir) =>
     val corpus = s.read.text(Messages.corpusDir(s, dir)).withColumnRenamed("value", "body")
-    Pipeline.route(Pipeline.parse(corpus)).dead
+    Pipeline.route(Pipeline.parseMaterialized(corpus)).dead
   }
 
   /** The full streaming pipeline: corpus written as text files into a
@@ -83,16 +83,16 @@ object Streaming {
     // corpusDir is 3-partition text (≙ random shard assignment,
     // producer.go:143-164)
     val src = Messages.corpusDir(s, dir)
-    // one shard file per micro-batch ≙ the prefetch/in-flight cap
-    // (reference reader/reader.go:98-104) — state and sink appends
-    // carry across batches
-    val stream = s.readStream.option("maxFilesPerTrigger", "1")
+    // 8 shard files per micro-batch ≙ the prefetch/in-flight cap
+    // (reference reader/reader.go:98-104): 3 micro-batches over 24
+    // shards — state and sink appends carry across batches
+    val stream = s.readStream.option("maxFilesPerTrigger", "8")
       .text(src).withColumnRenamed("value", "body")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Pipeline.sinkBatch(Pipeline.route(Pipeline.parse(batch)), out)
+        Pipeline.sinkBatch(batch, out)
       }
       .start()
     q.awaitTermination()

@@ -129,5 +129,23 @@ object TextAnalysis {
         "substring(md5(array_join(sort_array(ws), ' ')), 1, 4) AS shard_key")
   }
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+  /** Common 3-gram counts via the custom [[graft.functions.NGramGenerator]]
+    * table-generating function (§2C Generator extension point) — one
+    * Generate node, no intermediate shingle arrays. */
+  val ngramCounts: QueryDef = QueryDef(
+    "q_text_ngrams",
+    s"""WITH w AS (SELECT doc_id, $duckWordsSql AS ws FROM documents),
+       |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+       |  FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i))
+       |SELECT ngram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM sh GROUP BY ngram HAVING COUNT(*) >= 5""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "ngrams_3(text)")
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n") >= 5)
+  }
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts)
 }

@@ -25,6 +25,15 @@ class BucketedJoinSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse dirs persist — clear them or CTAS refuses the location
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

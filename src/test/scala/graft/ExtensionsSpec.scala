@@ -2,31 +2,53 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SaltedJoin
 
-/** Extension registration + salted-join equivalence. Own session:
-  * extensions must be installed at build time. */
-class ExtensionsSpec extends AnyFunSuite {
+/** Extension registration + salted-join equivalence.
+  *
+  * Extensions only take effect at session BUILD time, and getOrCreate
+  * reuses any session another suite already built in this JVM — so
+  * this suite clears the active/default session, builds its own with
+  * extensions, and restores the previous one afterwards.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("ExtensionsSpec")
-    .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private var prevDefault: Option[SparkSession] = None
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ExtensionsSpec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+  }
 
   test("GraftExtensions installs cosine_sim for plain SQL") {
-    import spark.implicits._
-    val got = Seq((Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
+    val ss = spark
+    import ss.implicits._
+    Seq((Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
       .createOrReplaceTempView("vecs")
     val sim = spark.sql("SELECT cosine_sim(a, b) FROM vecs").as[Double].head()
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
   test("SaltedJoin result set equals the plain join") {
-    import spark.implicits._
+    val ss = spark
+    import ss.implicits._
     // skewed: one hot key with 10k rows, two cold keys
     val skewed = ((1 to 10000).map(i => ("hot", i.toLong)) ++
       Seq(("c1", -1L), ("c2", -2L))).toDF("k", "id")

@@ -95,6 +95,15 @@ class FunctionsSpec extends SparkSpec {
     assert(m == 3)
   }
 
+  test("NGramGenerator: positions, normalization, short/null input") {
+    VectorFunctions.register(spark)
+    val df = Seq(Some("The  quick Brown fox"), Some("a b"), None)
+      .toDF("text")
+    val got = df.selectExpr("ngrams_3(text)")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((0, "the quick brown"), (1, "quick brown fox")))
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
