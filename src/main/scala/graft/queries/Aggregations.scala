@@ -161,7 +161,25 @@ object Aggregations {
       .agg(wmean(col("pq"), col("q")).as("wmean_price"))
   }
 
+  /** Median / interpolated percentiles (rounded to 6 decimals — the
+    * two engines use the same interpolation formula but may differ in
+    * the last ulp of the blend arithmetic). */
+  val aggMedian: QueryDef = QueryDef(
+    "q_agg_median",
+    """SELECT l_returnflag,
+      | round(CAST(median(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE), 6) AS med_price,
+      | round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS DOUBLE), 6) AS p90_price,
+      | round(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE), 6) AS p25_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
-    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf)
+    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian)
 }

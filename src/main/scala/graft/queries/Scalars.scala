@@ -282,7 +282,59 @@ object Scalars {
       get_json_object(col("props"), "$.missing").as("missing"))
   }
 
+  /** Extended string family: edit distance, reverse/repeat/translate. */
+  val strFuncs2: QueryDef = QueryDef(
+    "q_str_funcs2",
+    """SELECT s_suppkey,
+      | CAST(levenshtein(s_name, 'Supplier#000000001') AS INT) AS edit_dist,
+      | reverse(s_name) AS name_rev,
+      | repeat(CAST(s_nationkey AS VARCHAR), 3) AS nk3,
+      | translate(s_name, '#0', '_x') AS name_tr
+      |FROM supplier""".stripMargin) { (s, dir) =>
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      levenshtein(col("s_name"), lit("Supplier#000000001")).cast("int").as("edit_dist"),
+      reverse(col("s_name")).as("name_rev"),
+      repeat(col("s_nationkey").cast("string"), 3).as("nk3"),
+      translate(col("s_name"), "#0", "_x").as("name_tr"))
+  }
+
+  /** Bitwise family (DuckDB spells xor as a function, Spark as ^). */
+  val bitFuncs: QueryDef = QueryDef(
+    "q_bit_funcs",
+    """SELECT o_orderkey,
+      | o_orderkey & 255 AS and_mask,
+      | o_orderkey | 4096 AS or_mask,
+      | xor(o_orderkey, o_custkey) AS xored,
+      | CAST(o_custkey AS BIGINT) << 4 AS shifted_l,
+      | o_orderkey >> 2 AS shifted_r
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      expr("o_orderkey & 255").as("and_mask"),
+      expr("o_orderkey | 4096").as("or_mask"),
+      expr("o_orderkey ^ o_custkey").as("xored"),
+      expr("shiftleft(CAST(o_custkey AS BIGINT), 4)").as("shifted_l"),
+      expr("shiftright(o_orderkey, 2)").as("shifted_r"))
+  }
+
+  /** More array ops: flatten, position, overlap. */
+  val arrayFuncs2: QueryDef = QueryDef(
+    "q_array_funcs2",
+    """SELECT vec_id,
+      | flatten([range(0, CAST(label AS BIGINT) + 1), [100, 200]]) AS flat,
+      | CAST(list_position(range(0, 5), CAST(label AS BIGINT)) AS INT) AS label_pos,
+      | len(list_intersect(range(0, CAST(label AS BIGINT) + 1), range(3, 8))) > 0 AS overlaps
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      expr("flatten(array(sequence(0L, CAST(label AS BIGINT)), array(100L, 200L)))").as("flat"),
+      expr("array_position(sequence(0L, 4L), CAST(label AS BIGINT))").cast("int").as("label_pos"),
+      expr("arrays_overlap(sequence(0L, CAST(label AS BIGINT)), sequence(3L, 7L))").as("overlaps"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
-    strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs)
+    strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
+    strFuncs2, bitFuncs, arrayFuncs2)
 }
