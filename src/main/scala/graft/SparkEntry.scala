@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Sources.defs ++ Scalars.defs ++ Joins.defs ++
       Aggregations.defs ++ Windows.defs ++ SetOps.defs ++ Streaming.defs ++
-      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ MultimodalQ.defs
+      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ MultimodalQ.defs ++
+      Reshape.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

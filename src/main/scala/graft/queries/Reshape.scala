@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Reshaping + subquery operators: pivot, unpivot (melt), correlated
+  * scalar subquery, and moment aggregates computed from exact decimal
+  * sums (stddev/variance are otherwise partition-order-sensitive).
+  */
+object Reshape {
+
+  /** Pivot with an explicit value list (explicit values keep the
+    * output schema static — at scale an inferred pivot means an extra
+    * distinct pass over the data). */
+  val pivotQ: QueryDef = QueryDef(
+    "q_pivot",
+    """SELECT l_returnflag,
+      | COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+      | COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+  }
+
+  /** Unpivot / melt: wide metrics to (key, metric, value) rows. */
+  val unpivotQ: QueryDef = QueryDef(
+    "q_unpivot",
+    """SELECT o_orderkey, metric, val FROM (
+      |  SELECT o_orderkey, o_totalprice AS price,
+      |         CAST(o_custkey AS DOUBLE) AS cust
+      |  FROM orders)
+      |UNPIVOT (val FOR metric IN (price, cust))""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"),
+        col("o_custkey").cast("double").as("cust"))
+      .unpivot(Array(col("o_orderkey")), Array(col("price"), col("cust")),
+        "metric", "val")
+  }
+
+  /** Correlated scalar subquery (decorrelates to a left outer
+    * aggregate join under Catalyst). */
+  val scalarSubquery: QueryDef = QueryDef(
+    "q_scalar_subquery",
+    """SELECT c_custkey,
+      | (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    s.sql("""SELECT c_custkey,
+            | (SELECT max(o_totalprice) FROM g_orders WHERE o_custkey = c_custkey) AS max_order
+            |FROM g_customer""".stripMargin)
+  }
+
+  /** Sample variance / stddev from exact decimal sums:
+    * var = (Σx² − (Σx)²/n) / (n−1) with both sums decimal-exact, so
+    * the only FP ops are the same two divisions in both engines. */
+  val momentAgg: QueryDef = QueryDef(
+    "q_agg_variance",
+    """SELECT l_returnflag,
+      | round((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |   / (COUNT(*) - 1), 8) AS var_qty,
+      | round(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |   / (COUNT(*) - 1)), 8) AS std_qty,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    val sumSq = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    val sum1 = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"round(($sumSq - $sum1 * $sum1 / COUNT(*)) / (COUNT(*) - 1), 8)").as("var_qty"),
+        expr(s"round(sqrt(($sumSq - $sum1 * $sum1 / COUNT(*)) / (COUNT(*) - 1)), 8)").as("std_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pivotQ, unpivotQ, scalarSubquery, momentAgg)
+}
