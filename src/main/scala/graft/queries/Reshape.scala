@@ -79,5 +79,38 @@ object Reshape {
         count(lit(1)).as("n"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pivotQ, unpivotQ, scalarSubquery, momentAgg)
+  /** Pearson correlation + sample covariance of price vs quantity,
+    * again from exact decimal sums only. */
+  val corrAgg: QueryDef = QueryDef(
+    "q_agg_corr",
+    """SELECT l_returnflag,
+      | round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |   / (COUNT(*) - 1), 6) AS covar_pq,
+      | round(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)))
+      |  / (sqrt(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |   * sqrt(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))), 6) AS corr_pq
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    val sp = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+    val sq = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    val spq = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    val spp = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+    val sqq = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"round(($spq - $sp * $sq / COUNT(*)) / (COUNT(*) - 1), 6)").as("covar_pq"),
+        expr(s"""round((($spq - $sp * $sq / COUNT(*)))
+                | / (sqrt($spp - $sp * $sp / COUNT(*))
+                |  * sqrt($sqq - $sq * $sq / COUNT(*))), 6)""".stripMargin).as("corr_pq"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pivotQ, unpivotQ, scalarSubquery, momentAgg, corrAgg)
 }
