@@ -189,7 +189,46 @@ object Streaming {
     s.table("graft_dedup")
   }
 
+  /** Stream-stream inner join: purchases joined to the same user's
+    * clicks within the preceding 30 minutes, both sides watermarked
+    * (the watermark bounds the join state; the time-range condition
+    * makes the state provably prunable). Oracle is the equivalent
+    * batch interval join. */
+  val streamStreamJoin: QueryDef = QueryDef(
+    "q_stream_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      | p.user_id AS user_id, p.ts AS purchase_ts, c.ts AS click_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'""".stripMargin) { (s, dir) =>
+    val src = scratch("ssj_src")
+    Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(src)
+    def side(t: String, pfx: String) =
+      s.readStream.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(src)
+        .filter(col("event_type") === t)
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"),
+          col("user_id").as(s"${pfx}_user"))
+    val joined = side("purchase", "purchase")
+      .join(side("click", "click"),
+        col("purchase_user") === col("click_user")
+          && col("click_ts") <= col("purchase_ts")
+          && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 minutes"))
+      .select(col("purchase_id"), col("click_id").as("click_id"),
+        col("purchase_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_ssj")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream,
-    streamTumbling, streamSliding, sessionWindowQ, streamDedup)
+    streamTumbling, streamSliding, sessionWindowQ, streamDedup,
+    streamStreamJoin)
 }

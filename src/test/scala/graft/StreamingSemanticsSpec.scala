@@ -73,6 +73,27 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(seen.length > 10, "this scenario must actually demonstrate a replay")
   }
 
+  test("RocksDB state store backs streaming dedup (the 100TB state path)") {
+    // HDFS-backed state lives on executor heap — at real scale state
+    // must go to RocksDB. Verify the provider swap is config-only.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[Int]
+      in.addData(1, 2, 2, 3, 3, 3)
+      val q = in.toDF().dropDuplicates("value")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocks_dedup").start()
+      q.processAllAvailable()
+      in.addData(3, 4) // cross-batch state hit
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("rocks_dedup").as[Int].collect().sorted.toSeq
+      assert(got == Seq(1, 2, 3, 4))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming drain processes everything before stop (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString
     spark.range(100).select(col("id")).write.mode("overwrite").parquet(dir)
