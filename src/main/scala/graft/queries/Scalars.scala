@@ -190,6 +190,29 @@ object Scalars {
       unix_timestamp(col("o_orderdate")).as("unix_ts"))
   }
 
+  /** Second date/time family: last_day, month arithmetic (both
+    * engines clamp end-of-month), quarter, ISO day-of-week (Spark
+    * weekday+1 == DuckDB isodow), ISO week, formatting. */
+  val dateFuncs2: QueryDef = QueryDef(
+    "q_date_funcs2",
+    """SELECT o_orderkey,
+      | last_day(CAST(o_orderdate AS DATE)) AS eom,
+      | CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+      | CAST(quarter(o_orderdate) AS INT) AS qtr,
+      | CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+      | CAST(week(o_orderdate) AS INT) AS iso_week,
+      | strftime(o_orderdate, '%Y-%m-%d') AS fmt
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      last_day(col("o_orderdate").cast("date")).as("eom"),
+      add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
+      quarter(col("o_orderdate")).cast("int").as("qtr"),
+      (weekday(col("o_orderdate")) + 1).cast("int").as("iso_dow"),
+      weekofyear(col("o_orderdate")).cast("int").as("iso_week"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"))
+  }
+
   /** Math function family. ln() output rounded to 6 decimals (libm
     * last-ulp differences between JVM and glibc). */
   val mathFuncs: QueryDef = QueryDef(
@@ -336,5 +359,5 @@ object Scalars {
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
-    strFuncs2, bitFuncs, arrayFuncs2)
+    strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2)
 }
