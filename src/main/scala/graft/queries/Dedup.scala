@@ -89,10 +89,15 @@ object Dedup {
         """transform(sequence(0, 7),
           |  s -> array_min(transform(ws,
           |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    // pin the (doc_id, band_key) set: three consumers (both self-join
+    // sides + the bucket-size guard) would otherwise each recompute
+    // the full MinHash signatures — at scale this is the materialized
+    // signature table between the map stage and the candidate join
     val bands = sig
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, 3),
           |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = bands.groupBy(col("bk")).count()
       .filter(col("count").between(2, 20)).select(col("bk"))
     val a = bands.select(col("doc_id").as("d1"), col("bk"))
