@@ -142,10 +142,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wd = Window.partitionBy(col("qid")).orderBy(col("dist"), col("label"))
     val assigned = q.crossJoin(broadcast(cent))
-      .withColumn("dist", expr(
-        """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-          |  (acc, i) -> acc + (CAST(element_at(qe, i) AS DOUBLE) - element_at(cvec, i))
-          |                  * (CAST(element_at(qe, i) AS DOUBLE) - element_at(cvec, i)))""".stripMargin))
+      .withColumn("dist", expr("l2_dist_sq(qe, cvec)"))
       .withColumn("rn", row_number().over(wd))
       .filter(col("rn") === 1)
       .select(col("qid"), col("qe"), col("label").as("probe_label"))

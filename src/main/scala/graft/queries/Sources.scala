@@ -97,5 +97,19 @@ object Sources {
         element_at(col("parsed.Data"), 2).cast("double").as("qty_rt"))
   }
 
-  val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, msgCodec)
+  /** ORC sink + source round-trip (the other native columnar format;
+    * spark-avro connector is not on this classpath, so Avro is out of
+    * scope for this environment). */
+  val orcRoundtrip: QueryDef = QueryDef(
+    "q_orc_roundtrip",
+    "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part") { (s, dir) =>
+    val path = scratch("part_orc")
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+  }
+
+  val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip, msgCodec)
 }

@@ -95,6 +95,13 @@ class FunctionsSpec extends SparkSpec {
     assert(m == 3)
   }
 
+  test("L2DistanceSq: known values, float query vs double centroid") {
+    VectorFunctions.register(spark)
+    val df = Seq((Array(1f, 2f, 3f), Array(1.0, 0.0, 3.0))).toDF("a", "b")
+    val got = df.selectExpr("l2_dist_sq(a, b)").as[Double].head()
+    assert(got == 4.0)
+  }
+
   test("NGramGenerator: positions, normalization, short/null input") {
     VectorFunctions.register(spark)
     val df = Seq(Some("The  quick Brown fox"), Some("a b"), None)
