@@ -179,7 +179,24 @@ object Aggregations {
         round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"))
   }
 
+  /** Boolean aggregates + deterministic string aggregation (listagg
+    * expressed as sorted-collect + join, identical in both engines). */
+  val aggBool: QueryDef = QueryDef(
+    "q_agg_bool",
+    """SELECT o_orderstatus,
+      | bool_and(o_totalprice > 1000) AS all_over_1k,
+      | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+        expr("array_join(array_sort(collect_set(o_orderpriority)), ',')").as("prios"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
-    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian)
+    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool)
 }

@@ -356,8 +356,23 @@ object Scalars {
       expr("arrays_overlap(sequence(0L, CAST(label AS BIGINT)), sequence(3L, 7L))").as("overlaps"))
   }
 
+  /** Null-preserving explode (explode_outer): rows with empty arrays
+    * survive with a null element. */
+  val explodeOuter: QueryDef = QueryDef(
+    "q_explode_outer",
+    """SELECT vec_id, e FROM (
+      |  SELECT vec_id,
+      |    CASE WHEN label % 3 = 0 THEN [] ELSE range(0, CAST(label AS BIGINT)) END AS l
+      |  FROM embeddings) t
+      |LEFT JOIN LATERAL (SELECT unnest(l) AS e) ON TRUE""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .withColumn("l", expr(
+        "CASE WHEN label % 3 = 0 THEN array() ELSE sequence(0L, CAST(label AS BIGINT) - 1) END"))
+      .select(col("vec_id"), explode_outer(col("l")).as("e"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
-    strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2)
+    strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter)
 }

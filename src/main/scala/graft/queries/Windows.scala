@@ -94,5 +94,27 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
-  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK)
+  /** Distribution family: percent_rank / cume_dist / nth_value —
+    * ratios of exact ints, deterministic under the tie-invariant or
+    * unique orderings used. */
+  val winRank2: QueryDef = QueryDef(
+    "q_win_rank2",
+    """SELECT o_orderkey,
+      | percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS pr,
+      | cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS cd,
+      | nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_totalprice, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2)
 }
