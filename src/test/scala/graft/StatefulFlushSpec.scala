@@ -38,6 +38,31 @@ class StatefulFlushSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("buffered state survives a query restart (checkpoint recovery)") {
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sf_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sf_out").toString
+    val in = MemoryStream[KeyedMsg]
+    // memory sink can't recover from a checkpoint — use a file sink
+    def start() = StatefulFlush(in.toDS(), batchSize = 5, periodMs = 600000)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+
+    in.addData(KeyedMsg("q1", "a"), KeyedMsg("q1", "b"), KeyedMsg("q1", "c"))
+    val q1 = start(); q1.awaitTermination(120000); q1.stop()
+    assert(spark.read.parquet(out).isEmpty, "3 < batchSize: buffered only")
+
+    in.addData(KeyedMsg("q1", "d"), KeyedMsg("q1", "e")) // crosses the threshold
+    val q2 = start(); q2.awaitTermination(120000); q2.stop()
+
+    val flushes = spark.read.parquet(out).as[Flush].collect()
+    assert(flushes.length == 1 && flushes.head.cause == "count")
+    assert(flushes.head.bodies == Seq("a", "b", "c", "d", "e"),
+      "restart must recover the pre-crash buffer from the state store")
+  }
+
   test("period timeout flushes buffered remainder (ticker semantics)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[KeyedMsg]
