@@ -25,6 +25,9 @@ for p in ["java.base/java.lang", "java.base/java.lang.invoke",
     ADD_OPENS += ["--add-opens", p + "=ALL-UNNAMED"]
 
 def run_verify():
+    import shutil
+    if os.path.isdir(OUT):  # stale dirs would mask crashed queries
+        shutil.rmtree(OUT)
     classes = os.path.join(REPO, "target/scala-2.13/classes")
     cp = classes + ":" + "/opt/spark/jars/*"
     cmd = (["java"] + ADD_OPENS +
@@ -49,9 +52,13 @@ def compare():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_pass = n_fail = 0
-    dirs = sorted(d for d in os.listdir(OUT)
-                  if os.path.isdir(os.path.join(OUT, d)))
-    for name in dirs:
+    dirs = set(d for d in os.listdir(OUT)
+               if os.path.isdir(os.path.join(OUT, d)))
+    for name in sorted(dirs | set(oracle)):
+        if name not in dirs:
+            print(f"FAIL {name}: query produced no output (crashed?)")
+            n_fail += 1
+            continue
         if ONLY and not name.startswith(ONLY):
             continue
         files = glob.glob(f"{OUT}/{name}/*.parquet")

@@ -28,7 +28,7 @@ case class NGramGenerator(child: Expression, n: Int)
     if (v == null) Nil
     else {
       val words = v.asInstanceOf[UTF8String].toString
-        .toLowerCase.trim.split("\\s+")
+        .toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
       if (words.length < n) Nil
       else (0 to words.length - n).map { i =>
         InternalRow(i, UTF8String.fromString(words.slice(i, i + n).mkString(" ")))

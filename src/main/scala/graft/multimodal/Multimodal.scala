@@ -52,10 +52,13 @@ object Multimodal {
 object Codecs {
   /** STUB decoder: a real implementation would bind an image/audio
     * codec here. The stub "frame-samples" the payload into fixed
-    * 64-byte frames — deterministic, schema-identical to a real
-    * decode, and cheap. */
+    * 64-CHARACTER frames of its UTF-8 decoding — deterministic,
+    * schema-identical to a real decode, and directly comparable to the
+    * oracle's substr() slicing (byte framing would diverge on
+    * multi-byte characters). */
   def decodeStub(payload: Array[Byte]): Seq[Array[Byte]] =
-    payload.grouped(64).toSeq
+    new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      .grouped(64).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq
 
   def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)

@@ -115,7 +115,9 @@ object Pipeline {
     try {
       val batch = route(parsed)
       batch.groups.foreach { case (q, g) =>
-        val safe = java.lang.Integer.toHexString(q.hashCode)
+        // md5 of the query string: a 32-bit hashCode can collide and
+        // silently mix two targets' schemas in one directory
+        val safe = graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8"))
         Retry.withBackoff() {
           g.good.write.mode("append").parquet(s"$outDir/good/query=$safe")
         }
@@ -151,10 +153,13 @@ object Retry {
     while (i < attempts) {
       try return f
       catch {
-        case t: Throwable =>
+        case t: InterruptedException =>
+          Thread.currentThread().interrupt(); throw t
+        case scala.util.control.NonFatal(t) =>
           last = t
-          Thread.sleep(jitter(baseMillis * (1L << math.min(i, 4))))
           i += 1
+          if (i < attempts) // no dead sleep after the final attempt
+            Thread.sleep(jitter(baseMillis * (1L << math.min(i - 1, 4))))
       }
     }
     throw last

@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulFlush {
 
   case class KeyedMsg(query: String, body: String)
-  case class Buf(bodies: List[String])
+  case class Buf(bodies: List[String], deadlineMs: Long)
   case class Flush(query: String, n: Int, cause: String, bodies: Seq[String])
 
   def apply(ds: Dataset[KeyedMsg], batchSize: Int, periodMs: Long): Dataset[Flush] = {
@@ -45,8 +45,17 @@ object StatefulFlush {
             }
             if (buf.isEmpty) state.remove()
             else {
-              state.update(Buf(buf))
-              state.setTimeoutDuration(periodMs)
+              // keep the ORIGINAL deadline: Spark clears the timeout on
+              // every invocation, so re-arming with the full period
+              // would turn the ticker into an inactivity timeout — a
+              // steady trickle would then never period-flush
+              // (reference writer/writer.go:93-105 flushes every
+              // period regardless of arrivals)
+              val now = state.getCurrentProcessingTimeMs()
+              val deadline = state.getOption.map(_.deadlineMs)
+                .getOrElse(now + periodMs)
+              state.update(Buf(buf, deadline))
+              state.setTimeoutDuration(math.max(deadline - now, 1L))
             }
             flushes.result().iterator
           }

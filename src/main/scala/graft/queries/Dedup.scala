@@ -56,8 +56,10 @@ object Dedup {
     Tables.documents(s, dir)
       .withColumn("ws", expr(wordsSql))
       .withColumn("shingles", expr(
-        """transform(sequence(1, greatest(size(ws) - 2, 0)),
-          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))""".stripMargin))
+        """CASE WHEN size(ws) >= 3 THEN
+          |  transform(sequence(1, size(ws) - 2),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))
+          |ELSE array() END""".stripMargin))
       .select(col("doc_id"), expr(
         """transform(sequence(0, 7),
           |  s -> array_min(transform(shingles,

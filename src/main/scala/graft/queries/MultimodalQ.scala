@@ -14,7 +14,7 @@ object MultimodalQ {
     "q_multimodal_features",
     """SELECT doc_id,
       | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      | CAST(length(text) AS BIGINT) AS n_bytes,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       | md5(text) AS checksum,
       | CAST(ceil(CAST(length(text) AS DOUBLE) / 64.0) AS INT) AS n_frames
       |FROM documents""".stripMargin) { (s, dir) =>

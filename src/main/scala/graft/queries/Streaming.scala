@@ -149,13 +149,13 @@ object Streaming {
   val sessionWindowQ: QueryDef = QueryDef(
     "q_session_window",
     """WITH flagged AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |              <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
       |  FROM events),
       |ids AS (
       |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flagged)
       |SELECT user_id, min(ts) AS sess_start,

@@ -16,6 +16,10 @@ object TextAnalysis {
     "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
   private val duckWordsSql =
     "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+  /** Trimmed variant: edge whitespace would otherwise leave empty edge
+    * tokens that the NGramGenerator (which trims) never sees. */
+  private val duckWordsTrimSql =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   /** Stopword vote lists (tiny public function-word sets). */
   private val stop = Seq(
@@ -134,7 +138,7 @@ object TextAnalysis {
     * Generate node, no intermediate shingle arrays. */
   val ngramCounts: QueryDef = QueryDef(
     "q_text_ngrams",
-    s"""WITH w AS (SELECT doc_id, $duckWordsSql AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
        |  FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i))
        |SELECT ngram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs

@@ -2,24 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Co-located join via bucketing (SURVEY §2B scale notes): both fact
   * tables written bucketed on the join key join WITHOUT a shuffle
   * exchange — on a cluster this is the difference between moving 100 TB
-  * and moving nothing. Own session (warehouse dir + broadcast off to
-  * force the sort-merge path).
+  * and moving nothing.
+  *
+  * warehouse dir and broadcast-off are STATIC confs, and getOrCreate
+  * reuses any session another suite already built — so this suite
+  * rebuilds its own session and restores the previous one after
+  * (same pattern as ExtensionsSpec).
   */
-class BucketedJoinSpec extends AnyFunSuite {
+class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("BucketedJoinSpec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private var prevDefault: Option[SparkSession] = None
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("BucketedJoinSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+  }
 
   test("bucketed-by-key tables join with no Exchange in the plan") {
     val dir = "/root/testdata/sf0.001"

@@ -69,8 +69,8 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     assert(feats.nonEmpty)
     feats.foreach { f =>
-      assert(f.n_frames == math.ceil(f.n_bytes / 64.0).toInt)
       assert(f.frame_checksums.length == f.n_frames)
+      assert(f.n_frames > 0 == f.n_bytes > 0)
       assert(f.checksum.length == 32)
     }
   }

@@ -33,7 +33,8 @@ class StatefulFlushSpec extends SparkSpec {
       val flushes = spark.table("flush_count").as[Flush].collect()
       val q1 = flushes.filter(_.query == "q1")
       assert(q1.length == 2 && q1.forall(f => f.n == 3 && f.cause == "count"))
-      assert(q1.flatMap(_.bodies).toSeq == (1 to 6).map(i => s"m$i"))
+      // flush ROWS have no guaranteed sink order; compare as a set of groups
+      assert(q1.map(_.bodies).toSet == Set(Seq("m1", "m2", "m3"), Seq("m4", "m5", "m6")))
       assert(!flushes.exists(_.query == "q2"), "q2 below batch size must not flush")
     } finally q.stop()
   }
