@@ -48,6 +48,10 @@ object Messages {
   val unknownQuery =
     "INSERT INTO default.no_such_table (x) VALUES (?);"
 
+  /** Bump when corpusFromLineitem's generation logic changes — the
+    * version key invalidates stale caches automatically. */
+  private val corpusVersion = "v2"
+
   /** Materialize the corpus as a 24-shard text source dir (≙ the
     * sharded queue; corrie's shard count is config, etc/corrie.yml:25)
     * once per SF — routing queries then measure the pipeline itself,
@@ -55,7 +59,7 @@ object Messages {
     * expressions into pushed-down predicates. 24 shards also gives the
     * scan real parallelism (3 files = 3 tasks regardless of cores). */
   def corpusDir(spark: SparkSession, dir: String): String = {
-    val path = "/tmp/graft_scratch/corpus_" +
+    val path = s"/tmp/graft_scratch/corpus_${corpusVersion}_" +
       dir.replaceAll("[^a-zA-Z0-9.]", "_")
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       corpusFromLineitem(spark, dir).select(org.apache.spark.sql.functions.col("body"))
