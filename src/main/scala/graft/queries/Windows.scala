@@ -116,5 +116,45 @@ object Windows {
       nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
   }
 
-  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2)
+  /** Event funnel: per user, the first view → first click after that
+    * view → first purchase after that click, as min-over-filtered
+    * event times; conversion depth per user. The windowless composed
+    * form (conditional min aggregates over self-joined stage times)
+    * keeps it one shuffle per stage on user_id. */
+  val funnel: QueryDef = QueryDef(
+    "q_event_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      | (CASE WHEN p.t_purchase IS NOT NULL THEN 3
+      |       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END) AS depth
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+      .filter(col("e.ts") > col("t_view"))
+      .groupBy(col("e.user_id").as("cu")).agg(min(col("e.ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").as("e2")
+      .join(c, col("e2.user_id") === col("cu"))
+      .filter(col("e2.ts") > col("t_click"))
+      .groupBy(col("e2.user_id").as("pu")).agg(min(col("e2.ts")).as("t_purchase"))
+    v.join(c, col("user_id") === col("cu"), "left")
+      .join(p, col("user_id") === col("pu"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1).as("depth"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel)
 }
