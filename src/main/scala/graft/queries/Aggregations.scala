@@ -100,8 +100,8 @@ object Aggregations {
   val aggCollect: QueryDef = QueryDef(
     "q_agg_collect",
     """SELECT o_custkey,
-      | list_sort(list(o_orderpriority)) AS prio_list,
-      | list_sort(list_distinct(list(o_orderstatus))) AS status_set
+      | list_sort(list(o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)) AS prio_list,
+      | list_sort(list_distinct(list(o_orderstatus) FILTER (WHERE o_orderstatus IS NOT NULL))) AS status_set
       |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -114,15 +114,15 @@ object Aggregations {
   val aggMaxBy: QueryDef = QueryDef(
     "q_agg_max_by",
     """SELECT user_id,
-      | arg_max(event_type, event_id) AS last_type,
-      | arg_min(event_type, event_id) AS first_type,
+      | arg_max(coalesce(event_type, '<null>'), event_id) AS last_type,
+      | arg_min(coalesce(event_type, '<null>'), event_id) AS first_type,
       | max(event_id) AS max_eid
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
-        max_by(col("event_type"), col("event_id")).as("last_type"),
-        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(coalesce(col("event_type"), lit("<null>")), col("event_id")).as("last_type"),
+        min_by(coalesce(col("event_type"), lit("<null>")), col("event_id")).as("first_type"),
         max(col("event_id")).as("max_eid"))
   }
 

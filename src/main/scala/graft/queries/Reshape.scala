@@ -22,6 +22,10 @@ object Reshape {
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
+      // empty pivot cells are NULL in Spark but 0 under COUNT FILTER
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"))
   }
 
   /** Unpivot / melt: wide metrics to (key, metric, value) rows. */
@@ -31,7 +35,7 @@ object Reshape {
       |  SELECT o_orderkey, o_totalprice AS price,
       |         CAST(o_custkey AS DOUBLE) AS cust
       |  FROM orders)
-      |UNPIVOT (val FOR metric IN (price, cust))""".stripMargin) { (s, dir) =>
+      |UNPIVOT INCLUDE NULLS (val FOR metric IN (price, cust))""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice").as("price"),
         col("o_custkey").cast("double").as("cust"))
@@ -59,14 +63,16 @@ object Reshape {
   val momentAgg: QueryDef = QueryDef(
     "q_agg_variance",
     """SELECT l_returnflag,
-      | round((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-      |   / (COUNT(*) - 1), 8) AS var_qty,
-      | round(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-      |   / (COUNT(*) - 1)), 8) AS std_qty,
+      | CASE WHEN COUNT(*) > 1 THEN
+      |   round((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |     / (COUNT(*) - 1), 8) END AS var_qty,
+      | CASE WHEN COUNT(*) > 1 THEN
+      |   round(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |     / (COUNT(*) - 1)), 8) END AS std_qty,
       | COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     val sumSq = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
@@ -74,8 +80,8 @@ object Reshape {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr(s"round(($sumSq - $sum1 * $sum1 / COUNT(*)) / (COUNT(*) - 1), 8)").as("var_qty"),
-        expr(s"round(sqrt(($sumSq - $sum1 * $sum1 / COUNT(*)) / (COUNT(*) - 1)), 8)").as("std_qty"),
+        expr(s"CASE WHEN COUNT(*) > 1 THEN round(($sumSq - $sum1 * $sum1 / COUNT(*)) / (COUNT(*) - 1), 8) END").as("var_qty"),
+        expr(s"CASE WHEN COUNT(*) > 1 THEN round(sqrt(($sumSq - $sum1 * $sum1 / COUNT(*)) / (COUNT(*) - 1)), 8) END").as("std_qty"),
         count(lit(1)).as("n"))
   }
 
@@ -84,19 +90,27 @@ object Reshape {
   val corrAgg: QueryDef = QueryDef(
     "q_agg_corr",
     """SELECT l_returnflag,
-      | round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-      |   / (COUNT(*) - 1), 6) AS covar_pq,
-      | round(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)))
-      |  / (sqrt(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      | CASE WHEN COUNT(*) > 1 THEN
+      |   round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
       |     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-      |       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-      |   * sqrt(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |     / (COUNT(*) - 1), 6) END AS covar_pq,
+      | CASE WHEN COUNT(*) > 1
+      |   AND (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) > 0
+      |   AND (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
       |     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))), 6) AS corr_pq
+      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) > 0 THEN
+      |   round(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)))
+      |    / (sqrt(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |     * sqrt(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |       - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |         * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))), 6) END AS corr_pq
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     val sp = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
     val sq = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
@@ -106,10 +120,13 @@ object Reshape {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr(s"round(($spq - $sp * $sq / COUNT(*)) / (COUNT(*) - 1), 6)").as("covar_pq"),
-        expr(s"""round((($spq - $sp * $sq / COUNT(*)))
-                | / (sqrt($spp - $sp * $sp / COUNT(*))
-                |  * sqrt($sqq - $sq * $sq / COUNT(*))), 6)""".stripMargin).as("corr_pq"))
+        expr(s"CASE WHEN COUNT(*) > 1 THEN round(($spq - $sp * $sq / COUNT(*)) / (COUNT(*) - 1), 6) END").as("covar_pq"),
+        expr(s"""CASE WHEN COUNT(*) > 1
+                |  AND ($spp - $sp * $sp / COUNT(*)) > 0
+                |  AND ($sqq - $sq * $sq / COUNT(*)) > 0 THEN
+                | round((($spq - $sp * $sq / COUNT(*)))
+                |  / (sqrt($spp - $sp * $sp / COUNT(*))
+                |   * sqrt($sqq - $sq * $sq / COUNT(*))), 6) END""".stripMargin).as("corr_pq"))
   }
 
   val defs: Seq[QueryDef] = Seq(pivotQ, unpivotQ, scalarSubquery, momentAgg, corrAgg)

@@ -218,7 +218,7 @@ object Scalars {
   val mathFuncs: QueryDef = QueryDef(
     "q_math_funcs",
     """SELECT p_partkey,
-      | round(p_retailprice / 7, 2) AS div_round,
+      | floor(p_retailprice * 100 / 7 + 0.5) / 100 AS div_round,
       | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
       | CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
       | abs(p_size - 25) AS size_dev,
@@ -230,7 +230,7 @@ object Scalars {
       |FROM part""".stripMargin) { (s, dir) =>
     Tables.part(s, dir).select(
       col("p_partkey"),
-      round(col("p_retailprice") / 7, 2).as("div_round"),
+      expr("floor(p_retailprice * 100 / 7 + 0.5) / 100").as("div_round"),
       floor(col("p_retailprice")).cast("long").as("price_floor"),
       ceil(col("p_retailprice")).cast("long").as("price_ceil"),
       abs(col("p_size") - 25).as("size_dev"),
@@ -293,15 +293,15 @@ object Scalars {
     """SELECT event_id,
       | json_extract_string(props, '$.k') AS k_str,
       | CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-      | to_json({'k': CAST(json_extract_string(props, '$.k') AS INT)}) AS rt,
+      | to_json({'k': coalesce(CAST(json_extract_string(props, '$.k') AS INT), -1)}) AS rt,
       | json_extract_string(props, '$.missing') AS missing
       |FROM events""".stripMargin) { (s, dir) =>
     Tables.events(s, dir).select(
       col("event_id"),
       get_json_object(col("props"), "$.k").as("k_str"),
       get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-      to_json(struct(get_json_object(col("props"), "$.k").cast("int").as("k")))
-        .as("rt"),
+      to_json(struct(coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(-1))
+        .as("k"))).as("rt"),
       get_json_object(col("props"), "$.missing").as("missing"))
   }
 

@@ -30,7 +30,7 @@ object TextAnalysis {
     "zh" -> Seq("de", "yi", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta"))
 
   private def sparkScore(lang: String, words: Seq[String]): String =
-    s"size(filter(ws, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+    s"CAST(size(filter(ws, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
   private def duckScore(lang: String, words: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -67,14 +67,15 @@ object TextAnalysis {
        | CAST(length(text) AS BIGINT) AS n_chars,
        | CAST(len(ws) AS BIGINT) AS n_words,
        | CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
-       | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-       |   / CAST(length(text) AS DOUBLE) AS punct_ratio,
-       | CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-       |   / CAST(length(text) AS DOUBLE) AS digit_ratio,
+       | CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       | CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |   / CAST(length(text) AS DOUBLE) END AS digit_ratio,
        | CAST(len(list_filter(ws, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
        |   / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
-       | CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END
-       |   * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality_score
+       | CASE WHEN length(text) > 0 THEN
+       |   (CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+       |   * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) END AS quality_score
        |FROM w""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("ws", expr(wordsSql))
@@ -83,11 +84,12 @@ object TextAnalysis {
         "CAST(length(text) AS BIGINT) AS n_chars",
         "CAST(size(ws) AS BIGINT) AS n_words",
         "CAST(length(text) AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS avg_word_len",
-        "CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio",
-        "CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio",
+        "CASE WHEN length(text) > 0 THEN CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio",
+        "CASE WHEN length(text) > 0 THEN CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio",
         "CAST(size(filter(ws, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS stopword_ratio",
-        """CASE WHEN size(ws) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END
-          | * (1.0 - CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality_score""".stripMargin)
+        """CASE WHEN length(text) > 0 THEN
+          |  (CASE WHEN size(ws) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+          |  * (1.0 - CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE)) END AS quality_score""".stripMargin)
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
