@@ -55,11 +55,11 @@ def compare():
     dirs = set(d for d in os.listdir(OUT)
                if os.path.isdir(os.path.join(OUT, d)))
     for name in sorted(dirs | set(oracle)):
+        if ONLY and not name.startswith(ONLY):
+            continue
         if name not in dirs:
             print(f"FAIL {name}: query produced no output (crashed?)")
             n_fail += 1
-            continue
-        if ONLY and not name.startswith(ONLY):
             continue
         files = glob.glob(f"{OUT}/{name}/*.parquet")
         if not files:

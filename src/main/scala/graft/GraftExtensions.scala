@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"cosine_sim(array<numeric>, array<numeric>) takes exactly 2 " +
+              s"arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

@@ -61,9 +61,24 @@ object Messages {
   def corpusDir(spark: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_scratch/corpus_${corpusVersion}_" +
       dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    def complete(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
+    val dst = new java.io.File(path)
+    if (!complete(dst)) {
+      // build in a pid-keyed temp dir, then publish with an atomic
+      // rename — concurrent processes (check.py while Bench runs) race
+      // benignly instead of corrupting each other's half-written cache
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      val tmp = new java.io.File(path + s".tmp_${ProcessHandle.current().pid()}")
       corpusFromLineitem(spark, dir).select(org.apache.spark.sql.functions.col("body"))
-        .repartition(24).write.mode("overwrite").text(path)
+        .repartition(24).write.mode("overwrite").text(tmp.getAbsolutePath)
+      if (!complete(dst)) { rm(dst); dst.getParentFile.mkdirs() }
+      if (!tmp.renameTo(dst)) {
+        if (complete(dst)) rm(tmp) // lost the race to a finished writer
+        else return tmp.getAbsolutePath // unpublishable — use our copy
+      }
     }
     path
   }

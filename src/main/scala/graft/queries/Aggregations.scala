@@ -95,19 +95,20 @@ object Aggregations {
       .select(col("l_returnflag"), col("l_linestatus"), col("n"))
   }
 
-  /** collect_list / collect_set — emitted sorted so the unordered
-    * accumulation is comparable. */
+  /** collect_list / collect_set — emitted sorted, then serialized to a
+    * comma-joined string (the driver's row comparator sorts rows
+    * column-wise and can't hash raw array cells). */
   val aggCollect: QueryDef = QueryDef(
     "q_agg_collect",
     """SELECT o_custkey,
-      | list_sort(list(o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)) AS prio_list,
-      | list_sort(list_distinct(list(o_orderstatus) FILTER (WHERE o_orderstatus IS NOT NULL))) AS status_set
+      | coalesce(array_to_string(list_sort(list(o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)), ','), '') AS prio_list,
+      | coalesce(array_to_string(list_sort(list_distinct(list(o_orderstatus) FILTER (WHERE o_orderstatus IS NOT NULL))), ','), '') AS status_set
       |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(
-        sort_array(collect_list(col("o_orderpriority"))).as("prio_list"),
-        sort_array(array_distinct(collect_list(col("o_orderstatus")))).as("status_set"))
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("prio_list"),
+        array_join(sort_array(array_distinct(collect_list(col("o_orderstatus")))), ",").as("status_set"))
   }
 
   /** max_by / min_by with a unique ordering key (arg_max/arg_min). */

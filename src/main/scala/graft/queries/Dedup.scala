@@ -49,9 +49,9 @@ object Dedup {
        |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
        |  FROM w)
        |SELECT doc_id,
-       |  list_transform(range(0, 8),
-       |    s -> list_aggregate(list_transform(shingles,
-       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+       |  array_to_string(list_transform(range(0, 8),
+       |    s -> coalesce(list_aggregate(list_transform(shingles,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min'), '')), ',') AS sig
        |FROM sh""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("ws", expr(wordsSql))
@@ -61,9 +61,9 @@ object Dedup {
           |    i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), expr(
-        """transform(sequence(0, 7),
-          |  s -> array_min(transform(shingles,
-          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sig"))
+        """array_join(transform(sequence(0, 7),
+          |  s -> coalesce(array_min(transform(shingles,
+          |         x -> md5(concat(CAST(s AS STRING), '|', x)))), '')), ',')""".stripMargin).as("sig"))
   }
 
   /** Banded LSH candidate pairs: unigram-set MinHash (8 hashes), 4

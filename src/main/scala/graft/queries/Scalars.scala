@@ -244,16 +244,19 @@ object Scalars {
   /** Array / higher-order function family over embeddings.embedding
     * (array<float>). Dot products fold sequentially in both engines
     * (Spark aggregate == DuckDB list_reduce) over doubles, so FP
-    * results are bit-identical. */
+    * results are bit-identical. Array-typed outputs are serialized to
+    * comma-joined strings via a DECIMAL(20,6) format (scale-padded
+    * identically in both engines) — the driver's row comparator can't
+    * hash raw array cells. */
   val arrayFuncs: QueryDef = QueryDef(
     "q_array_funcs",
     """SELECT vec_id,
       | CAST(len(embedding) AS BIGINT) AS dims,
       | CAST(embedding[1] AS DOUBLE) AS first_dim,
-      | list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2) AS head_x2,
+      | array_to_string(list_transform(embedding[1:4], x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2, 6) AS DECIMAL(20,6)) AS VARCHAR)), ',') AS head_x2,
       | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
       | list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, x) -> a + x) AS vec_sum,
-      | list_sort(list_transform(embedding[1:2], x -> CAST(x AS DOUBLE))) AS head_sorted,
+      | array_to_string(list_transform(list_sort(list_transform(embedding[1:2], x -> CAST(x AS DOUBLE))), x -> CAST(CAST(round(x, 6) AS DECIMAL(20,6)) AS VARCHAR)), ',') AS head_sorted,
       | list_contains(range(1, CAST(label AS BIGINT) + 2), 3) AS label_has_3,
       | CAST(len(list_distinct([label % 2, label % 3, label % 2])) AS BIGINT) AS n_distinct_mods
       |FROM embeddings""".stripMargin) { (s, dir) =>
@@ -261,29 +264,32 @@ object Scalars {
       col("vec_id"),
       size(col("embedding")).cast("long").as("dims"),
       element_at(col("embedding"), 1).cast("double").as("first_dim"),
-      expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2)").as("head_x2"),
+      expr("array_join(transform(slice(embedding, 1, 4), x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2, 6) AS DECIMAL(20,6)) AS STRING)), ',')").as("head_x2"),
       expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
       expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)").as("vec_sum"),
-      expr("sort_array(transform(slice(embedding, 1, 2), x -> CAST(x AS DOUBLE)))").as("head_sorted"),
+      expr("array_join(transform(sort_array(transform(slice(embedding, 1, 2), x -> CAST(x AS DOUBLE))), x -> CAST(CAST(round(x, 6) AS DECIMAL(20,6)) AS STRING)), ',')").as("head_sorted"),
       expr("array_contains(sequence(1L, CAST(label AS BIGINT) + 1), 3L)").as("label_has_3"),
       expr("size(array_distinct(array(label % 2, label % 3, label % 2)))").cast("long").as("n_distinct_mods"))
   }
 
-  /** Map functions — maps built per-row, emitted as ordered key/value
-    * arrays (map column ordering is engine-dependent; arrays are not). */
+  /** Map functions — maps built per-row, key/value arrays emitted as
+    * comma-joined strings (map column ordering is engine-dependent and
+    * the driver's row comparator can't hash raw array cells). Null
+    * event_type is placeholder-replaced before the join so both engines
+    * serialize it identically. */
   val mapFuncs: QueryDef = QueryDef(
     "q_map_funcs",
     """SELECT event_id,
-      | map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS ks,
-      | map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS vs,
+      | array_to_string(map_keys(MAP {'type': coalesce(event_type, '<null>'), 'uid': CAST(user_id AS VARCHAR)}), ',') AS ks,
+      | array_to_string(map_values(MAP {'type': coalesce(event_type, '<null>'), 'uid': CAST(user_id AS VARCHAR)}), ',') AS vs,
       | element_at(MAP {'type': event_type}, 'type')[1] AS type_val
       |FROM events""".stripMargin) { (s, dir) =>
     Tables.events(s, dir).select(
       col("event_id"),
-      map_keys(map(lit("type"), col("event_type"), lit("uid"),
-        col("user_id").cast("string"))).as("ks"),
-      map_values(map(lit("type"), col("event_type"), lit("uid"),
-        col("user_id").cast("string"))).as("vs"),
+      array_join(map_keys(map(lit("type"), coalesce(col("event_type"), lit("<null>")),
+        lit("uid"), col("user_id").cast("string"))), ",").as("ks"),
+      array_join(map_values(map(lit("type"), coalesce(col("event_type"), lit("<null>")),
+        lit("uid"), col("user_id").cast("string"))), ",").as("vs"),
       element_at(map(lit("type"), col("event_type")), "type").as("type_val"))
   }
 
@@ -341,17 +347,18 @@ object Scalars {
       expr("shiftright(o_orderkey, 2)").as("shifted_r"))
   }
 
-  /** More array ops: flatten, position, overlap. */
+  /** More array ops: flatten, position, overlap. The bigint array is
+    * serialized comma-joined (driver comparator can't hash array cells). */
   val arrayFuncs2: QueryDef = QueryDef(
     "q_array_funcs2",
     """SELECT vec_id,
-      | flatten([range(0, CAST(label AS BIGINT) + 1), [100, 200]]) AS flat,
+      | array_to_string(flatten([range(0, CAST(label AS BIGINT) + 1), [100, 200]]), ',') AS flat,
       | CAST(list_position(range(0, 5), CAST(label AS BIGINT)) AS INT) AS label_pos,
       | len(list_intersect(range(0, CAST(label AS BIGINT) + 1), range(3, 8))) > 0 AS overlaps
       |FROM embeddings""".stripMargin) { (s, dir) =>
     Tables.embeddings(s, dir).select(
       col("vec_id"),
-      expr("flatten(array(sequence(0L, CAST(label AS BIGINT)), array(100L, 200L)))").as("flat"),
+      expr("array_join(transform(flatten(array(sequence(0L, CAST(label AS BIGINT)), array(100L, 200L))), x -> CAST(x AS STRING)), ',')").as("flat"),
       expr("array_position(sequence(0L, 4L), CAST(label AS BIGINT))").cast("int").as("label_pos"),
       expr("arrays_overlap(sequence(0L, CAST(label AS BIGINT)), sequence(3L, 7L))").as("overlaps"))
   }

@@ -13,11 +13,7 @@ import graft.Tables
   */
 object Sources {
 
-  private def scratch(name: String): String = {
-    val d = s"/tmp/graft_scratch/$name"
-    new java.io.File(d).getParentFile.mkdirs()
-    d
-  }
+  private def scratch(name: String): String = Scratch.path(name)
 
   /** Projection + predicate pushed into the parquet scan: the physical
     * plan shows PushedFilters + a 3-column ReadSchema — at 100 TB this

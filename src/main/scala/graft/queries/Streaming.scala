@@ -16,18 +16,7 @@ import graft.pipeline.{Messages, Pipeline}
   */
 object Streaming {
 
-  private def scratch(name: String): String = {
-    val d = new java.io.File(s"/tmp/graft_scratch/$name")
-    if (d.exists()) { // deterministic rerun: clear prior state
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(d)
-    }
-    d.mkdirs()
-    d.getAbsolutePath
-  }
+  private def scratch(name: String): String = Scratch.fresh(name)
 
   /** Oracle body for the good-row expectation: everything in lineitem
     * except the three injected failure classes. */
