@@ -27,7 +27,14 @@ object PlanAudit {
       "q_join_shuffle" -> Seq("Join", "partial_sum"),
       "q_sim_topk" -> Seq("BroadcastNestedLoopJoin", "WindowGroupLimit", "cosine"),
       "q_dedup_lsh_pairs" -> Seq("LeftSemi", "HashAggregate"),
-      "q_win_topk" -> Seq("WindowGroupLimit"))
+      "q_win_topk" -> Seq("WindowGroupLimit"),
+      // round 2: partition pruning, existence/semi decorrelation,
+      // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject
+      "q_partition_prune" -> Seq("PartitionFilters", "= 1996)"),
+      "q4_order_priority" -> Seq("LeftSemi"),
+      "q_join_existence" -> Seq("ExistenceJoin"),
+      "q19_brand_bands" -> Seq("BroadcastHashJoin", "PushedFilters"),
+      "q10_returned_items" -> Seq("TakeOrderedAndProject"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

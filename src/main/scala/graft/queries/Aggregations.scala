@@ -197,7 +197,26 @@ object Aggregations {
         expr("array_join(array_sort(collect_set(o_orderpriority)), ',')").as("prios"))
   }
 
+  /** Equi-width histogram via width_bucket (DuckDB lacks it — integer
+    * inputs with integral bucket width make the floor-arithmetic
+    * emulation exact). */
+  val aggHistogram: QueryDef = QueryDef(
+    "q_agg_histogram",
+    """SELECT CAST(floor((p_size - 1) / 5.0) + 1 AS BIGINT) AS bucket,
+      | COUNT(*) AS n,
+      | CAST(min(p_size) AS INT) AS lo,
+      | CAST(max(p_size) AS INT) AS hi
+      |FROM part GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .groupBy(expr("width_bucket(p_size, 1, 51, 10)").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("p_size")).cast("int").as("lo"),
+        max(col("p_size")).cast("int").as("hi"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
-    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool)
+    aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
+    aggHistogram)
 }

@@ -378,8 +378,99 @@ object Scalars {
       .select(col("vec_id"), explode_outer(col("l")).as("e"))
   }
 
+  /** Third string family: case/format/affix tests (DuckDB lacks
+    * initcap — the single-word names make upper-first+lower-rest an
+    * exact emulation). */
+  val strFuncs3: QueryDef = QueryDef(
+    "q_str_funcs3",
+    """SELECT c_custkey,
+      | upper(substr(lower(c_name), 1, 1)) || lower(substr(lower(c_name), 2)) AS name_cap,
+      | split_part(c_name, '#', 1) AS name_head,
+      | CAST(ascii(c_mktsegment) AS INT) AS seg_ascii,
+      | chr(CAST(65 + c_custkey % 26 AS INT)) AS key_chr,
+      | printf('%05d|%s', c_custkey, c_mktsegment) AS formatted,
+      | starts_with(c_name, 'Customer') AS is_customer,
+      | ends_with(c_mktsegment, 'RY') AS seg_ry,
+      | contains(c_name, '00') AS has_00,
+      | CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS n_zeros,
+      | left(c_name, 5) AS name_l5,
+      | right(c_name, 3) AS name_r3
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      initcap(lower(col("c_name"))).as("name_cap"),
+      substring_index(col("c_name"), "#", 1).as("name_head"),
+      ascii(col("c_mktsegment")).cast("int").as("seg_ascii"),
+      expr("char(65 + c_custkey % 26)").as("key_chr"),
+      format_string("%05d|%s", col("c_custkey"), col("c_mktsegment")).as("formatted"),
+      expr("startswith(c_name, 'Customer')").as("is_customer"),
+      expr("endswith(c_mktsegment, 'RY')").as("seg_ry"),
+      expr("contains(c_name, '00')").as("has_00"),
+      expr("regexp_count(c_name, '0')").cast("int").as("n_zeros"),
+      expr("left(c_name, 5)").as("name_l5"),
+      expr("right(c_name, 3)").as("name_r3"))
+  }
+
+  /** Third array family: zip_with and the set algebra
+    * (union/except/remove/repeat) plus array_max/min; array outputs are
+    * comma-serialized (integers format identically in both engines). */
+  val arrayFuncs3: QueryDef = QueryDef(
+    "q_array_funcs3",
+    """SELECT vec_id,
+      | array_to_string(list_transform(range(1, 5), i -> CAST((i + label) * ((5 - i) + label) AS VARCHAR)), ',') AS zipped,
+      | array_to_string(list_transform(list_sort(list_distinct(range(0, CAST(label AS BIGINT) + 1) || range(2, 6))), x -> CAST(x AS VARCHAR)), ',') AS unioned,
+      | coalesce(array_to_string(list_transform(list_filter(range(0, 6), x -> x > label), x -> CAST(x AS VARCHAR)), ','), '') AS excepted,
+      | coalesce(array_to_string(list_transform(list_filter([CAST(1 AS BIGINT), CAST(label AS BIGINT), 3, CAST(label AS BIGINT)], x -> x != label), x -> CAST(x AS VARCHAR)), ','), '') AS removed,
+      | array_to_string([CAST(label AS VARCHAR), CAST(label AS VARCHAR), CAST(label AS VARCHAR)], ',') AS repeated,
+      | CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS emb_max,
+      | CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS emb_min
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      expr("""array_join(transform(zip_with(transform(sequence(1, 4), i -> i + label),
+             |  reverse(transform(sequence(1, 4), i -> i + label)),
+             |  (x, y) -> x * y), v -> CAST(v AS STRING)), ',')""".stripMargin).as("zipped"),
+      expr("""array_join(transform(sort_array(array_union(
+             |  sequence(0L, CAST(label AS BIGINT)), sequence(2L, 5L))),
+             |  x -> CAST(x AS STRING)), ',')""".stripMargin).as("unioned"),
+      expr("""array_join(transform(sort_array(array_except(
+             |  sequence(0L, 5L), sequence(0L, CAST(label AS BIGINT)))),
+             |  x -> CAST(x AS STRING)), ',')""".stripMargin).as("excepted"),
+      expr("""array_join(transform(array_remove(
+             |  array(1L, CAST(label AS BIGINT), 3L, CAST(label AS BIGINT)), CAST(label AS BIGINT)),
+             |  x -> CAST(x AS STRING)), ',')""".stripMargin).as("removed"),
+      expr("array_join(array_repeat(CAST(label AS STRING), 3), ',')").as("repeated"),
+      expr("CAST(array_max(embedding) AS DOUBLE)").as("emb_max"),
+      expr("CAST(array_min(embedding) AS DOUBLE)").as("emb_min"))
+  }
+
+  /** Second map family: transform_values / map_filter / map_concat,
+    * serialized as sorted `k=v` entry strings. The DuckDB oracle
+    * computes the same entries arithmetically (its map surface has no
+    * higher-order transforms). */
+  val mapFuncs2: QueryDef = QueryDef(
+    "q_map_funcs2",
+    """SELECT vec_id,
+      | 'a=' || CAST(2 * (label + 1) AS VARCHAR) || ',b=' || CAST(2 * (2 * label + 1) AS VARCHAR) AS doubled,
+      | CASE WHEN (label + 1) % 2 = 1
+      |      THEN 'a=' || CAST(label + 1 AS VARCHAR) || ',b=' || CAST(2 * label + 1 AS VARCHAR)
+      |      ELSE 'b=' || CAST(2 * label + 1 AS VARCHAR) END AS odd_only,
+      | 'a=' || CAST(label AS VARCHAR) || ',c=7' AS concatted
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    def ser(m: String) =
+      s"array_join(sort_array(transform(map_entries($m), e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')"
+    Tables.embeddings(s, dir)
+      .withColumn("m", expr("map('a', label + 1, 'b', 2 * label + 1)"))
+      .select(
+        col("vec_id"),
+        expr(ser("transform_values(m, (k, v) -> v * 2)")).as("doubled"),
+        expr(ser("map_filter(m, (k, v) -> v % 2 = 1)")).as("odd_only"),
+        expr(ser("map_concat(map('a', label), map('c', 7))")).as("concatted"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
-    strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter)
+    strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter,
+    strFuncs3, arrayFuncs3, mapFuncs2)
 }

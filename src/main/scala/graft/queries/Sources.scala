@@ -107,5 +107,25 @@ object Sources {
     s.read.orc(path)
   }
 
-  val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip, msgCodec)
+  /** Hive-style partitioned write + partition-pruned read: orders land
+    * under o_year=… directories and the year filter prunes whole
+    * partitions before any file is opened (the plan's PartitionFilters
+    * — at 100 TB the difference between listing one directory and
+    * scanning six years). */
+  val partitionPrune: QueryDef = QueryDef(
+    "q_partition_prune",
+    """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
+      |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin) { (s, dir) =>
+    val path = scratch("orders_by_year")
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_year") === 1996)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_year").cast("int").as("o_year"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
+    msgCodec, partitionPrune)
 }

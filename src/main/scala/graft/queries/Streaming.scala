@@ -18,6 +18,22 @@ object Streaming {
 
   private def scratch(name: String): String = Scratch.fresh(name)
 
+  /** Run `body` with a clamped shuffle-partition count, restoring the
+    * session setting afterwards. Stateful streaming operators commit
+    * one state-store instance per shuffle partition per micro-batch;
+    * at the bench's data volume (≤1M rows) 32+ partitions are pure
+    * commit overhead, while a real 100 TB deployment would raise the
+    * session setting and never hit this clamp. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    if (prev.toInt <= n) body
+    else {
+      s.conf.set(key, n.toString)
+      try body finally s.conf.set(key, prev)
+    }
+  }
+
   /** Oracle body for the good-row expectation: everything in lineitem
     * except the three injected failure classes. */
   private val goodRowsSql =
@@ -99,6 +115,7 @@ object Streaming {
       | event_type, COUNT(*) AS n,
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
     val src = scratch("tumb_src")
     Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(src)
@@ -115,6 +132,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("graft_tumbling")
+    }
   }
 
   /** Sliding window (1 h window, 15 min slide): each event lands in 4
@@ -162,6 +180,7 @@ object Streaming {
   val streamDedup: QueryDef = QueryDef(
     "q_stream_dedup",
     """SELECT event_id, user_id, event_type, value FROM events""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
     val src = scratch("dedup_src")
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -176,6 +195,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("graft_dedup")
+    }
   }
 
   /** Stream-stream inner join: purchases joined to the same user's
@@ -191,6 +211,7 @@ object Streaming {
       |  ON p.user_id = c.user_id
       | AND p.event_type = 'purchase' AND c.event_type = 'click'
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
     val src = scratch("ssj_src")
     Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .write.mode("overwrite").parquet(src)
@@ -214,10 +235,105 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("graft_ssj")
+    }
+  }
+
+  /** Stream-static join: the streaming event feed enriched against a
+    * broadcast dimension (nation keyed by user_id % 25) — no state
+    * store at all; at scale the static side ships once per executor. */
+  val streamStaticJoin: QueryDef = QueryDef(
+    "q_stream_static_join",
+    """SELECT event_id, user_id, n_name
+      |FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey""".stripMargin) { (s, dir) =>
+    val src = scratch("sst_src")
+    Tables.events(s, dir).select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema("event_id BIGINT, user_id BIGINT").parquet(src)
+    val joined = stream
+      .join(broadcast(Tables.nation(s, dir)),
+        (col("user_id") % 25).cast("int") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sst")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_sst")
+  }
+
+  /** Event for the stateful sessionizer (microsecond-precision ts). */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessOut(user_id: Long, sess_start: java.sql.Timestamp,
+      sess_end: java.sql.Timestamp, n: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * arbitrary-state API corrie's count+time flush maps to (SURVEY
+    * §2A-5,6). Source is written as one file so the drain trigger
+    * delivers each user's full history to a single group invocation,
+    * making the output equal to the gaps-and-islands oracle (the
+    * cross-batch replay semantics are covered by StatefulFlushSpec). */
+  val streamStatefulSessions: QueryDef = QueryDef(
+    "q_stream_sessions",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |ids AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS sess_start,
+      | max(ts) + INTERVAL '10 minutes' AS sess_end, COUNT(*) AS n
+      |FROM ids GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = scratch("sess_src")
+    Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val gapUs = 10L * 60 * 1000000
+    val stream = s.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+      .parquet(src).as[SessEvent]
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], _: GroupState[Long]) =>
+          val sorted = evs.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          var start, last = -1L
+          var n = 0L
+          for (e <- sorted) {
+            val us = tsMicros(e.ts)
+            if (start < 0) { start = us; n = 0 }
+            else if (us - last > gapUs) {
+              out += SessOut(uid, microsTs(start), microsTs(last + gapUs), n)
+              start = us; n = 0
+            }
+            last = us; n += 1
+          }
+          if (start >= 0) out += SessOut(uid, microsTs(start), microsTs(last + gapUs), n)
+          out.iterator
+      }
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_sessions")
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream,
     streamTumbling, streamSliding, sessionWindowQ, streamDedup,
-    streamStreamJoin)
+    streamStreamJoin, streamStaticJoin, streamStatefulSessions)
 }

@@ -156,5 +156,23 @@ object Windows {
           .when(col("t_click").isNotNull, 2).otherwise(1).as("depth"))
   }
 
-  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel)
+  /** Time-interval RANGE frame: per-user rolling 1-hour event count and
+    * decimal-exact value sum. RANGE frames include ts-peers, so ties
+    * are deterministic in both engines without a unique sort key. */
+  val winRangeInterval: QueryDef = QueryDef(
+    "q_win_range_interval",
+    """SELECT event_id, user_id, ts,
+      | CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+      |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+      |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      expr("CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)").as("n_1h"),
+      expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)").as("sum_1h"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
+    winRangeInterval)
 }
