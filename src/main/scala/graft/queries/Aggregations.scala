@@ -215,8 +215,49 @@ object Aggregations {
         max(col("p_size")).cast("int").as("hi"))
   }
 
+  /** SUM(DISTINCT) over an exact decimal set (order-insensitive) plus
+    * count_if — the second distinct-aggregate shape. */
+  val aggDistinct2: QueryDef = QueryDef(
+    "q_agg_distinct2",
+    """SELECT l_linestatus,
+      | CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_dist_qty,
+      | CAST(COUNT(*) FILTER (WHERE l_discount > 0.08) AS BIGINT) AS n_high_disc,
+      | COUNT(DISTINCT l_returnflag) AS n_flags
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_dist_qty"),
+        expr("CAST(count_if(l_discount > 0.08) AS BIGINT)").as("n_high_disc"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+  }
+
+  /** Bounded top-k per group via the custom
+    * [[graft.functions.TopKAgg]] Aggregator — unlike the window
+    * formulation (q_win_topk) this never sorts whole groups: map-side
+    * partials are capped at k entries before the shuffle. Price is
+    * pre-scaled to exact cents so ordering is integer-deterministic. */
+  val aggTopKUdaf: QueryDef = QueryDef(
+    "q_agg_topk_udaf",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY rn), ',') AS top_keys
+      |FROM r WHERE rn <= 3 GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    val topk = udaf(graft.functions.TopKAgg(3))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("score"),
+        col("o_orderkey").as("id"))
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("score"), col("id")).as("top_keys"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
-    aggHistogram)
+    aggHistogram, aggDistinct2, aggTopKUdaf)
 }

@@ -109,30 +109,74 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** 16-bit SimHash from word md5s: bit j is the sign of the ±1 votes
-    * of each word's j-th hex digit high bit. Per-row, map-only. */
+  /** Shared 16-bit SimHash expression (bit j = sign of ±1 votes of
+    * each word's j-th md5 hex digit high bit), over a `ws` column. */
+  private val simhashSparkSql =
+    """array_join(transform(sequence(0, 15),
+      |  j -> CASE WHEN aggregate(ws,
+      |         0, (a, x) -> a + (CASE WHEN substring(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+      |                           THEN 1 ELSE -1 END)) > 0
+      |       THEN '1' ELSE '0' END), '')""".stripMargin
+  private val simhashDuckSql =
+    """array_to_string(list_transform(range(0, 16),
+      |    j -> CASE WHEN list_reduce(list_transform(ws,
+      |           x -> CASE WHEN substr(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+      |                     THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
+      |         THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** 16-bit SimHash from word md5s. Per-row, map-only. */
   val dedupSimhash: QueryDef = QueryDef(
     "q_dedup_simhash",
     s"""WITH w AS (SELECT doc_id, $duckWordsSql AS ws FROM documents)
-       |SELECT doc_id,
-       |  array_to_string(list_transform(range(0, 16),
-       |    j -> CASE WHEN list_reduce(list_transform(ws,
-       |           x -> CASE WHEN substr(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
-       |                     THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
-       |         THEN '1' ELSE '0' END), '') AS simhash
+       |SELECT doc_id, $simhashDuckSql AS simhash
        |FROM w""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("ws", expr(wordsSql))
-      .select(col("doc_id"), expr(
-        """array_join(transform(sequence(0, 15),
-          |  j -> CASE WHEN aggregate(ws,
-          |         0, (a, x) -> a + (CASE WHEN substring(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
-          |                           THEN 1 ELSE -1 END)) > 0
-          |       THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+      .select(col("doc_id"), expr(simhashSparkSql).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs by Hamming distance ≤ 3, candidates
+    * blocked on (lang, source, 4-bit hash prefix) — the prefix block
+    * is what keeps the pair space sub-quadratic at scale (full
+    * multi-probe would OR several rotated prefixes; one block
+    * demonstrates the plan shape). */
+  val dedupHamming: QueryDef = QueryDef(
+    "q_dedup_hamming",
+    s"""WITH w AS (SELECT doc_id, lang, source, $duckWordsSql AS ws FROM documents),
+       |h AS (SELECT doc_id, lang, source, $simhashDuckSql AS sh FROM w)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(len(list_filter(range(1, 17),
+       |    j -> substr(a.sh, CAST(j AS INT), 1) != substr(b.sh, CAST(j AS INT), 1))) AS INT) AS hamming
+       |FROM h a JOIN h b
+       |  ON a.lang = b.lang AND a.source = b.source
+       | AND substr(a.sh, 1, 4) = substr(b.sh, 1, 4)
+       | AND a.doc_id < b.doc_id
+       |WHERE len(list_filter(range(1, 17),
+       |    j -> substr(a.sh, CAST(j AS INT), 1) != substr(b.sh, CAST(j AS INT), 1))) <= 3""".stripMargin) { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .withColumn("ws", expr(wordsSql))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(simhashSparkSql).as("sh"))
+    val a = h.select(col("doc_id").as("d1"), col("lang"), col("source"),
+      col("sh").as("sh1"), expr("substring(sh, 1, 4)").as("pfx"))
+    val b = h.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("source").as("source2"), col("sh").as("sh2"),
+      expr("substring(sh, 1, 4)").as("pfx2"))
+    a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
+        && col("pfx") === col("pfx2") && col("d1") < col("d2"))
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 16), j -> substring(sh1, j, 1) != substring(sh2, j, 1)))").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
   }
 
   /** n-gram (word-set) Jaccard near-dup pairs, candidates bounded by
-    * (lang, source) blocking — the standard blocking+verify shape. */
+    * (lang, source) blocking — the standard blocking+verify shape —
+    * plus the length filter: jaccard ≥ t implies min(|A|,|B|) ≥
+    * t·max(|A|,|B|) (intersection ≤ min, union ≥ max), so the cheap
+    * size predicate prunes pairs before the O(|A|+|B|) set ops. At
+    * scale this is the difference between verifying every blocked pair
+    * and only the length-compatible ones. */
   val dedupJaccard: QueryDef = QueryDef(
     "q_dedup_jaccard",
     s"""WITH w AS (SELECT doc_id, lang, source,
@@ -142,6 +186,7 @@ object Dedup {
        |    / CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE) AS jaccard
        |FROM w a JOIN w b
        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       | AND 2 * least(len(a.ws), len(b.ws)) >= greatest(len(a.ws), len(b.ws))
        |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
        |    / CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE) >= 0.5""".stripMargin) { (s, dir) =>
     val w = Tables.documents(s, dir)
@@ -151,7 +196,8 @@ object Dedup {
     val b = w.select(col("doc_id").as("d2"), col("lang").as("lang2"),
       col("source").as("source2"), col("ws").as("w2"))
     a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
-        && col("d1") < col("d2"))
+        && col("d1") < col("d2")
+        && expr("2 * least(size(w1), size(w2)) >= greatest(size(w1), size(w2))"))
       .withColumn("jaccard",
         expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
       .filter(col("jaccard") >= 0.5)
@@ -185,5 +231,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupSimhash,
-    dedupJaccard, dedupEmbed)
+    dedupJaccard, dedupEmbed, dedupHamming)
 }

@@ -468,9 +468,97 @@ object Scalars {
         expr(ser("map_concat(map('a', label), map('c', 7))")).as("concatted"))
   }
 
+  /** Second math family: trig / inverse-trig / exp / log bases /
+    * angle conversion — all libm outputs, so rounded to 6 decimals per
+    * the determinism policy (DuckDB has no hyperbolics; omitted). */
+  val mathFuncs2: QueryDef = QueryDef(
+    "q_math_funcs2",
+    """SELECT p_partkey,
+      | round(sin(p_size * 0.1), 6) AS sin_v,
+      | round(cos(p_size * 0.1), 6) AS cos_v,
+      | round(tan(p_size * 0.1), 6) AS tan_v,
+      | round(asin(p_size / 100.0), 6) AS asin_v,
+      | round(atan2(CAST(p_size AS DOUBLE), 10.0), 6) AS atan2_v,
+      | round(exp(p_size * 0.05), 6) AS exp_v,
+      | round(log10(p_retailprice), 6) AS log10_v,
+      | round(log2(CAST(p_size AS DOUBLE)), 6) AS log2_v,
+      | round(degrees(p_size * 0.01), 6) AS deg_v,
+      | round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_v,
+      | round(cbrt(p_retailprice), 6) AS cbrt_v
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      round(sin(col("p_size") * 0.1), 6).as("sin_v"),
+      round(cos(col("p_size") * 0.1), 6).as("cos_v"),
+      round(tan(col("p_size") * 0.1), 6).as("tan_v"),
+      round(asin(col("p_size") / 100.0), 6).as("asin_v"),
+      round(atan2(col("p_size").cast("double"), lit(10.0)), 6).as("atan2_v"),
+      round(exp(col("p_size") * 0.05), 6).as("exp_v"),
+      round(log10(col("p_retailprice")), 6).as("log10_v"),
+      round(log2(col("p_size").cast("double")), 6).as("log2_v"),
+      round(degrees(col("p_size") * 0.01), 6).as("deg_v"),
+      round(radians(col("p_size").cast("double")), 6).as("rad_v"),
+      round(cbrt(col("p_retailprice")), 6).as("cbrt_v"))
+  }
+
+  /** Third date family: make_date, day-of-year, ISO week truncation,
+    * day names, whole-month diff (Spark's months_between is fractional,
+    * so the month count is computed arithmetically to match DuckDB's
+    * boundary-crossing date_diff). */
+  val dateFuncs3: QueryDef = QueryDef(
+    "q_date_funcs3",
+    """SELECT o_orderkey,
+      | make_date(2020, CAST(month(o_orderdate) AS INT), 15) AS md,
+      | CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      | CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      | dayname(o_orderdate) AS dname,
+      | CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS months_since
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      expr("make_date(2020, CAST(month(o_orderdate) AS INT), 15)").as("md"),
+      dayofyear(col("o_orderdate")).cast("int").as("doy"),
+      date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+      date_format(col("o_orderdate"), "EEEE").as("dname"),
+      ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+        .cast("int").as("months_since"))
+  }
+
+  /** Regex family: extract-all (serialized), full-match test, and
+    * backreference replace (Java `$n` vs RE2 `\n` syntax, same
+    * semantics). */
+  val regexFuncs: QueryDef = QueryDef(
+    "q_regex_funcs",
+    """SELECT c_custkey,
+      | array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',') AS nums,
+      | regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed,
+      | regexp_replace(c_name, '([0-9])([0-9])$', '\2\1', 'g') AS swapped,
+      | regexp_extract(c_name, 'Customer#0*([1-9][0-9]*)', 1) AS key_str
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      expr("array_join(regexp_extract_all(c_name, '[0-9]+', 0), ',')").as("nums"),
+      col("c_name").rlike("^Customer#[0-9]+$").as("well_formed"),
+      regexp_replace(col("c_name"), "([0-9])([0-9])$", "$2$1").as("swapped"),
+      regexp_extract(col("c_name"), "Customer#0*([1-9][0-9]*)", 1).as("key_str"))
+  }
+
+  /** posexplode: generator with element ordinals (0-based in Spark;
+    * the oracle reconstructs positions with unnest-over-range). */
+  val posExplode: QueryDef = QueryDef(
+    "q_posexplode",
+    """WITH p AS (SELECT s_suppkey, string_split(s_name, '#') AS parts FROM supplier)
+      |SELECT s_suppkey, CAST(i - 1 AS INT) AS pos, parts[CAST(i AS INT)] AS word
+      |FROM p, unnest(range(1, len(parts) + 1)) AS t(i)""".stripMargin) { (s, dir) =>
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"),
+        posexplode(split(col("s_name"), "#")).as(Seq("pos", "word")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
     strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter,
-    strFuncs3, arrayFuncs3, mapFuncs2)
+    strFuncs3, arrayFuncs3, mapFuncs2, mathFuncs2, dateFuncs3,
+    regexFuncs, posExplode)
 }

@@ -126,6 +126,33 @@ object Sources {
         col("o_year").cast("int").as("o_year"))
   }
 
+  /** JDBC sink + partition-parallel JDBC source against embedded Derby
+    * (the BASELINE north star's "JDBC sink" — §2A-9's batched INSERT
+    * path and the schema-from-sink-metadata lookup of §1.4, against a
+    * real database). The read back is range-partitioned on the key, so
+    * on a cluster it issues numPartitions bounded-range queries in
+    * parallel. Column names are uppercased for the round trip (Spark
+    * interpolates the partition column unquoted; Derby folds unquoted
+    * identifiers to uppercase) and restored after. */
+  val jdbcRoundtrip: QueryDef = QueryDef(
+    "q_jdbc_roundtrip",
+    "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders") { (s, dir) =>
+    System.setProperty("derby.system.home", Scratch.path("derby_home"))
+    new java.io.File(Scratch.path("derby_home")).mkdirs()
+    val url = s"jdbc:derby:${Scratch.path("derby_db")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("O_ORDERKEY"), col("o_custkey").as("O_CUSTKEY"),
+        col("o_totalprice").as("O_TOTALPRICE"), col("o_orderstatus").as("O_ORDERSTATUS"))
+      .write.mode("overwrite").jdbc(url, "ORDERS_SINK", props)
+    s.read.jdbc(url, "ORDERS_SINK", "O_ORDERKEY", 0L, 6000000L, 8, props)
+      .select(
+        col("O_ORDERKEY").as("o_orderkey"), col("O_CUSTKEY").as("o_custkey"),
+        col("O_TOTALPRICE").as("o_totalprice"), col("O_ORDERSTATUS").as("o_orderstatus"))
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    msgCodec, partitionPrune)
+    msgCodec, partitionPrune, jdbcRoundtrip)
 }

@@ -88,10 +88,11 @@ object Streaming {
     // corpusDir is 3-partition text (≙ random shard assignment,
     // producer.go:143-164)
     val src = Messages.corpusDir(s, dir)
-    // 8 shard files per micro-batch ≙ the prefetch/in-flight cap
-    // (reference reader/reader.go:98-104): 3 micro-batches over 24
-    // shards — state and sink appends carry across batches
-    val stream = s.readStream.option("maxFilesPerTrigger", "8")
+    // 12 shard files per micro-batch ≙ the prefetch/in-flight cap
+    // (reference reader/reader.go:98-104): 2 micro-batches over 24
+    // shards — state and sink appends still carry across batches, at
+    // one less checkpoint/flush round trip than smaller triggers
+    val stream = s.readStream.option("maxFilesPerTrigger", "12")
       .text(src).withColumnRenamed("value", "body")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)

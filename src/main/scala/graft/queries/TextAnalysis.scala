@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -153,5 +154,44 @@ object TextAnalysis {
       .filter(col("n") >= 5)
   }
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts)
+  /** TF-IDF: top-5 distinguishing terms per language — the classic
+    * two-aggregation + join shape (term→document-frequency joined back
+    * to per-group term counts). ln() is libm → rounded to 6 decimals;
+    * rank ties broken by term. At scale both aggregations are
+    * partial+final hash aggs and the df side is vocabulary-sized. */
+  val tfidf: QueryDef = QueryDef(
+    "q_text_tfidf",
+    s"""WITH w AS (SELECT doc_id, lang, $duckWordsSql AS ws FROM documents),
+       |tok AS (SELECT doc_id, lang, t AS term
+       |        FROM w, unnest(ws) AS u(t) WHERE length(t) > 3),
+       |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |tfl AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term),
+       |scored AS (
+       |  SELECT lang, tfl.term AS term, cnt, df,
+       |    round(cnt * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |  FROM tfl JOIN dfreq ON tfl.term = dfreq.term CROSS JOIN nd),
+       |ranked AS (SELECT lang, term, cnt, df, tfidf,
+       |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rk
+       |  FROM scored)
+       |SELECT lang, term, cnt, df, tfidf, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 5""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("term"))
+    val tok = Tables.documents(s, dir)
+      .withColumn("ws", expr(wordsSql))
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("term"))
+      .filter(length(col("term")) > 3)
+    val dfreq = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val tfl = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    tfl.join(dfreq, "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        round(col("cnt") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("term"), col("cnt"), col("df"), col("tfidf"), col("rk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf)
 }
