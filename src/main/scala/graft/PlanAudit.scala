@@ -24,7 +24,9 @@ object PlanAudit {
       "q1_agg" -> Seq("PushedFilters: [IsNotNull(l_shipdate)", "partial_sum"),
       "q_scan_pushdown" -> Seq("PushedFilters", "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate"),
       "q_join_broadcast_star" -> Seq("BroadcastHashJoin", "partial_sum"),
-      "q_join_shuffle" -> Seq("Join", "partial_sum"),
+      // AQEShuffleRead on the big-big join proves the runtime re-plan
+      // (coalesce/skew-split) is active
+      "q_join_shuffle" -> Seq("Join", "partial_sum", "AQEShuffleRead"),
       "q_sim_topk" -> Seq("BroadcastNestedLoopJoin", "WindowGroupLimit", "cosine"),
       "q_dedup_lsh_pairs" -> Seq("LeftSemi", "HashAggregate"),
       "q_win_topk" -> Seq("WindowGroupLimit"),

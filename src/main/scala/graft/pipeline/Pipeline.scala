@@ -53,37 +53,51 @@ object Pipeline {
     (castV.as(f.name), ok)
   }
 
-  /** Split one parsed batch into (typed good rows for `query`,
-    * dead letters). Dead letters carry the ORIGINAL body verbatim
-    * (reference reader/reader.go:168-179 forwards raw m.Body) plus a
-    * reason: decode_error | unknown_query (≙ prepare failure, whole
-    * group) | cast_error (≙ row-level exec failure). */
-  def route(parsed: DataFrame): RoutedBatch = {
+  /** Add the routing verdicts as plain columns — `known` (target
+    * schema registered) and `cast_ok` (every cell of the row coerces
+    * under its target's ladder, CASE-selected on the query string).
+    *
+    * Why up front: the try_cast conjunction tree is the single most
+    * expensive expression in the pipeline, and CASE branches defeat
+    * subexpression elimination across consumers — computing it once
+    * into the materialized batch means both sink lanes (good filter,
+    * dead-letter reason) read a cached boolean instead of re-running
+    * the whole ladder per lane. */
+  private def withVerdicts(parsed: DataFrame): DataFrame = {
     val known = Messages.targetSchemas.keys.toSeq
-    val isKnown = col("query").isin(known: _*)
-
-    // Row validity per known target, evaluated lazily via CASE on the
-    // query string — the failure reason for EVERY lane comes out of
-    // one expression tree, so the dead-letter side output is a single
-    // filtered pass over the batch instead of a union of re-parses.
     val castOkByQuery = Messages.targetSchemas.foldLeft(lit(true)) {
       case (acc, (q, schema)) =>
         val rowOk = schema.fields.zipWithIndex
           .map { case (f, i) => castCell(i, f)._2 }.reduce(_ && _)
         when(col("query") === q, rowOk).otherwise(acc)
     }
-    val reason = when(!col("decode_ok"), "decode_error")
-      .when(!isKnown, "unknown_query")
-      .when(!castOkByQuery, "cast_error")
+    parsed
+      .withColumn("known", col("query").isin(known: _*))
+      .withColumn("cast_ok", castOkByQuery)
+  }
 
+  /** Split one parsed batch into (typed good rows for `query`,
+    * dead letters). Dead letters carry the ORIGINAL body verbatim
+    * (reference reader/reader.go:168-179 forwards raw m.Body) plus a
+    * reason: decode_error | unknown_query (≙ prepare failure, whole
+    * group) | cast_error (≙ row-level exec failure). */
+  def route(parsed0: DataFrame): RoutedBatch = {
+    val parsed =
+      if (parsed0.columns.contains("cast_ok")) parsed0 else withVerdicts(parsed0)
+    val reason = when(!col("decode_ok"), "decode_error")
+      .when(!col("known"), "unknown_query")
+      .when(!col("cast_ok"), "cast_error")
+
+    // within a `query === q` filter the CASE-selected cast_ok IS that
+    // target's row validity, so the lanes only re-evaluate the (cheap,
+    // survivor-only) cast values — never the validity conjunction
     val perQuery = Messages.targetSchemas.map { case (q, schema) =>
       val cells = schema.fields.zipWithIndex.map { case (f, i) => castCell(i, f) }
-      val rowOk = cells.map(_._2).reduce(_ && _)
       val good = parsed
-        .filter(col("decode_ok") && col("query") === q && rowOk)
+        .filter(col("decode_ok") && col("query") === q && col("cast_ok"))
         .select(cells.map(_._1): _*)
       val deadCast = parsed
-        .filter(col("decode_ok") && col("query") === q && !rowOk)
+        .filter(col("decode_ok") && col("query") === q && !col("cast_ok"))
         .select(col("body"), lit("cast_error").as("reason"))
       q -> GroupResult(good, deadCast)
     }
@@ -102,7 +116,7 @@ object Pipeline {
     * from_json per column reference; with it, JSON is parsed exactly
     * once and routing runs over primitive columns. */
   def parseMaterialized(raw: DataFrame, bodyCol: String = "body"): DataFrame =
-    parse(raw, bodyCol)
+    withVerdicts(parse(raw, bodyCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Batched grouped sink (§2A-9): one parquet append per query group,

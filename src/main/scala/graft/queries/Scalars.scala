@@ -555,10 +555,51 @@ object Scalars {
         posexplode(split(col("s_name"), "#")).as(Seq("pos", "word")))
   }
 
+  /** Binary family: string↔binary encode/decode, base64 round trip,
+    * hex (lowercased — Spark emits uppercase digits, DuckDB lower),
+    * byte/bit lengths. */
+  val binaryFuncs: QueryDef = QueryDef(
+    "q_binary_funcs",
+    """SELECT s_suppkey,
+      | base64(encode(s_name)) AS b64,
+      | decode(from_base64(base64(encode(s_name)))) AS rt,
+      | lower(hex(encode(s_name))) AS hx,
+      | decode(unhex(hex(encode(s_name)))) AS hex_rt,
+      | CAST(octet_length(encode(s_name)) AS INT) AS n_bytes,
+      | CAST(bit_length(s_name) AS INT) AS n_bits
+      |FROM supplier""".stripMargin) { (s, dir) =>
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      base64(expr("encode(s_name, 'UTF-8')")).as("b64"),
+      expr("decode(unbase64(base64(encode(s_name, 'UTF-8'))), 'UTF-8')").as("rt"),
+      lower(hex(expr("encode(s_name, 'UTF-8')"))).as("hx"),
+      expr("decode(unhex(hex(encode(s_name, 'UTF-8'))), 'UTF-8')").as("hex_rt"),
+      expr("octet_length(s_name)").cast("int").as("n_bytes"),
+      expr("bit_length(s_name)").cast("int").as("n_bits"))
+  }
+
+  /** Null-handling family over the nullable event_type column:
+    * nvl / nvl2 / ifnull / null-safe comparison. */
+  val nullFuncs: QueryDef = QueryDef(
+    "q_null_funcs",
+    """SELECT event_id,
+      | coalesce(event_type, '<none>') AS type_or_none,
+      | CASE WHEN event_type IS NOT NULL THEN 'present' ELSE 'absent' END AS presence,
+      | ifnull(event_type, '?') AS type_or_q,
+      | (event_type IS NOT DISTINCT FROM 'click') AS is_click
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      expr("nvl(event_type, '<none>')").as("type_or_none"),
+      expr("nvl2(event_type, 'present', 'absent')").as("presence"),
+      expr("ifnull(event_type, '?')").as("type_or_q"),
+      expr("equal_null(event_type, 'click')").as("is_click"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
     strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter,
     strFuncs3, arrayFuncs3, mapFuncs2, mathFuncs2, dateFuncs3,
-    regexFuncs, posExplode)
+    regexFuncs, posExplode, binaryFuncs, nullFuncs)
 }

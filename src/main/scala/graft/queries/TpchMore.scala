@@ -171,7 +171,37 @@ object TpchMore {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Deterministic pagination: ORDER BY unique key + OFFSET/LIMIT
+    * (plans as a global sort + skip — at scale, pagination belongs on
+    * a key predicate, but the operator itself must exist). */
+  val limitOffset: QueryDef = QueryDef(
+    "q_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(40).limit(20)
+  }
+
+  /** LATERAL correlated subquery: per-customer aggregate computed in a
+    * lateral derived table (decorrelates to an aggregate + join). */
+  val lateralJoin: QueryDef = QueryDef(
+    "q_lateral_join",
+    """SELECT c_custkey, c_mktsegment, top_price
+      |FROM customer,
+      |LATERAL (SELECT max(o_totalprice) AS top_price
+      |         FROM orders WHERE o_custkey = c_custkey) t""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment, top_price
+        |FROM customer,
+        |LATERAL (SELECT max(o_totalprice) AS top_price
+        |         FROM orders WHERE o_custkey = c_custkey) t""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q4OrderPriority, q10Returns, q12PriorityClass, q14Promo,
-    q19BrandBands, joinExistence, sampleHash)
+    q19BrandBands, joinExistence, sampleHash, limitOffset, lateralJoin)
 }
