@@ -58,8 +58,20 @@ object Messages {
     * not corpus synthesis, and Catalyst can't clone the generator
     * expressions into pushed-down predicates. 24 shards also gives the
     * scan real parallelism (3 files = 3 tasks regardless of cores). */
-  def corpusDir(spark: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft_scratch/corpus_${corpusVersion}_" +
+  def corpusDir(spark: SparkSession, dir: String): String =
+    corpusDirImpl(spark, dir, "", identity)
+
+  /** 1/10th corpus (l_orderkey % 10 == 0) — for sinks where the full
+    * volume would only measure the external system (e.g. the JDBC
+    * pipeline); the oracle mirrors the same predicate. */
+  def corpusDirMini(spark: SparkSession, dir: String): String =
+    corpusDirImpl(spark, dir, "mini_",
+      _.where(org.apache.spark.sql.functions.col("l_orderkey") % 10 === 0))
+
+  private def corpusDirImpl(
+      spark: SparkSession, dir: String, variant: String,
+      narrow: DataFrame => DataFrame): String = {
+    val path = s"/tmp/graft_scratch/corpus_${corpusVersion}_$variant" +
       dir.replaceAll("[^a-zA-Z0-9.]", "_")
     def complete(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
     val dst = new java.io.File(path)
@@ -72,7 +84,8 @@ object Messages {
         f.delete()
       }
       val tmp = new java.io.File(path + s".tmp_${ProcessHandle.current().pid()}")
-      corpusFromLineitem(spark, dir).select(org.apache.spark.sql.functions.col("body"))
+      narrow(corpusFromLineitem(spark, dir))
+        .select(org.apache.spark.sql.functions.col("body"))
         .repartition(24).write.mode("overwrite").text(tmp.getAbsolutePath)
       if (!complete(dst)) { rm(dst); dst.getParentFile.mkdirs() }
       if (!tmp.renameTo(dst)) {

@@ -124,6 +124,34 @@ object Pipeline {
     * done, mirroring ack-after-commit ordering (writer/writer.go:177-186).
     * Writes are wrapped in the corrie retry policy; the pinned batch is
     * released afterwards (≙ buffers cleared post-flush). */
+  /** Batched grouped JDBC sink — the literal corrie shape (§2A-9:
+    * per-group batched INSERT into the target database, reference
+    * writer/writer.go:195-248) with the same write-failures-first
+    * ordering and retry policy as the parquet sink. Each query group
+    * appends to its own table (md5-keyed, ≙ the INSERT's target);
+    * Spark's JDBC writer batches 1000-row executeBatch rounds per
+    * partition, the driver-side analogue of the block-based insert. */
+  def sinkBatchJdbc(
+      raw: DataFrame, url: String, props: java.util.Properties,
+      deadDir: String): Unit = {
+    val parsed = parseMaterialized(raw)
+    try {
+      val batch = route(parsed)
+      batch.groups.foreach { case (q, g) =>
+        val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
+        // Derby folds unquoted identifiers to uppercase; the JDBC read
+        // side restores the original names
+        val up = g.good.select(g.good.columns.map(c => col(c).as(c.toUpperCase)): _*)
+        Retry.withBackoff() {
+          up.write.mode("append").jdbc(url, table, props)
+        }
+      }
+      Retry.withBackoff() {
+        batch.dead.write.mode("append").json(deadDir)
+      }
+    } finally parsed.unpersist(blocking = false)
+  }
+
   def sinkBatch(raw: DataFrame, outDir: String): Unit = {
     val parsed = parseMaterialized(raw)
     try {

@@ -227,8 +227,37 @@ object Joins {
         col("l_returnflag"), col("flag_n"))
   }
 
+  /** Co-located bucketed join: both sides written bucketed on the join
+    * key as external tables, then joined — with matching bucket counts
+    * neither side shuffles (the no-Exchange plan is asserted in
+    * BucketedJoinSpec; this entry proves the end-to-end result). At
+    * 100 TB, bucket-bucketing the two fact tables once turns every
+    * subsequent key join into a local zip of pre-sorted buckets. */
+  val joinBucketed: QueryDef = QueryDef(
+    "q_join_bucketed",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").option("path", Scratch.fresh("orders_bkt"))
+      .saveAsTable("graft_orders_bkt")
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").option("path", Scratch.fresh("customer_bkt"))
+      .saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("total_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
-    joinShuffle, joinSkewSalted)
+    joinShuffle, joinSkewSalted, joinBucketed)
 }

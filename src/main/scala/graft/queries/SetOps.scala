@@ -150,7 +150,49 @@ object SetOps {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
 
+  /** MERGE-style upsert as full-outer-join + coalesce (Spark on plain
+    * parquet has no MERGE INTO; this is the canonical batch upsert —
+    * matched rows take the update's values, unmatched keep the base,
+    * insert-only rows survive from the update side). The 10% "update
+    * feed" is derived deterministically from orders itself. */
+  val mergeUpsert: QueryDef = QueryDef(
+    "q_merge_upsert",
+    """WITH updates AS (
+      |  SELECT o_orderkey + 1000000 AS u_orderkey, o_totalprice * 2 AS u_totalprice, 'N' AS u_status
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey AS u_orderkey, o_totalprice * 1.1 AS u_totalprice, 'U' AS u_status
+      |  FROM orders WHERE o_orderkey % 10 = 7)
+      |SELECT
+      |  coalesce(u_orderkey, o_orderkey) AS o_orderkey,
+      |  coalesce(u_totalprice, o_totalprice) AS o_totalprice,
+      |  coalesce(u_status, o_orderstatus) AS o_orderstatus,
+      |  CASE WHEN o_orderkey IS NULL THEN 'inserted'
+      |       WHEN u_orderkey IS NULL THEN 'kept' ELSE 'updated' END AS merge_action
+      |FROM orders FULL JOIN updates ON o_orderkey = u_orderkey""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val updates = base.filter(col("o_orderkey") % 10 === 3)
+      .select((col("o_orderkey") + 1000000).as("u_orderkey"),
+        (col("o_totalprice") * 2).as("u_totalprice"), lit("N").as("u_status"))
+      .union(base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey").as("u_orderkey"),
+          (col("o_totalprice") * 1.1).as("u_totalprice"), lit("U").as("u_status")))
+    base.join(updates, col("o_orderkey") === col("u_orderkey"), "full")
+      .select(
+        coalesce(col("u_orderkey"), col("o_orderkey")).as("merged_key"),
+        coalesce(col("u_totalprice"), col("o_totalprice")).as("merged_price"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("merged_status"),
+        when(col("o_orderkey").isNull, "inserted")
+          .when(col("u_orderkey").isNull, "kept")
+          .otherwise("updated").as("merge_action"))
+      .withColumnRenamed("merged_key", "o_orderkey")
+      .withColumnRenamed("merged_price", "o_totalprice")
+      .withColumnRenamed("merged_status", "o_orderstatus")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sortLimit, sortNulls, unionAll, unionByNameQ, unionDistinct,
-    intersectQ, exceptQ, intersectAllQ, exceptAllQ, distinctQ, dedupByKey)
+    intersectQ, exceptQ, intersectAllQ, exceptAllQ, distinctQ, dedupByKey,
+    mergeUpsert)
 }

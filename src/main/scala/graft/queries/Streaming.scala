@@ -239,6 +239,48 @@ object Streaming {
     }
   }
 
+  /** The corrie pipeline with its REAL sink shape: streaming micro
+    * batches whose good rows append to a per-query-group table in an
+    * actual database over JDBC (embedded Derby), dead letters to the
+    * failed dir — queue → decode → route → batched grouped INSERT →
+    * ack, end to end (reference writer/writer.go:195-248). Runs on the
+    * 1/10th corpus so the measurement bounds the external system's
+    * share; returns the rows read back from the database. */
+  val pipelineJdbc: QueryDef = QueryDef(
+    "q_pipeline_jdbc",
+    goodRowsSql + "\n  AND l_orderkey % 10 = 0") { (s, dir) =>
+    System.setProperty("derby.system.home", Scratch.path("derby_home"))
+    new java.io.File(Scratch.path("derby_home")).mkdirs()
+    val url = s"jdbc:derby:${Scratch.path("derby_pipe_db")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val table = "SINK_" + graft.multimodal.Codecs
+      .md5hex(Messages.lineSinkQuery.getBytes("UTF-8")).toUpperCase
+    // deterministic rerun within one process: drop the sink table
+    // (Derby has no IF EXISTS — a missing table is the common case)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try { conn.createStatement().execute(s"DROP TABLE $table") }
+    catch { case _: java.sql.SQLException => () } finally conn.close()
+    val dead = scratch("pipe_jdbc_failed")
+    val ckpt = scratch("pipe_jdbc_ckpt")
+    val src = Messages.corpusDirMini(s, dir)
+    val stream = s.readStream.option("maxFilesPerTrigger", "12")
+      .text(src).withColumnRenamed("value", "body")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.sinkBatchJdbc(batch, url, props, dead)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.jdbc(url, table, props)
+      .select(col("L_ORDERKEY").as("l_orderkey"),
+        col("L_LINENUMBER").as("l_linenumber"),
+        col("L_QUANTITY").as("l_quantity"),
+        col("L_RETURNFLAG").as("l_returnflag"))
+  }
+
   /** Stream-static join: the streaming event feed enriched against a
     * broadcast dimension (nation keyed by user_id % 25) — no state
     * store at all; at scale the static side ships once per executor. */
@@ -334,7 +376,7 @@ object Streaming {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    pipelineBatch, pipelineDeadletter, pipelineStream,
+    pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     streamTumbling, streamSliding, sessionWindowQ, streamDedup,
     streamStreamJoin, streamStaticJoin, streamStatefulSessions)
 }
