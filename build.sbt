@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ queries of whole-stage codegen overflow the default 240MB JIT
+  // code cache; once full, compilation stops and hot loops run
+  // interpreted (measured 17x slowdown on the streaming pipeline late
+  // in a full bench run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

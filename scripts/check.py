@@ -31,7 +31,8 @@ def run_verify():
     classes = os.path.join(REPO, "target/scala-2.13/classes")
     cp = classes + ":" + "/opt/spark/jars/*"
     cmd = (["java"] + ADD_OPENS +
-           ["-Xmx8g", "-Dspark.ui.enabled=false",
+           ["-Xmx8g", "-XX:ReservedCodeCacheSize=1g",
+            "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", cp, "graft.Verify", SF, OUT])
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")

@@ -126,6 +126,34 @@ object Sources {
         col("o_year").cast("int").as("o_year"))
   }
 
+  /** CSV with non-default dialect options: pipe delimiter, explicit
+    * quoting, a null token, and strings that exercise the quote path —
+    * round-tripped through write+schema'd read. */
+  val csvOptions: QueryDef = QueryDef(
+    "q_csv_options",
+    """SELECT o_orderkey,
+      | nullif(o_orderstatus, 'P') AS st,
+      | o_orderpriority || '|' || o_orderstatus AS tricky
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val path = scratch("orders_csv_opts")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'P')").as("st"),
+        concat(col("o_orderpriority"), lit("|"), col("o_orderstatus")).as("tricky"))
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", "|")
+      .option("quote", "\"").option("nullValue", "\\N")
+      .csv(path)
+    s.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("st", StringType),
+        StructField("tricky", StringType))))
+      .option("header", "true").option("sep", "|")
+      .option("quote", "\"").option("nullValue", "\\N")
+      .csv(path)
+  }
+
   /** JDBC sink + partition-parallel JDBC source against embedded Derby
     * (the BASELINE north star's "JDBC sink" — §2A-9's batched INSERT
     * path and the schema-from-sink-metadata lookup of §1.4, against a
@@ -154,5 +182,5 @@ object Sources {
   }
 
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    msgCodec, partitionPrune, jdbcRoundtrip)
+    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions)
 }
