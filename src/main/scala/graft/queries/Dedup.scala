@@ -110,13 +110,16 @@ object Dedup {
   }
 
   /** Shared 16-bit SimHash expression (bit j = sign of ±1 votes of
-    * each word's j-th md5 hex digit high bit), over a `ws` column. */
+    * each word's j-th md5 hex digit high bit), over an `mds` column of
+    * per-word md5s — hashing is hoisted out of the 16-bit loop, which
+    * would otherwise recompute every word's md5 once per bit. */
   private val simhashSparkSql =
     """array_join(transform(sequence(0, 15),
-      |  j -> CASE WHEN aggregate(ws,
-      |         0, (a, x) -> a + (CASE WHEN substring(md5(x), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+      |  j -> CASE WHEN aggregate(mds,
+      |         0, (a, m) -> a + (CASE WHEN substring(m, j+1, 1) IN ('8','9','a','b','c','d','e','f')
       |                           THEN 1 ELSE -1 END)) > 0
       |       THEN '1' ELSE '0' END), '')""".stripMargin
+  private val md5WordsSparkSql = s"transform($wordsSql, x -> md5(x))"
   private val simhashDuckSql =
     """array_to_string(list_transform(range(0, 16),
       |    j -> CASE WHEN list_reduce(list_transform(ws,
@@ -131,7 +134,7 @@ object Dedup {
        |SELECT doc_id, $simhashDuckSql AS simhash
        |FROM w""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
-      .withColumn("ws", expr(wordsSql))
+      .withColumn("mds", expr(md5WordsSparkSql))
       .select(col("doc_id"), expr(simhashSparkSql).as("simhash"))
   }
 
@@ -153,10 +156,15 @@ object Dedup {
        | AND a.doc_id < b.doc_id
        |WHERE len(list_filter(range(1, 17),
        |    j -> substr(a.sh, CAST(j AS INT), 1) != substr(b.sh, CAST(j AS INT), 1))) <= 3""".stripMargin) { (s, dir) =>
+    // pin the signature table: both self-join sides would otherwise
+    // recompute the 16-bit vote aggregation over every word — at scale
+    // this is the materialized signature table between the map stage
+    // and the candidate join (same shape as the LSH band table)
     val h = Tables.documents(s, dir)
-      .withColumn("ws", expr(wordsSql))
+      .withColumn("mds", expr(md5WordsSparkSql))
       .select(col("doc_id"), col("lang"), col("source"),
         expr(simhashSparkSql).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = h.select(col("doc_id").as("d1"), col("lang"), col("source"),
       col("sh").as("sh1"), expr("substring(sh, 1, 4)").as("pfx"))
     val b = h.select(col("doc_id").as("d2"), col("lang").as("lang2"),
