@@ -237,7 +237,59 @@ object Dedup {
       .select(col("v1"), col("v2"), col("cos_sim"))
   }
 
+  /** The composite training-data cleaning pipeline — the operators
+    * above chained the way a 100 TB curation job runs them, cheapest
+    * filter first so each stage shrinks the next stage's input:
+    * quality gates (length / digit-ratio / word-count, map-only) →
+    * exact dedup (hash groupBy on the content key) → near-dup collapse
+    * (identical 16-bit SimHash within a (lang, source) block).
+    * Survivors carry their word count. */
+  val datasetClean: QueryDef = QueryDef(
+    "q_dataset_clean",
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, text, $duckWordsSql AS ws FROM documents),
+       |quality AS (
+       |  SELECT * FROM base
+       |  WHERE length(text) >= 100
+       |    AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE) < 0.3
+       |    AND len(ws) >= 10),
+       |keyed AS (
+       |  SELECT *, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ckey
+       |  FROM quality),
+       |exact AS (
+       |  SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY doc_id) AS rn
+       |  FROM keyed),
+       |sh AS (
+       |  SELECT doc_id, lang, source, len(ws) AS n_words, $simhashDuckSql AS sh16
+       |  FROM exact WHERE rn = 1),
+       |near AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang, source, sh16
+       |                               ORDER BY doc_id) AS rn2
+       |  FROM sh)
+       |SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+       |FROM near WHERE rn2 = 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wExact = Window.partitionBy(col("ckey")).orderBy(col("doc_id"))
+    val wNear = Window.partitionBy(col("lang"), col("source"), col("sh16"))
+      .orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(wordsSql))
+      .filter(length(col("text")) >= 100
+        && expr("CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE)") < 0.3
+        && expr("size(ws)") >= 10)
+      .withColumn("ckey", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") === 1)
+      .withColumn("mds", expr("transform(ws, x -> md5(x))"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("size(ws)").as("n_words"), expr(simhashSparkSql).as("sh16"))
+      .withColumn("rn2", row_number().over(wNear))
+      .filter(col("rn2") === 1)
+      .select(col("doc_id"), col("lang"), col("n_words").cast("long").as("n_words"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupSimhash,
-    dedupJaccard, dedupEmbed, dedupHamming)
+    dedupJaccard, dedupEmbed, dedupHamming, datasetClean)
 }
