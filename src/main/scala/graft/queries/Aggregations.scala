@@ -256,8 +256,19 @@ object Aggregations {
       .agg(topk(col("score"), col("id")).as("top_keys"))
   }
 
+  /** Sketch-based percentile (t-digest-style approx_percentile) —
+    * algorithm-specific like the HLL entry, so no SQL oracle; the
+    * exact percentile rides along and the spec bounds the error. */
+  val aggApproxPct: QueryDef = QueryDef.noOracle("q_agg_approx_pct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
-    aggHistogram, aggDistinct2, aggTopKUdaf)
+    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct)
 }

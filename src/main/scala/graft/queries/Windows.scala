@@ -173,6 +173,29 @@ object Windows {
       expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)").as("sum_1h"))
   }
 
+  /** IGNORE NULLS analytics: previous non-null reading and forward
+    * fill (last non-null value so far) — the standard gap-filling
+    * shape over a sparse sensor-style column. */
+  val winFillForward: QueryDef = QueryDef(
+    "q_win_fill_forward",
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, v,
+      | lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+      | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+      |FROM t""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        last(col("v"), ignoreNulls = true).over(wFill).as("filled_v"))
+  }
+
   val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
-    winRangeInterval)
+    winRangeInterval, winFillForward)
 }

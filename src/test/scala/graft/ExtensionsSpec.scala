@@ -46,6 +46,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("cosine_sim rejects wrong arity with a clear error") {
+    val ss = spark
+    import ss.implicits._
+    Seq(Tuple1(Array(1f, 2f))).toDF("a").createOrReplaceTempView("vecs1")
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(a) FROM vecs1").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exactly 2")),
+      s"expected arity message, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("SaltedJoin result set equals the plain join") {
     val ss = spark
     import ss.implicits._

@@ -48,6 +48,15 @@ class FunctionsSpec extends SparkSpec {
     assert(run(1) == run(7) && run(7) == run(32))
   }
 
+  test("approx_percentile stays close to the exact percentile") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+    val row = df.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact")).head()
+    val (approx, exact) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
   test("approx_count_distinct stays within the configured error bound") {
     val li = Tables.lineitem(spark, sf())
     val row = li.agg(
