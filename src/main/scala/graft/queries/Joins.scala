@@ -39,7 +39,7 @@ object Joins {
     "q_join_broadcast_star",
     """SELECT r_name, n_name,
       | COUNT(*) AS n_items,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue
+      | CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
@@ -52,7 +52,7 @@ object Joins {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_items"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))").as("revenue"))
+        expr("CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)").as("revenue"))
   }
 
   /** Left outer join: every customer, with order count (0 allowed). */

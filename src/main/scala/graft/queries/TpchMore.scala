@@ -15,7 +15,7 @@ import graft.Tables
 object TpchMore {
 
   private val decRevenue =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))"
+    "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)"
 
   /** TPC-H Q4 shape: order counts per priority where a correlated
     * EXISTS finds a late-shipped line (> 60 days after order).
@@ -95,28 +95,27 @@ object TpchMore {
     "q14_promo_effect",
     """WITH agg AS (
       |  SELECT
-      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    CAST(round(SUM(CASE WHEN p_type = 'PROMO'
       |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
-      |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS promo_rev,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS total_rev
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_rev,
+      |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS total_rev
       |  FROM lineitem JOIN part ON p_partkey = l_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
       |SELECT promo_rev, total_rev,
-      |  100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS promo_pct
+      |  100.0 * promo_rev / total_rev AS promo_pct
       |FROM agg""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
         && col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
       .join(broadcast(Tables.part(s, dir)), col("p_partkey") === col("l_partkey"))
       .agg(
-        expr("""CAST(SUM(CASE WHEN p_type = 'PROMO'
+        expr("""CAST(round(SUM(CASE WHEN p_type = 'PROMO'
                 |  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
-                |  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6))""".stripMargin).as("promo_rev"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))").as("total_rev"))
+                |  ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)""".stripMargin).as("promo_rev"),
+        expr("CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)").as("total_rev"))
       .select(col("promo_rev"), col("total_rev"),
-        (lit(100.0) * col("promo_rev").cast("double") / col("total_rev").cast("double"))
-          .as("promo_pct"))
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
   }
 
   /** TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions —
@@ -126,7 +125,7 @@ object TpchMore {
   val q19BrandBands: QueryDef = QueryDef(
     "q19_brand_bands",
     """SELECT COUNT(*) AS n_lines,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue
+      | CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
@@ -139,7 +138,7 @@ object TpchMore {
         (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) && col("l_quantity").between(20, 40)))
       .agg(
         count(lit(1)).as("n_lines"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))").as("revenue"))
+        expr("CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)").as("revenue"))
   }
 
   /** Existence join: an IN-subquery in the projection (not the filter)
