@@ -120,14 +120,28 @@ case class L2DistanceSq(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name takes exactly $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   /** Register `cosine_sim(a, b)` and `ngrams_3(text)` for use in
     * SQL/expr strings. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      "cosine_sim",
+      arity("cosine_sim(array<numeric>, array<numeric>)", 2)(
+        exprs => CosineSimilarity(exprs.head, exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngrams_3", exprs => NGramGenerator(exprs.head, 3), "built-in")
+      "ngrams_3",
+      arity("ngrams_3(text)", 1)(exprs => NGramGenerator(exprs.head, 3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_dist_sq", exprs => L2DistanceSq(exprs.head, exprs(1)), "built-in")
+      "l2_dist_sq",
+      arity("l2_dist_sq(array<numeric>, array<numeric>)", 2)(
+        exprs => L2DistanceSq(exprs.head, exprs(1))), "built-in")
   }
 }

@@ -68,32 +68,51 @@ object Messages {
     corpusDirImpl(spark, dir, "mini_",
       _.where(org.apache.spark.sql.functions.col("l_orderkey") % 10 === 0))
 
+  private val publishMonitor = new Object
+
   private def corpusDirImpl(
       spark: SparkSession, dir: String, variant: String,
-      narrow: DataFrame => DataFrame): String = {
+      narrow: DataFrame => DataFrame): String = publishMonitor.synchronized {
     val path = s"/tmp/graft_scratch/corpus_${corpusVersion}_$variant" +
       dir.replaceAll("[^a-zA-Z0-9.]", "_")
     def complete(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
-    val dst = new java.io.File(path)
-    if (!complete(dst)) {
-      // build in a pid-keyed temp dir, then publish with an atomic
-      // rename — concurrent processes (check.py while Bench runs) race
-      // benignly instead of corrupting each other's half-written cache
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-        f.delete()
-      }
-      val tmp = new java.io.File(path + s".tmp_${ProcessHandle.current().pid()}")
-      narrow(corpusFromLineitem(spark, dir))
-        .select(org.apache.spark.sql.functions.col("body"))
-        .repartition(24).write.mode("overwrite").text(tmp.getAbsolutePath)
-      if (!complete(dst)) { rm(dst); dst.getParentFile.mkdirs() }
-      if (!tmp.renameTo(dst)) {
-        if (complete(dst)) rm(tmp) // lost the race to a finished writer
-        else return tmp.getAbsolutePath // unpublishable — use our copy
-      }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
     }
-    path
+    val dst = new java.io.File(path)
+    if (complete(dst)) path
+    else {
+      // Serialize the whole check-build-publish window across processes
+      // (check.py while Bench runs) with an OS file lock: without it a
+      // writer whose !complete check narrowly preceded another writer's
+      // rename could rm() the freshly published cache.
+      dst.getParentFile.mkdirs()
+      val lockCh = java.nio.channels.FileChannel.open(
+        new java.io.File(path + ".lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock()
+        try {
+          if (complete(dst)) path // published while we waited on the lock
+          else {
+            val tmp = new java.io.File(path + s".tmp_${ProcessHandle.current().pid()}")
+            narrow(corpusFromLineitem(spark, dir))
+              .select(col("body"))
+              .repartition(24).write.mode("overwrite").text(tmp.getAbsolutePath)
+            rm(dst)
+            if (tmp.renameTo(dst)) path
+            else {
+              // unpublishable (e.g. cross-device): keep our private
+              // copy for this run, reap it on JVM exit
+              sys.addShutdownHook(rm(tmp))
+              tmp.getAbsolutePath
+            }
+          }
+        } finally lock.release()
+      } finally lockCh.close()
+    }
   }
 
   /** Deterministic message corpus derived from lineitem: mostly good

@@ -63,9 +63,11 @@ object Pipeline {
     * into the materialized batch means both sink lanes (good filter,
     * dead-letter reason) read a cached boolean instead of re-running
     * the whole ladder per lane. */
-  private def withVerdicts(parsed: DataFrame): DataFrame = {
-    val known = Messages.targetSchemas.keys.toSeq
-    val castOkByQuery = Messages.targetSchemas.foldLeft(lit(true)) {
+  private def withVerdicts(
+      parsed: DataFrame,
+      schemas: Map[String, StructType]): DataFrame = {
+    val known = schemas.keys.toSeq
+    val castOkByQuery = schemas.foldLeft(lit(true)) {
       case (acc, (q, schema)) =>
         val rowOk = schema.fields.zipWithIndex
           .map { case (f, i) => castCell(i, f)._2 }.reduce(_ && _)
@@ -81,9 +83,12 @@ object Pipeline {
     * (reference reader/reader.go:168-179 forwards raw m.Body) plus a
     * reason: decode_error | unknown_query (≙ prepare failure, whole
     * group) | cast_error (≙ row-level exec failure). */
-  def route(parsed0: DataFrame): RoutedBatch = {
+  def route(
+      parsed0: DataFrame,
+      schemas: Map[String, StructType] = Messages.targetSchemas): RoutedBatch = {
     val parsed =
-      if (parsed0.columns.contains("cast_ok")) parsed0 else withVerdicts(parsed0)
+      if (parsed0.columns.contains("cast_ok")) parsed0
+      else withVerdicts(parsed0, schemas)
     val reason = when(!col("decode_ok"), "decode_error")
       .when(!col("known"), "unknown_query")
       .when(!col("cast_ok"), "cast_error")
@@ -91,15 +96,14 @@ object Pipeline {
     // within a `query === q` filter the CASE-selected cast_ok IS that
     // target's row validity, so the lanes only re-evaluate the (cheap,
     // survivor-only) cast values — never the validity conjunction
-    val perQuery = Messages.targetSchemas.map { case (q, schema) =>
+    val perQuery = schemas.map { case (q, schema) =>
       val cells = schema.fields.zipWithIndex.map { case (f, i) => castCell(i, f) }
-      val good = parsed
-        .filter(col("decode_ok") && col("query") === q && col("cast_ok"))
-        .select(cells.map(_._1): _*)
-      val deadCast = parsed
-        .filter(col("decode_ok") && col("query") === q && !col("cast_ok"))
+      val matching = parsed.filter(col("decode_ok") && col("query") === q)
+      val good = matching.filter(col("cast_ok"))
+        .select(col("body") +: cells.map(_._1): _*)
+      val deadCast = matching.filter(!col("cast_ok"))
         .select(col("body"), lit("cast_error").as("reason"))
-      q -> GroupResult(good, deadCast)
+      q -> GroupResult(good, deadCast, schema)
     }
 
     val allDead = parsed
@@ -115,28 +119,31 @@ object Pipeline {
     * downstream lane re-runs the (non-codegen, CSE-resistant)
     * from_json per column reference; with it, JSON is parsed exactly
     * once and routing runs over primitive columns. */
-  def parseMaterialized(raw: DataFrame, bodyCol: String = "body"): DataFrame =
-    withVerdicts(parse(raw, bodyCol))
+  def parseMaterialized(
+      raw: DataFrame, bodyCol: String = "body",
+      schemas: Map[String, StructType] = Messages.targetSchemas): DataFrame =
+    withVerdicts(parse(raw, bodyCol), schemas)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Batched grouped sink (§2A-9): one parquet append per query group,
-    * then dead letters — failures written BEFORE declaring the batch
-    * done, mirroring ack-after-commit ordering (writer/writer.go:177-186).
-    * Writes are wrapped in the corrie retry policy; the pinned batch is
-    * released afterwards (≙ buffers cleared post-flush). */
   /** Batched grouped JDBC sink — the literal corrie shape (§2A-9:
     * per-group batched INSERT into the target database, reference
     * writer/writer.go:195-248) with the same write-failures-first
     * ordering and retry policy as the parquet sink. Each query group
     * appends to its own table (md5-keyed, ≙ the INSERT's target);
     * Spark's JDBC writer batches 1000-row executeBatch rounds per
-    * partition, the driver-side analogue of the block-based insert. */
+    * partition, the driver-side analogue of the block-based insert.
+    *
+    * One Spark job per group is inherent to the JDBC lane (each group
+    * targets a different table over one connection pool) — at corrie's
+    * unbounded dynamic-query cardinality the group count must be capped
+    * upstream; the parquet lane ([[sinkBatch]]) has no such limit. */
   def sinkBatchJdbc(
       raw: DataFrame, url: String, props: java.util.Properties,
-      deadDir: String): Unit = {
-    val parsed = parseMaterialized(raw)
+      deadDir: String,
+      schemas: Map[String, StructType] = Messages.targetSchemas): Unit = {
+    val parsed = parseMaterialized(raw, schemas = schemas)
     try {
-      val batch = route(parsed)
+      val batch = route(parsed, schemas)
       batch.groups.foreach { case (q, g) =>
         val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
         // Derby folds unquoted identifiers to uppercase; the JDBC read
@@ -152,17 +159,58 @@ object Pipeline {
     } finally parsed.unpersist(blocking = false)
   }
 
-  def sinkBatch(raw: DataFrame, outDir: String): Unit = {
-    val parsed = parseMaterialized(raw)
+  /** [[sinkBatchJdbc]] with sink-time per-row failure isolation — the
+    * reference's signature write behavior (writer/writer.go:218-233: a
+    * row whose `Exec` fails inside the database dead-letters alone and
+    * the commit proceeds for the rest). Good rows stream through
+    * [[RowIsolatedJdbcSink.writeIsolated]]; its lazily-evaluated
+    * failure dataset is unioned with the routing dead letters so ONE
+    * action drives both the inserts and the dead-letter append
+    * (ack-after-commit ordering). Target tables must already exist
+    * ([[RowIsolatedJdbcSink.ensureTable]]) — their constraints are
+    * exactly the failures this sink isolates, so DDL is the caller's. */
+  def sinkBatchJdbcIsolated(
+      raw: DataFrame, url: String, deadDir: String,
+      schemas: Map[String, StructType] = Messages.targetSchemas): Unit = {
+    val parsed = parseMaterialized(raw, schemas = schemas)
     try {
-      val batch = route(parsed)
-      batch.groups.foreach { case (q, g) =>
-        // md5 of the query string: a 32-bit hashCode can collide and
-        // silently mix two targets' schemas in one directory
+      val batch = route(parsed, schemas)
+      val execDead = batch.groups.map { case (q, g) =>
+        val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
+        RowIsolatedJdbcSink.writeIsolated(g.goodWithBody, g.schema, url, table).toDF()
+      }.reduce(_ union _)
+      Retry.withBackoff() {
+        batch.dead.union(execDead).write.mode("append").json(deadDir)
+      }
+    } finally parsed.unpersist(blocking = false)
+  }
+
+  /** Batched grouped parquet sink (§2A-9): ONE dynamic-partition append
+    * covers every query group — rows are tagged with the md5 of their
+    * query string (a 32-bit hashCode can collide and silently mix two
+    * targets' schemas in one directory) and written with
+    * `partitionBy("query")`, so the job count per micro-batch is 2
+    * (good + dead) regardless of group cardinality. corrie's query
+    * strings are unbounded (SURVEY §1.3) — a job per group would make
+    * jobs-per-microbatch scale with data, the classic driver bottleneck.
+    * Heterogeneous target schemas merge by name (absent columns null),
+    * which parquet partition discovery reassembles on read. Dead
+    * letters are written before the batch is declared done, mirroring
+    * ack-after-commit ordering (writer/writer.go:177-186); writes are
+    * wrapped in the corrie retry policy; the pinned batch is released
+    * afterwards (≙ buffers cleared post-flush). */
+  def sinkBatch(
+      raw: DataFrame, outDir: String,
+      schemas: Map[String, StructType] = Messages.targetSchemas): Unit = {
+    val parsed = parseMaterialized(raw, schemas = schemas)
+    try {
+      val batch = route(parsed, schemas)
+      val tagged = batch.groups.map { case (q, g) =>
         val safe = graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8"))
-        Retry.withBackoff() {
-          g.good.write.mode("append").parquet(s"$outDir/good/query=$safe")
-        }
+        g.good.withColumn("query", lit(safe))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      Retry.withBackoff() {
+        tagged.write.mode("append").partitionBy("query").parquet(s"$outDir/good")
       }
       Retry.withBackoff() {
         batch.dead.write.mode("append").json(s"$outDir/failed")
@@ -171,7 +219,13 @@ object Pipeline {
   }
 }
 
-final case class GroupResult(good: DataFrame, dead: DataFrame)
+/** One routed query group. `goodWithBody` keeps the original wire body
+  * alongside the typed cells so a sink-time failure can dead-letter the
+  * verbatim message; `good` is the typed-cells-only view sinks append. */
+final case class GroupResult(
+    goodWithBody: DataFrame, dead: DataFrame, schema: StructType) {
+  def good: DataFrame = goodWithBody.drop("body")
+}
 
 final case class RoutedBatch(
     groups: Map[String, GroupResult],

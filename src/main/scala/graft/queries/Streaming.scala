@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
-import graft.pipeline.{Messages, Pipeline}
+import graft.pipeline.{Messages, Pipeline, RowIsolatedJdbcSink}
 
 /** Streaming surface (SURVEY.md §2B "Streaming"): the corrie pipeline
   * in batch and true Structured-Streaming form, plus event-time window
@@ -281,6 +281,47 @@ object Streaming {
         col("L_RETURNFLAG").as("l_returnflag"))
   }
 
+  /** The JDBC pipeline with sink-time per-row failure isolation — the
+    * reference's signature write behavior (writer/writer.go:218-233).
+    * The target table carries a CHECK (L_QUANTITY <= 48) the cast
+    * ladder cannot see: rows with quantity 49-50 pass coercion, fail
+    * inside Derby, dead-letter individually, and the commit proceeds
+    * for every other row of the same batch. Result = the survivors
+    * read back from the database; the dead-letter half is asserted by
+    * SinkSpec. */
+  val pipelineJdbcRowfail: QueryDef = QueryDef(
+    "q_pipeline_jdbc_rowfail",
+    goodRowsSql + "\n  AND l_orderkey % 10 = 0\n  AND l_quantity <= 48") { (s, dir) =>
+    System.setProperty("derby.system.home", Scratch.path("derby_home"))
+    new java.io.File(Scratch.path("derby_home")).mkdirs()
+    val url = s"jdbc:derby:${Scratch.path("derby_rowfail_db")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val table = "SINK_" + graft.multimodal.Codecs
+      .md5hex(Messages.lineSinkQuery.getBytes("UTF-8")).toUpperCase
+    RowIsolatedJdbcSink.dropTable(url, table)
+    RowIsolatedJdbcSink.ensureTable(url, table, Messages.lineSinkSchema,
+      Seq("CHECK (L_QUANTITY <= 48)"))
+    val dead = scratch("pipe_rowfail_failed")
+    val ckpt = scratch("pipe_rowfail_ckpt")
+    val src = Messages.corpusDirMini(s, dir)
+    val stream = s.readStream.option("maxFilesPerTrigger", "12")
+      .text(src).withColumnRenamed("value", "body")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.sinkBatchJdbcIsolated(batch, url, dead)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.jdbc(url, table, props)
+      .select(col("L_ORDERKEY").as("l_orderkey"),
+        col("L_LINENUMBER").as("l_linenumber"),
+        col("L_QUANTITY").as("l_quantity"),
+        col("L_RETURNFLAG").as("l_returnflag"))
+  }
+
   /** Stream-static join: the streaming event feed enriched against a
     * broadcast dimension (nation keyed by user_id % 25) — no state
     * store at all; at scale the static side ships once per executor. */
@@ -377,6 +418,6 @@ object Streaming {
 
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
-    streamTumbling, streamSliding, sessionWindowQ, streamDedup,
-    streamStreamJoin, streamStaticJoin, streamStatefulSessions)
+    pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
+    streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions)
 }

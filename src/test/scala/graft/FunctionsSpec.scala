@@ -104,6 +104,15 @@ class FunctionsSpec extends SparkSpec {
     assert(m == 3)
   }
 
+  test("temp-registered vector functions reject wrong arity cleanly") {
+    VectorFunctions.register(spark)
+    val df = Seq(Array(1f, 2f)).toDF("a")
+    for (call <- Seq("cosine_sim(a)", "l2_dist_sq(a)", "ngrams_3(a, a)")) {
+      val e = intercept[Exception] { df.selectExpr(call).collect() }
+      assert(e.getMessage.contains("argument"), s"$call: ${e.getMessage}")
+    }
+  }
+
   test("L2DistanceSq: known values, float query vs double centroid") {
     VectorFunctions.register(spark)
     val df = Seq((Array(1f, 2f, 3f), Array(1.0, 0.0, 3.0))).toDF("a", "b")
