@@ -358,12 +358,25 @@ object Streaming {
     t
   }
 
+  /** Open-session state for the incremental sessionizer: start / last
+    * event / count, all in epoch micros. */
+  case class SessState(start: Long, last: Long, n: Long)
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * arbitrary-state API corrie's count+time flush maps to (SURVEY
-    * §2A-5,6). Source is written as one file so the drain trigger
-    * delivers each user's full history to a single group invocation,
-    * making the output equal to the gaps-and-islands oracle (the
-    * cross-batch replay semantics are covered by StatefulFlushSpec). */
+    * §2A-5,6), in its SCALE shape: state per user is only the open
+    * session (start, last, n), sessions close incrementally when a
+    * later batch's event exceeds the gap, and the final session is
+    * flushed by an EventTimeTimeout once the watermark passes
+    * last + gap — a hot user costs O(1) state, not O(history).
+    *
+    * The source is the event history sliced into 4 chronological
+    * parquet files consumed one per micro-batch (maxFilesPerTrigger=1),
+    * so state genuinely carries across ≥4 batches; a far-future
+    * sentinel event in the last slice advances the watermark past
+    * every real last+gap, firing the timeouts in the trailing no-data
+    * batch. Disorder across slices is zero by construction; intra-batch
+    * disorder is sorted per invocation. */
   val streamStatefulSessions: QueryDef = QueryDef(
     "q_stream_sessions",
     """WITH flagged AS (
@@ -382,31 +395,75 @@ object Streaming {
     withShufflePartitions(s, 8) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val src = scratch("sess_src")
-    Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
-      .coalesce(1).write.mode("overwrite").parquet(src)
     val gapUs = 10L * 60 * 1000000
+    val gapMs = gapUs / 1000
+
+    // --- build the chronological multi-file source -------------------
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val lo = tsMicros(mm.getTimestamp(0))
+    val hi = tsMicros(mm.getTimestamp(1))
+    val srcDir = new java.io.File(scratch("sess_src"))
+    val nSlices = 4
+    val sentinelUs = hi + gapUs + 3600L * 1000000
+    for (i <- 0 until nSlices) {
+      val sliceLo = lo + (hi - lo + 1) * i / nSlices
+      val sliceHi = lo + (hi - lo + 1) * (i + 1) / nSlices
+      var slice = ev.filter(
+        unix_micros(col("ts")) >= sliceLo && unix_micros(col("ts")) < sliceHi)
+      if (i == nSlices - 1)
+        // watermark sentinel: one fake far-future event whose user is
+        // filtered out of the output; it pushes the watermark past
+        // every real session's last + gap so the timeouts fire
+        slice = slice.unionByName(Seq((-1L, microsTs(sentinelUs), 0L))
+          .toDF("user_id", "ts", "event_id"))
+      val tmp = scratch(s"sess_tmp_$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dstF = new java.io.File(srcDir, f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dstF.toPath)
+      // file source orders by modification time: pin the batch order
+      dstF.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    // --- the incremental sessionizer ---------------------------------
     val stream = s.readStream
       .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
-      .parquet(src).as[SessEvent]
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .withWatermark("ts", "1 second")
+      .as[SessEvent]
     val sessions = stream.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, evs: Iterator[SessEvent], _: GroupState[Long]) =>
-          val sorted = evs.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
-          var start, last = -1L
-          var n = 0L
-          for (e <- sorted) {
-            val us = tsMicros(e.ts)
-            if (start < 0) { start = us; n = 0 }
-            else if (us - last > gapUs) {
-              out += SessOut(uid, microsTs(start), microsTs(last + gapUs), n)
-              start = us; n = 0
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (uid == -1L) { // the sentinel never yields a session
+            if (state.exists) state.remove()
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessOut(uid, microsTs(st.start), microsTs(st.last + gapUs), st.n))
+          } else {
+            val sorted = evs.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            var (start, last, n) = state.getOption
+              .map(st => (st.start, st.last, st.n)).getOrElse((-1L, -1L, 0L))
+            for (e <- sorted) {
+              val us = tsMicros(e.ts)
+              if (start < 0) { start = us; n = 0 }
+              else if (us - last > gapUs) {
+                out += SessOut(uid, microsTs(start), microsTs(last + gapUs), n)
+                start = us; n = 0
+              }
+              last = us; n += 1
             }
-            last = us; n += 1
+            state.update(SessState(start, last, n))
+            state.setTimeoutTimestamp(last / 1000 + gapMs)
+            out.iterator
           }
-          if (start >= 0) out += SessOut(uid, microsTs(start), microsTs(last + gapUs), n)
-          out.iterator
       }
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("graft_sessions")
