@@ -109,6 +109,66 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
+  /** LSH-verified near-dup — the true 100 TB candidate→verify shape:
+    * the banded-LSH candidate pairs (sub-quadratic, skew-capped) are
+    * verified with the EXACT word-set Jaccard, so the expensive
+    * O(|A|+|B|) set comparison runs only on pairs the signatures
+    * already flagged — never on every pair of a coarse (lang, source)
+    * block (q_dedup_jaccard's demo blocking goes quadratic inside a
+    * block at scale; this does not). The tokenized doc table is
+    * persisted once and reused by the signature map stage and both
+    * verify-join sides. */
+  val dedupLshVerified: QueryDef = QueryDef(
+    "q_dedup_lsh_verified",
+    s"""WITH w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |bands AS (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+       |  FROM sig, unnest(range(0, 4)) AS t(b)),
+       |sized AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN sized sz ON a.bk = sz.bk)
+       |SELECT c.d1, c.d2,
+       |  CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN w wa ON wa.doc_id = c.d1
+       |JOIN w wb ON wb.doc_id = c.d2
+       |WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = w.select(col("doc_id"), expr(
+      """transform(sequence(0, 7),
+        |  s -> array_min(transform(ws,
+        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    val bands = sig
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = bands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val cand = bands.select(col("doc_id").as("d1"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .join(sized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
+      .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Shared 16-bit SimHash expression (bit j = sign of ±1 votes of
     * each word's j-th md5 hex digit high bit), over an `mds` column of
     * per-word md5s — hashing is hoisted out of the 16-bit loop, which
@@ -290,6 +350,6 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhashSig, dedupLshPairs, dedupSimhash,
-    dedupJaccard, dedupEmbed, dedupHamming, datasetClean)
+    dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
+    dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming, datasetClean)
 }
