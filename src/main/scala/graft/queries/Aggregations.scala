@@ -28,15 +28,29 @@ object Aggregations {
         countDistinct(col("l_suppkey")).as("n_supps"))
   }
 
-  /** HLL approximate distinct — algorithm-specific, so no SQL oracle;
-    * the driver records a rows-only check and the scalatest spec bounds
-    * the relative error against the exact count. */
-  val aggApprox: QueryDef = QueryDef.noOracle("q_agg_approx_distinct") { (s, dir) =>
+  /** HLL approximate distinct, verified through the oracle: the sketch
+    * estimate itself is algorithm-specific (not SQL-reproducible), so
+    * the query emits the exact count plus a Spark-computed
+    * `within_bound` flag asserting the HLL estimate landed within 5%
+    * relative error. The oracle reproduces the exact count and the
+    * always-true flag, so the driver hash-compares the full row while
+    * the sketch is still exercised on the Spark side. */
+  val aggApprox: QueryDef = QueryDef(
+    "q_agg_approx_distinct",
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS exact_parts,
+      | TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts") <= lit(0.05)).as("within_bound"))
   }
 
   /** ROLLUP with grouping() flags (cast-aligned across engines). */
@@ -256,15 +270,28 @@ object Aggregations {
       .agg(topk(col("score"), col("id")).as("top_keys"))
   }
 
-  /** Sketch-based percentile (t-digest-style approx_percentile) —
-    * algorithm-specific like the HLL entry, so no SQL oracle; the
-    * exact percentile rides along and the spec bounds the error. */
-  val aggApproxPct: QueryDef = QueryDef.noOracle("q_agg_approx_pct") { (s, dir) =>
+  /** Sketch-based percentile (approx_percentile), verified through the
+    * oracle like the HLL entry: the sketch output is algorithm-specific,
+    * so the query emits the exact interpolated median (rounded to 6 dp
+    * per the determinism policy) plus a Spark-computed `within_bound`
+    * flag asserting the sketch landed within 5% relative error. Oracle =
+    * same exact median + literal TRUE. */
+  val aggApproxPct: QueryDef = QueryDef(
+    "q_agg_approx_pct",
+    """SELECT l_returnflag,
+      | round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 6) AS exact_median,
+      | TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+      .select(
+        col("l_returnflag"),
+        round(col("exact_median"), 6).as("exact_median"),
+        (abs(col("approx_median") - col("exact_median")) /
+          col("exact_median") <= lit(0.05)).as("within_bound"))
   }
 
   val defs: Seq[QueryDef] = Seq(
