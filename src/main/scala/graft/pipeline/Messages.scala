@@ -68,13 +68,20 @@ object Messages {
     corpusDirImpl(spark, dir, "mini_",
       _.where(org.apache.spark.sql.functions.col("l_orderkey") % 10 === 0))
 
-  private val publishMonitor = new Object
+  /** In-JVM mutex per cache path — only same-path builders serialize
+    * (a mini-corpus build never waits behind a full-corpus build, nor
+    * one SF behind another); cross-process exclusion is the per-path
+    * OS file lock below. */
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def corpusDirImpl(
       spark: SparkSession, dir: String, variant: String,
-      narrow: DataFrame => DataFrame): String = publishMonitor.synchronized {
+      narrow: DataFrame => DataFrame): String = {
     val path = s"/tmp/graft_scratch/corpus_${corpusVersion}_$variant" +
       dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val monitor = publishMonitors.computeIfAbsent(path, _ => new Object)
+    monitor.synchronized {
     def complete(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
@@ -112,6 +119,7 @@ object Messages {
           }
         } finally lock.release()
       } finally lockCh.close()
+    }
     }
   }
 

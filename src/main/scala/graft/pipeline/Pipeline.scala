@@ -23,11 +23,22 @@ object Pipeline {
     * skips conditionally-evaluated exprs) — extracting here keeps
     * exactly ONE parse per row for the whole downstream routing tree.
     * A message without a Query is as dead as corrupt JSON. */
+  /** Internal carried-column names. corrie's query strings and target
+    * schemas are caller-controlled and unbounded, so a plain `body` /
+    * `query` column would collide with a target field of the same name
+    * (dropping both, or silently overwriting the user's data). The
+    * double-underscore names are reserved and rejected in [[route]];
+    * dead letters rename back to the external `body` at the sink
+    * boundary. */
+  val BodyCol = "__graft_body"
+  val QueryTagCol = "__graft_query"
+  private val reserved = Set(BodyCol, QueryTagCol)
+
   def parse(raw: DataFrame, bodyCol: String = "body"): DataFrame = {
     raw
-      .select(col(bodyCol).as("body"), Messages.decode(col(bodyCol)).as("p"))
+      .select(col(bodyCol).as(BodyCol), Messages.decode(col(bodyCol)).as("p"))
       .select(
-        col("body"),
+        col(BodyCol),
         col("p.Query").as("query"),
         col("p.Data").as("data"),
         // corrupt JSON → null struct → null Query; a message without
@@ -86,6 +97,11 @@ object Pipeline {
   def route(
       parsed0: DataFrame,
       schemas: Map[String, StructType] = Messages.targetSchemas): RoutedBatch = {
+    schemas.foreach { case (q, schema) =>
+      val clash = schema.fieldNames.filter(reserved)
+      require(clash.isEmpty,
+        s"target schema for '$q' uses reserved column(s): ${clash.mkString(",")}")
+    }
     val parsed =
       if (parsed0.columns.contains("cast_ok")) parsed0
       else withVerdicts(parsed0, schemas)
@@ -100,16 +116,16 @@ object Pipeline {
       val cells = schema.fields.zipWithIndex.map { case (f, i) => castCell(i, f) }
       val matching = parsed.filter(col("decode_ok") && col("query") === q)
       val good = matching.filter(col("cast_ok"))
-        .select(col("body") +: cells.map(_._1): _*)
+        .select(col(BodyCol) +: cells.map(_._1): _*)
       val deadCast = matching.filter(!col("cast_ok"))
-        .select(col("body"), lit("cast_error").as("reason"))
+        .select(col(BodyCol).as("body"), lit("cast_error").as("reason"))
       q -> GroupResult(good, deadCast, schema)
     }
 
     val allDead = parsed
       .withColumn("reason", reason)
       .filter(col("reason").isNotNull)
-      .select(col("body"), col("reason"))
+      .select(col(BodyCol).as("body"), col("reason"))
     RoutedBatch(perQuery, allDead)
   }
 
@@ -164,32 +180,44 @@ object Pipeline {
     * row whose `Exec` fails inside the database dead-letters alone and
     * the commit proceeds for the rest). Good rows stream through
     * [[RowIsolatedJdbcSink.writeIsolated]]; its lazily-evaluated
-    * failure dataset is unioned with the routing dead letters so ONE
-    * action drives both the inserts and the dead-letter append
-    * (ack-after-commit ordering). Target tables must already exist
-    * ([[RowIsolatedJdbcSink.ensureTable]]) — their constraints are
-    * exactly the failures this sink isolates, so DDL is the caller's. */
+    * failure dataset is materialized by an eager `localCheckpoint` —
+    * the one action that drives the inserts, exactly once — and only
+    * the dead-letter JSON append sits inside the retry loop, so a
+    * transient failure of the dead-letter write can never re-execute
+    * the (non-idempotent) JDBC inserts. Inserts still commit before
+    * the batch is declared done (ack-after-commit ordering). Target
+    * tables must already exist ([[RowIsolatedJdbcSink.ensureTable]]) —
+    * their constraints are exactly the failures this sink isolates, so
+    * DDL is the caller's. */
   def sinkBatchJdbcIsolated(
       raw: DataFrame, url: String, deadDir: String,
       schemas: Map[String, StructType] = Messages.targetSchemas): Unit = {
     val parsed = parseMaterialized(raw, schemas = schemas)
+    var execDead: Option[DataFrame] = None
     try {
       val batch = route(parsed, schemas)
-      val execDead = batch.groups.map { case (q, g) =>
+      // eager + lineage-severing: the checkpoint IS the insert action,
+      // and the checkpointed blocks can never be recomputed (a lost
+      // block fails the job instead of silently re-inserting)
+      execDead = batch.groups.map { case (q, g) =>
         val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
         RowIsolatedJdbcSink.writeIsolated(g.goodWithBody, g.schema, url, table).toDF()
-      }.reduce(_ union _)
+      }.reduceOption(_ union _).map(_.localCheckpoint(eager = true))
+      val allDead = execDead.fold(batch.dead)(batch.dead.union)
       Retry.withBackoff() {
-        batch.dead.union(execDead).write.mode("append").json(deadDir)
+        allDead.write.mode("append").json(deadDir)
       }
-    } finally parsed.unpersist(blocking = false)
+    } finally {
+      execDead.foreach(_.unpersist(blocking = false))
+      parsed.unpersist(blocking = false)
+    }
   }
 
   /** Batched grouped parquet sink (§2A-9): ONE dynamic-partition append
     * covers every query group — rows are tagged with the md5 of their
     * query string (a 32-bit hashCode can collide and silently mix two
     * targets' schemas in one directory) and written with
-    * `partitionBy("query")`, so the job count per micro-batch is 2
+    * `partitionBy(__graft_query)`, so the job count per micro-batch is 2
     * (good + dead) regardless of group cardinality. corrie's query
     * strings are unbounded (SURVEY §1.3) — a job per group would make
     * jobs-per-microbatch scale with data, the classic driver bottleneck.
@@ -207,10 +235,12 @@ object Pipeline {
       val batch = route(parsed, schemas)
       val tagged = batch.groups.map { case (q, g) =>
         val safe = graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8"))
-        g.good.withColumn("query", lit(safe))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      Retry.withBackoff() {
-        tagged.write.mode("append").partitionBy("query").parquet(s"$outDir/good")
+        g.good.withColumn(QueryTagCol, lit(safe))
+      }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      tagged.foreach { t =>
+        Retry.withBackoff() {
+          t.write.mode("append").partitionBy(QueryTagCol).parquet(s"$outDir/good")
+        }
       }
       Retry.withBackoff() {
         batch.dead.write.mode("append").json(s"$outDir/failed")
@@ -224,7 +254,7 @@ object Pipeline {
   * verbatim message; `good` is the typed-cells-only view sinks append. */
 final case class GroupResult(
     goodWithBody: DataFrame, dead: DataFrame, schema: StructType) {
-  def good: DataFrame = goodWithBody.drop("body")
+  def good: DataFrame = goodWithBody.drop(Pipeline.BodyCol)
 }
 
 final case class RoutedBatch(

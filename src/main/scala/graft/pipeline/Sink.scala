@@ -66,6 +66,25 @@ object RowIsolatedJdbcSink {
     catch { case _: SQLException => () } finally conn.close()
   }
 
+  /** SQLState class 40 = transaction rollback (deadlock 40001, Derby
+    * lock timeout 40XL1): the whole transaction is already gone, not
+    * just the statement. Class 08 = connection exception: nothing
+    * further can commit. Either way per-row attribution is impossible
+    * and the partition must be replayed, so the caller rethrows. Walks
+    * the exception chain — Derby wraps the root SQLState in
+    * getNextException for batch failures. */
+  private def isTransactionSeverity(e: SQLException): Boolean = {
+    var cur: SQLException = e
+    var hops = 0
+    while (cur != null && hops < 8) {
+      val st = cur.getSQLState
+      if (st != null && (st.startsWith("40") || st.startsWith("08"))) return true
+      cur = cur.getNextException
+      hops += 1
+    }
+    false
+  }
+
   private def bind(
       ps: PreparedStatement, row: Row, colIdx: Array[Int],
       fields: Array[StructField]): Unit = {
@@ -87,8 +106,9 @@ object RowIsolatedJdbcSink {
     }
   }
 
-  /** Append the typed cells of `goodWithBody` (schema: `body` + the
-    * target's columns) to `table`, isolating per-row failures.
+  /** Append the typed cells of `goodWithBody` (schema: the internal
+    * carried-body column + the target's columns) to `table`, isolating
+    * per-row failures.
     *
     * Returns the failed rows as a LAZY dataset — materializing it IS
     * the write. Union it into the dead-letter append so one action
@@ -102,9 +122,9 @@ object RowIsolatedJdbcSink {
     val fields = schema.fields
     val cols = goodWithBody.columns
     val colIdx = fields.map(f => cols.indexOf(f.name))
-    val bodyIdx = cols.indexOf("body")
+    val bodyIdx = cols.indexOf(Pipeline.BodyCol)
     require(bodyIdx >= 0 && colIdx.forall(_ >= 0),
-      s"goodWithBody must carry body + ${fields.map(_.name).mkString(",")}")
+      s"goodWithBody must carry ${Pipeline.BodyCol} + ${fields.map(_.name).mkString(",")}")
     val insert =
       s"INSERT INTO $table (${fields.map(_.name.toUpperCase).mkString(", ")}) " +
         s"VALUES (${fields.map(_ => "?").mkString(", ")})"
@@ -123,7 +143,7 @@ object RowIsolatedJdbcSink {
           def replayRow(r: Row): Unit =
             try { bind(ps, r, colIdx, fields); ps.executeUpdate(); () }
             catch {
-              case e: SQLException =>
+              case e: SQLException if !isTransactionSeverity(e) =>
                 failed += DeadLetter(
                   r.getString(bodyIdx), s"exec_error: ${e.getSQLState}")
             }
@@ -134,9 +154,14 @@ object RowIsolatedJdbcSink {
               ps.executeBatch()
             } catch {
               case e: BatchUpdateException =>
-                // a statement-severity failure aborts only the batch,
-                // not the transaction; getUpdateCounts says which rows
-                // already applied — replay exactly the rest one-by-one
+                // Only a STATEMENT-severity failure aborts just the
+                // batch; a transaction-severity one (deadlock / lock
+                // timeout, SQLState class 40, or a dead connection,
+                // class 08) has already rolled back the applied prefix,
+                // so getUpdateCounts lies about what committed —
+                // rethrow and let Spark's task retry replay the whole
+                // partition (the documented at-least-once contract).
+                if (isTransactionSeverity(e)) throw e
                 ps.clearBatch()
                 val counts = e.getUpdateCounts
                 chunk.zipWithIndex.foreach { case (r, i) =>

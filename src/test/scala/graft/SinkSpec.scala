@@ -74,9 +74,21 @@ class SinkSpec extends SparkSpec {
     val corpus = lineMsgs.union(partMsgs)
     val out = Scratch.fresh("sinkspec_multigroup")
 
+    // Count ACTIONS, not raw jobs: every job spawned by one write
+    // action (including AQE re-plans, dynamic-partition commit jobs,
+    // persist materialization) shares that action's SQL execution id,
+    // so distinct execution ids == actions run by sinkBatch. Raw job
+    // counts are fragile — incidental jobs from elsewhere on the
+    // shared session, or a Spark version emitting an extra stage,
+    // would flip an exact global count.
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val jobs = new AtomicInteger(0)
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) execIds.add(id)
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -91,15 +103,15 @@ class SinkSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(listener)
 
-    // 2 query groups but exactly 2 jobs: one dynamic-partition good
-    // write + one dead-letter write (the old per-group loop ran 3)
-    assert(jobs.get() == 2, s"expected 2 write jobs, saw ${jobs.get()}")
+    // 2 query groups but exactly 2 write actions: one dynamic-partition
+    // good write + one dead-letter write (the old per-group loop ran 3)
+    assert(execIds.size == 2, s"expected 2 write actions, saw ${execIds.size}")
 
     val good = spark.read.parquet(s"$out/good")
-    assert(good.select("query").distinct().count() == 2)
+    assert(good.select(Pipeline.QueryTagCol).distinct().count() == 2)
     assert(good.count() == 4)
     val lineKey = graft.multimodal.Codecs.md5hex(Messages.lineSinkQuery.getBytes("UTF-8"))
-    val line = good.filter(col("query") === lineKey)
+    val line = good.filter(col(Pipeline.QueryTagCol) === lineKey)
     assert(line.select("l_orderkey").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     assert(line.select("p_partkey").collect().forall(_.isNullAt(0)))
   }
