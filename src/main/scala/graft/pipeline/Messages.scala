@@ -48,6 +48,30 @@ object Messages {
   val unknownQuery =
     "INSERT INTO default.no_such_table (x) VALUES (?);"
 
+  /** Producer shard routing (reference vendor/git.aqq.me/go/nanachi/
+    * producer.go:143-164): a message carrying an explicit `x-shard`
+    * pin publishes to exactly that shard, clamped into [0, maxShard];
+    * unpinned messages scatter. Spark-first shape: the shard id is a
+    * partition column and ONE dynamic-partition write lands every
+    * shard directory (`shard=N` ≙ the reference's `queue.N` sharded
+    * queue name, producer.go:233-235) — publish cost is independent
+    * of shard count, no per-shard job loop. Deviation, documented:
+    * unpinned scatter hashes the body (xxhash64) instead of the
+    * reference's `rand.Int31n` — same uniform spread, but
+    * deterministic so replays land identically. */
+  def publishSharded(
+      messages: DataFrame, outDir: String, maxShard: Int,
+      pin: Option[Column] = None): Unit = {
+    val scatter = pmod(xxhash64(col("body")), lit(maxShard + 1)).cast("int")
+    val shard = pin match {
+      case Some(p) =>
+        coalesce(least(greatest(p.cast("int"), lit(0)), lit(maxShard)), scatter)
+      case None => scatter
+    }
+    messages.select(col("body"), shard.as("shard"))
+      .write.mode("append").partitionBy("shard").text(outDir)
+  }
+
   /** Bump when corpusFromLineitem's generation logic changes — the
     * version key invalidates stale caches automatically. */
   private val corpusVersion = "v2"
