@@ -191,7 +191,16 @@ object Pipeline {
     * DDL is the caller's. */
   def sinkBatchJdbcIsolated(
       raw: DataFrame, url: String, deadDir: String,
-      schemas: Map[String, StructType] = Messages.targetSchemas): Unit = {
+      schemas: Map[String, StructType] = Messages.targetSchemas): Unit =
+    sinkBatchJdbcIsolated(raw, Seq(url), deadDir, schemas, FailoverJdbc.InOrder)
+
+  /** Failover variant (§2A-13, reference etc/corrie.yml:16
+    * `alt_hosts`): the sink is a list of equivalent JDBC endpoints;
+    * each partition connects via [[FailoverJdbc]] under `strategy`. */
+  def sinkBatchJdbcIsolated(
+      raw: DataFrame, urls: Seq[String], deadDir: String,
+      schemas: Map[String, StructType],
+      strategy: FailoverJdbc.Strategy): Unit = {
     val parsed = parseMaterialized(raw, schemas = schemas)
     var execDead: Option[DataFrame] = None
     try {
@@ -201,7 +210,9 @@ object Pipeline {
       // block fails the job instead of silently re-inserting)
       execDead = batch.groups.map { case (q, g) =>
         val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
-        RowIsolatedJdbcSink.writeIsolated(g.goodWithBody, g.schema, url, table).toDF()
+        RowIsolatedJdbcSink
+          .writeIsolated(g.goodWithBody, g.schema, urls, table, 500, strategy)
+          .toDF()
       }.reduceOption(_ union _).map(_.localCheckpoint(eager = true))
       val allDead = execDead.fold(batch.dead)(batch.dead.union)
       Retry.withBackoff() {
@@ -263,28 +274,35 @@ final case class RoutedBatch(
 
 /** Jittered-backoff retry (reference writer/writer.go:60 +
   * vendor/git.aqq.me/go/retrier/retrier.go:108-119: interval/2 + rand
-  * jitter, infinite for transient sink errors). Bounded here — a
-  * Spark job that permanently can't write should surface, and task
-  * retries (`spark.task.maxFailures`) already cover transient executor
-  * faults.
+  * jitter, INFINITE for transient sink errors). Default here is
+  * bounded at 5 — a Spark job that permanently can't write should
+  * surface, and task retries (`spark.task.maxFailures`) already cover
+  * transient executor faults — but the reference's never-drop contract
+  * is available: `attempts = Retry.Unbounded` (or any value <= 0)
+  * retries transient errors forever.
   */
 object Retry {
+  /** The reference's infinite transient-retry policy (retrier.go:
+    * 108-119 loops until `ErrStopped`). */
+  val Unbounded: Int = 0
+
   def withBackoff[T](
       attempts: Int = 5,
       baseMillis: Long = 200L,
       jitter: Long => Long = ms => ms / 2 + scala.util.Random.nextLong(ms / 2 + 1))(
       f: => T): T = {
+    val infinite = attempts <= 0
     var last: Throwable = null
     var i = 0
-    while (i < attempts) {
+    while (infinite || i < attempts) {
       try return f
       catch {
         case t: InterruptedException =>
           Thread.currentThread().interrupt(); throw t
         case scala.util.control.NonFatal(t) =>
           last = t
-          i += 1
-          if (i < attempts) // no dead sleep after the final attempt
+          if (i < Int.MaxValue) i += 1
+          if (infinite || i < attempts) // no dead sleep after the final attempt
             Thread.sleep(jitter(baseMillis * (1L << math.min(i - 1, 4))))
       }
     }

@@ -116,7 +116,18 @@ object RowIsolatedJdbcSink {
     * ordering, writer/writer.go:177-186). */
   def writeIsolated(
       goodWithBody: DataFrame, schema: StructType, url: String, table: String,
-      chunkSize: Int = 500): Dataset[DeadLetter] = {
+      chunkSize: Int = 500): Dataset[DeadLetter] =
+    writeIsolated(goodWithBody, schema, Seq(url), table, chunkSize,
+      FailoverJdbc.InOrder)
+
+  /** Failover variant (§2A-13): each partition opens its connection
+    * through [[FailoverJdbc.connect]] over the url list, so a downed
+    * primary degrades to the alternates instead of failing the batch
+    * (reference etc/corrie.yml:16 alt_hosts). */
+  def writeIsolated(
+      goodWithBody: DataFrame, schema: StructType, urls: Seq[String],
+      table: String, chunkSize: Int,
+      strategy: FailoverJdbc.Strategy): Dataset[DeadLetter] = {
     val spark = goodWithBody.sparkSession
     import spark.implicits._
     val fields = schema.fields
@@ -132,7 +143,7 @@ object RowIsolatedJdbcSink {
     goodWithBody.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val conn = DriverManager.getConnection(url)
+        val conn = FailoverJdbc.connect(urls, strategy)
         var ok = false
         try {
           conn.setAutoCommit(false)
