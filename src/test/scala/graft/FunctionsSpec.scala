@@ -79,13 +79,13 @@ class FunctionsSpec extends SparkSpec {
     assert(feats.nonEmpty)
     feats.foreach { f =>
       assert(f.frame_checksums.length == f.n_frames)
-      assert(f.n_frames > 0 == f.n_bytes > 0)
+      // every container with frames carries at least its header bytes
+      assert(f.n_frames == 0 || f.n_bytes > f.n_frames)
       assert(f.checksum.length == 32)
     }
   }
 
-  test("multimodal codec stub: empty payload → zero frames") {
-    assert(Codecs.decodeStub(Array.emptyByteArray).isEmpty)
+  test("md5hex matches the reference digest") {
     assert(Codecs.md5hex("abc".getBytes) == "900150983cd24fb0d6963f7d28e17f72")
   }
 
