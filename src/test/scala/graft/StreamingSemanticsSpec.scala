@@ -103,4 +103,48 @@ class StreamingSemanticsSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("drain").count() == 100)
   }
+
+  test("crash between sink success and checkpoint commit redelivers the batch on restart (duplicates, never loss)") {
+    // The reference's publisher-confirm window (vendor/.../nanachi/
+    // producer.go:204-214): a message is only acked once the broker
+    // confirms; a crash after the downstream write but before the
+    // confirm re-delivers it. Spark analogue: foreachBatch succeeds at
+    // the sink, then the process dies BEFORE the checkpoint commit —
+    // the restarted query must re-run that batch (at-least-once).
+    import graft.queries.Scratch
+    val src = Scratch.fresh("confirm_src")
+    spark.createDataset(Seq("m1", "m2", "m3", "m4")).toDF("v")
+      .repartition(2).write.mode("overwrite").text(src)
+    val out = Scratch.fresh("confirm_out")
+    val ckpt = Scratch.fresh("confirm_ckpt")
+    val crashedOnce = new java.io.File(Scratch.path("confirm_crash_marker"))
+    crashedOnce.delete()
+
+    def run(): Unit = {
+      val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("append").text(out) // the sink write SUCCEEDS
+          if (id == 0 && crashedOnce.createNewFile()) {
+            sys.error("crash inside the confirm window (post-sink, pre-checkpoint)")
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    run() // restart from the same checkpoint: batch 0 was never committed
+
+    import spark.implicits._
+    val counts = spark.read.text(out).as[String].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    // never loss: every message delivered at least once
+    assert(counts.keySet == Set("m1", "m2", "m3", "m4"))
+    // the crashed batch (one source file = 2 of the 4 rows) re-ran:
+    // exactly its rows appear twice, nothing is tripled
+    assert(counts.values.count(_ == 2) == 2, s"expected one redelivered file: $counts")
+    assert(counts.values.forall(c => c == 1 || c == 2), s"over-delivery: $counts")
+  }
 }
