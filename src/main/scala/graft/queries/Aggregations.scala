@@ -294,8 +294,26 @@ object Aggregations {
           col("exact_median") <= lit(0.05)).as("within_bound"))
   }
 
+  /** mode() — most frequent value per group. Tie-safety: both engines
+    * return an ARBITRARY value among tied modes, so the inputs are
+    * constructions verified tie-free at every test SF (the quantity
+    * band and line-number distributions have a strict frequency
+    * winner per group). */
+  val aggMode: QueryDef = QueryDef(
+    "q_agg_mode",
+    """SELECT l_returnflag,
+      | mode(CASE WHEN l_quantity <= 25 THEN 'lo' ELSE 'hi' END) AS mode_band,
+      | CAST(mode(l_linenumber) AS INT) AS mode_line
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        mode(when(col("l_quantity") <= 25, "lo").otherwise("hi")).as("mode_band"),
+        mode(col("l_linenumber")).cast("int").as("mode_line"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
-    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct)
+    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode)
 }

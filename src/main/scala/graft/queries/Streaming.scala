@@ -473,8 +473,40 @@ object Streaming {
     }
   }
 
+  /** Append-mode watermarked aggregation: only FINALIZED windows emit.
+    * The final watermark is max(event time) − 30 min; every window
+    * whose end precedes it is closed and emitted by the trailing
+    * no-data micro-batch, while the still-open last hour is withheld —
+    * the append-mode contract. The oracle derives the identical
+    * finalization cutoff from max(ts). */
+  val streamAppendFinal: QueryDef = QueryDef(
+    "q_stream_append_final",
+    """WITH m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, COUNT(*) AS n
+      |FROM events, m
+      |GROUP BY 1, 2, mx
+      |HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= mx - INTERVAL '30 minutes'""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      val src = scratch("apf_src")
+      Tables.events(s, dir).select(col("ts"), col("event_type"))
+        .write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema("ts TIMESTAMP, event_type STRING").parquet(src)
+      val agg = stream.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName("graft_append_final")
+        .option("checkpointLocation", scratch("apf_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_append_final")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
-    streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions)
+    streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
+    streamAppendFinal)
 }
