@@ -129,5 +129,41 @@ object Reshape {
                 |   * sqrt($sqq - $sq * $sq / COUNT(*))), 6) END""".stripMargin).as("corr_pq"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pivotQ, unpivotQ, scalarSubquery, momentAgg, corrAgg)
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup — the Scala
+    * analogue of a cogrouped applyInPandas stage): per customer key,
+    * both sides' groups are presented together to one function — here
+    * folding order counts/exact-cent totals against the customer
+    * attribute — WITHOUT materializing a join product. Plans as one
+    * shuffle per side on the key (CoGroup physical op), so at scale it
+    * is two hash-partitioned exchanges and a streamed per-key merge;
+    * the imperative fold is the genuine use case Catalyst can't
+    * express. Oracle = aggregate-then-full-join. */
+  val cogroupQ: QueryDef = QueryDef(
+    "q_cogroup",
+    """SELECT coalesce(o.k, c.c_custkey) AS custkey,
+      | coalesce(o.n, 0) AS n_orders,
+      | CAST(coalesce(o.cents, 0) AS BIGINT) AS cents_total,
+      | coalesce(c.c_name, '<none>') AS c_name
+      |FROM (SELECT o_custkey AS k, COUNT(*) AS n,
+      |        SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents
+      |      FROM orders GROUP BY 1) o
+      |FULL JOIN customer c ON o.k = c.c_custkey""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+      .as[(Long, Long)]
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+    orders.groupByKey(_._1).cogroup(cust.groupByKey(_._1)) { (k, os, cs) =>
+      var n = 0L; var sum = 0L
+      os.foreach { case (_, c) => n += 1; sum += c }
+      val name = cs.map(_._2).nextOption()
+      if (n == 0 && name.isEmpty) Iterator.empty
+      else Iterator((k, n, sum, name.getOrElse("<none>")))
+    }.toDF("custkey", "n_orders", "cents_total", "c_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pivotQ, unpivotQ, scalarSubquery, momentAgg, corrAgg,
+    cogroupQ)
 }

@@ -504,9 +504,67 @@ object Streaming {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join with watermarks on both
+    * sides: matches emit as they are found (the inner part), and an
+    * unmatched purchase emits its null-extended row only once the
+    * watermark passes its join window. The cutoff the oracle must
+    * reproduce is the GLOBAL watermark: each side's watermark node
+    * tracks its own filtered stream's max event time, and the query
+    * watermark is the MIN of the two minus the 1 h delay (verified
+    * empirically at two SFs — a purchase is evicted-and-null-emitted
+    * exactly when pts < least(max purchase ts, max click ts) − 1 h;
+    * the `cts <= pts` bound means no extra condition slack applies).
+    * Purchases above the cutoff are withheld in state at query end. */
+  val streamJoinOuter: QueryDef = QueryDef(
+    "q_stream_join_outer",
+    """WITH m AS (SELECT least(
+      |        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+      |        (SELECT max(ts) FROM events WHERE event_type = 'click')) AS mx),
+      |p AS (SELECT event_id AS pid, ts AS pts, user_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS cid, ts AS cts, user_id FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.pid, c.cid, p.user_id, p.pts, c.cts
+      |      FROM p JOIN c ON p.user_id = c.user_id
+      |       AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL '30 minutes')
+      |SELECT pid AS purchase_id, cid AS click_id, user_id,
+      |       pts AS purchase_ts, cts AS click_ts
+      |FROM j
+      |UNION ALL
+      |SELECT p.pid, NULL, p.user_id, p.pts, NULL
+      |FROM p, m
+      |WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
+      |  AND p.pts < mx - INTERVAL '1 hour'""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+    val src = scratch("ssjo_src")
+    Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(src)
+    def side(t: String, pfx: String) =
+      s.readStream.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(src)
+        .filter(col("event_type") === t)
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"),
+          col("user_id").as(s"${pfx}_user"))
+    val joined = side("purchase", "purchase")
+      .join(side("click", "click"),
+        col("purchase_user") === col("click_user")
+          && col("click_ts") <= col("purchase_ts")
+          && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 minutes"),
+        "leftOuter")
+      .select(col("purchase_id"), col("click_id"),
+        col("purchase_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssjo")
+      .option("checkpointLocation", scratch("ssjo_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_ssjo")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
-    streamAppendFinal)
+    streamAppendFinal, streamJoinOuter)
 }
