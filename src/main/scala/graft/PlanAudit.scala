@@ -36,7 +36,20 @@ object PlanAudit {
       "q4_order_priority" -> Seq("LeftSemi"),
       "q_join_existence" -> Seq("ExistenceJoin"),
       "q19_brand_bands" -> Seq("BroadcastHashJoin", "PushedFilters"),
-      "q10_returned_items" -> Seq("TakeOrderedAndProject"))
+      "q10_returned_items" -> Seq("TakeOrderedAndProject"),
+      // round 4: the reshaped/new operators' scale-critical shapes.
+      // "!X" = plan must NOT contain X.
+      // dedup_embed must candidate via the bucket EQUI-join — a
+      // nested-loop (all-pairs) plan here is the exact scale bug the
+      // sign-projection rewrite removed
+      "q_dedup_embed" -> Seq("bucket", "!NestedLoop"),
+      // stratified sample is map-only: scan + filter, no shuffle
+      "q_sample_stratified" -> Seq("Filter", "!Exchange"),
+      // embedding post-processing is a pure projection
+      "q_vec_quantize" -> Seq("Project", "!Exchange"),
+      // typed cogroup: CoGroup physical op, one shuffle per side
+      "q_cogroup" -> Seq("CoGroup"),
+      "q_agg_mode" -> Seq("HashAggregate"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -48,8 +61,11 @@ object PlanAudit {
       val executed = df.queryExecution.executedPlan.toString
       println(s"\n######## $name")
       (expects :+ "WholeStageCodegen").foreach { e =>
-        val hit = if (e == "WholeStageCodegen") executed.contains("*(")
-                  else plan.contains(e) || executed.contains(e)
+        val hit =
+          if (e == "WholeStageCodegen") executed.contains("*(")
+          else if (e.startsWith("!"))
+            !(plan.contains(e.drop(1)) || executed.contains(e.drop(1)))
+          else plan.contains(e) || executed.contains(e)
         println(s"  [${if (hit) "OK" else "MISS"}] $e")
       }
       if (args.length > 1) println(plan)

@@ -468,6 +468,29 @@ object Scalars {
         expr(ser("map_concat(map('a', label), map('c', 7))")).as("concatted"))
   }
 
+  /** Third map family: transform_keys, map_zip_with, str_to_map —
+    * DuckDB has no higher-order map functions, so (as with family 2)
+    * the oracle computes the expected serialized strings
+    * arithmetically; the Spark side must produce identical
+    * serializations through the real map operators. */
+  val mapFuncs3: QueryDef = QueryDef(
+    "q_map_funcs3",
+    """SELECT vec_id,
+      | 'A=' || CAST(label + 1 AS VARCHAR) || ',B=' || CAST(label + 2 AS VARCHAR) AS upper_keys,
+      | 'a=' || CAST(10 * (label + 1) AS VARCHAR) || ',b=' || CAST(20 * (label + 2) AS VARCHAR) AS zipped,
+      | 'x=' || CAST(label AS VARCHAR) || ',y=7' AS parsed
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    def ser(m: String) =
+      s"array_join(sort_array(transform(map_entries($m), e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')"
+    Tables.embeddings(s, dir)
+      .withColumn("m", expr("map('a', label + 1, 'b', label + 2)"))
+      .select(
+        col("vec_id"),
+        expr(ser("transform_keys(m, (k, v) -> upper(k))")).as("upper_keys"),
+        expr(ser("map_zip_with(m, map('a', 10, 'b', 20), (k, v1, v2) -> v1 * v2)")).as("zipped"),
+        expr(ser("str_to_map(concat('x:', CAST(label AS STRING), ',y:7'), ',', ':')")).as("parsed"))
+  }
+
   /** Second math family: trig / inverse-trig / exp / log bases /
     * angle conversion — all libm outputs, so rounded to 6 decimals per
     * the determinism policy (DuckDB has no hyperbolics; omitted). */
@@ -600,6 +623,6 @@ object Scalars {
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
     strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter,
-    strFuncs3, arrayFuncs3, mapFuncs2, mathFuncs2, dateFuncs3,
+    strFuncs3, arrayFuncs3, mapFuncs2, mapFuncs3, mathFuncs2, dateFuncs3,
     regexFuncs, posExplode, binaryFuncs, nullFuncs)
 }

@@ -193,5 +193,42 @@ object TextAnalysis {
       .select(col("lang"), col("term"), col("cnt"), col("df"), col("tfidf"), col("rk"))
   }
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf)
+  /** Edit-distance fuzzy near-dup verify: levenshtein over normalized
+    * 24-char prefixes, candidates blocked by (lang, source, length
+    * band) with the d1 < d2 dedup. This is the fuzzy-match VERIFY
+    * primitive (typo-class duplicates that token-set Jaccard misses);
+    * at scale the candidates come from LSH blocking exactly like
+    * q_dedup_lsh_verified — the block here keeps the demo bounded,
+    * and the prefix cap makes each comparison O(24²) regardless of
+    * document length. */
+  val editDist: QueryDef = QueryDef(
+    "q_text_editdist",
+    """WITH n AS (
+      |  SELECT doc_id, lang, source,
+      |    substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 24) AS pfx,
+      |    CAST(floor(length(text) / 64.0) AS INT) AS lband
+      |  FROM documents)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edist
+      |FROM n a JOIN n b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.lband = b.lband
+      | AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 6""".stripMargin) { (s, dir) =>
+    val n = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 24).as("pfx"),
+      expr("CAST(floor(length(text) / 64.0) AS INT)").as("lband"))
+    val a = n.select(col("doc_id").as("d1"), col("lang"), col("source"),
+      col("lband"), col("pfx").as("p1"))
+    val b = n.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("source").as("source2"), col("lband").as("lband2"), col("pfx").as("p2"))
+    a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
+        && col("lband") === col("lband2") && col("d1") < col("d2"))
+      .withColumn("edist", levenshtein(col("p1"), col("p2")).cast("int"))
+      .filter(col("edist") <= 6)
+      .select(col("d1"), col("d2"), col("edist"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
+    editDist)
 }
