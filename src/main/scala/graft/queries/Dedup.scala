@@ -118,9 +118,11 @@ object Dedup {
     * block at scale; this does not). The tokenized doc table is
     * persisted once and reused by the signature map stage and both
     * verify-join sides. */
-  val dedupLshVerified: QueryDef = QueryDef(
-    "q_dedup_lsh_verified",
-    s"""WITH w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
+  /** Shared DuckDB CTE chain producing the LSH-verified near-dup pairs
+    * (everything up to and including `pairs`), reused by the verified
+    * pair query and the connected-components clustering oracle. */
+  private val duckVerifiedPairsCtes =
+    s"""w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
        |sig AS (SELECT doc_id,
        |  list_transform(range(0, 8),
        |    s -> list_aggregate(list_transform(ws,
@@ -132,15 +134,24 @@ object Dedup {
        |sized AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-       |  JOIN sized sz ON a.bk = sz.bk)
-       |SELECT c.d1, c.d2,
+       |  JOIN sized sz ON a.bk = sz.bk),
+       |pairs AS (SELECT c.d1, c.d2,
        |  CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
        |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) AS jaccard
-       |FROM cand c
-       |JOIN w wa ON wa.doc_id = c.d1
-       |JOIN w wb ON wb.doc_id = c.d2
-       |WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5""".stripMargin) { (s, dir) =>
+       |  FROM cand c
+       |  JOIN w wa ON wa.doc_id = c.d1
+       |  JOIN w wb ON wb.doc_id = c.d2
+       |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** Spark side of the same construction: returns the persisted
+    * tokenized doc table `(doc_id, ws)` and the verified pair table
+    * `(d1, d2, jaccard)`. The tokenized table and the band table are
+    * each persisted once — the signature map stage and both verify-join
+    * sides reuse them (at scale these are the materialized intermediate
+    * tables between pipeline stages). */
+  private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -160,13 +171,109 @@ object Dedup {
         col("bk") === col("bk2") && col("d1") < col("d2"))
       .join(sized, Seq("bk"), "left_semi")
       .select(col("d1"), col("d2")).distinct()
-    cand
+    val pairs = cand
       .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
       .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
       .withColumn("jaccard",
         expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
+    (w, pairs)
+  }
+
+  val dedupLshVerified: QueryDef = QueryDef(
+    "q_dedup_lsh_verified",
+    s"""WITH $duckVerifiedPairsCtes
+       |SELECT d1, d2, jaccard FROM pairs""".stripMargin) { (s, dir) =>
+    lshVerifiedPairs(s, dir)._2
+  }
+
+  /** Near-dup CLUSTERING — connected components over the LSH-verified
+    * pair graph, the step a production dedup pipeline runs after pair
+    * finding: pairs only say "these two match"; keep/drop decisions
+    * need whole clusters (A~B, B~C ⇒ {A,B,C} is one duplicate group).
+    *
+    * Algorithm: iterative min-label propagation with pointer doubling.
+    * Every node starts labeled with its own id; each round every node
+    * takes the min of (its label, its neighbors' labels, its label's
+    * label). The neighbor step alone needs diameter-many rounds — a
+    * chain-shaped dup cluster of k docs would take k rounds — while the
+    * pointer-doubling step (label's label, the path-halving trick from
+    * the MapReduce connected-components literature) halves remaining
+    * path lengths, so convergence is O(log diameter). At fixpoint every
+    * node carries its component's minimum doc_id. At 100 TB each round
+    * is two hash-partitioned joins + a partial min agg — the edge table
+    * is persisted pre-partitioned on the join key so only the (much
+    * smaller) label table moves each round.
+    *
+    * The per-round one-row `SUM(lbl)` action is the canonical Spark
+    * iterative-fixpoint driver loop (labels only ever decrease, so an
+    * unchanged sum proves convergence); it moves a single scalar to the
+    * driver, never row data. `localCheckpoint` truncates the logical
+    * plan each round — without it the self-referential lineage grows
+    * with the iteration count and analysis cost compounds.
+    *
+    * Output: every clustered doc with its cluster id (= min doc_id in
+    * the component), the cluster size, and an `is_keeper` survivorship
+    * flag (longest doc wins, doc_id breaks ties). */
+  val dedupComponents: QueryDef = QueryDef(
+    "q_dedup_components",
+    s"""WITH RECURSIVE $duckVerifiedPairsCtes,
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM bi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM walk wk JOIN bi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+       |sized_docs AS (SELECT comp.doc_id, cluster_id, len(w.ws) AS n_words
+       |  FROM comp JOIN w ON w.doc_id = comp.doc_id),
+       |ranked AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) AS rn
+       |  FROM sized_docs)
+       |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS is_keeper
+       |FROM ranked""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (w, pairs) = lshVerifiedPairs(s, dir)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(col("src"))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L)).as("s")).head().getLong(0)
+    var prevSum = lblSum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < 30) {
+      val viaNeighbor = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      // pointer doubling: every label is itself a node id in the label
+      // table, so node -> lbl -> lbl(lbl) is a total inner self-join
+      val viaPointer = labels
+        .join(labels.select(col("node").as("pn"), col("lbl").as("plbl")),
+          col("lbl") === col("pn"))
+        .select(col("node"), col("plbl").as("lbl"))
+      val next = labels.union(viaNeighbor).union(viaPointer)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = lblSum(next)
+      labels = next
+      done = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    require(done, s"label propagation did not converge within $iter rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("rn") === 1).as("is_keeper"))
   }
 
   /** Shared 16-bit SimHash expression (bit j = sign of ±1 votes of
@@ -371,5 +478,6 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
-    dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming, datasetClean)
+    dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
+    datasetClean)
 }
