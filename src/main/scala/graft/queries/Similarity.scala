@@ -155,5 +155,61 @@ object Similarity {
       .select(col("qid"), col("probe_label"), col("vec_id"), col("cos_sim"), col("rk"))
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf)
+  /** Semantic outlier removal — the embedding-space curation step: per
+    * label, compute the decimal-exact centroid (same construction as
+    * q_sim_ivf), measure every member's cosine to its own centroid, and
+    * surface the 5 least-typical members per label. At 100 TB the
+    * centroid pass is a partial+final agg over exploded dims (64·N rows
+    * map-side-combined down to labels·64), centroids broadcast back,
+    * and the distance pass is map-only — no all-pairs anywhere.
+    * Ranking is tie-broken on vec_id so the cut is deterministic.
+    *
+    * Determinism note: unlike q_sim_ivf (where centroids only drive an
+    * argmin), the centroid values here flow into the OUTPUT arithmetic,
+    * and the engines' float→DECIMAL casts disagree in the last decimal
+    * digit — so the float is widened to DOUBLE (exact, identical) before
+    * the decimal cast, and the centroid itself is rounded to 6 dp so
+    * both engines feed bit-identical doubles into the cosine. */
+  val embedOutliers: QueryDef = QueryDef(
+    "q_embed_outliers",
+    """WITH c AS (
+      |  SELECT label, i,
+      |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |  FROM embeddings, unnest(range(1, 65)) AS t(i)
+      |  GROUP BY label, i),
+      |cent AS (SELECT label, list(cv ORDER BY i) AS cvec FROM c GROUP BY label),
+      |d AS (SELECT vec_id, e.label,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * cvec[i]), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> cvec[i] * cvec[i]), (x,y) -> x+y))) AS cos_centroid
+      |  FROM embeddings e JOIN cent ON cent.label = e.label),
+      |ranked AS (SELECT vec_id, label, cos_centroid,
+      |  row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rk
+      |  FROM d)
+      |SELECT vec_id, label, cos_centroid, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 5""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)").as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val wr = Window.partitionBy(col("label")).orderBy(col("cos_centroid"), col("vec_id"))
+    e.join(broadcast(cent), col("clabel") === col("label"))
+      .withColumn("cos_centroid", expr(
+        """aggregate(zip_with(embedding, cvec, (a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (x, y) -> x + y)
+          | / (sqrt(aggregate(transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, (x, y) -> x + y))
+          |  * sqrt(aggregate(transform(cvec, b -> b * b), 0.0D, (x, y) -> x + y)))""".stripMargin))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("vec_id"), col("label"), col("cos_centroid"), col("rk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers)
 }

@@ -229,6 +229,68 @@ object TextAnalysis {
       .select(col("d1"), col("d2"), col("edist"))
   }
 
+  /** Within-document repetition signals (the Gopher/MassiveText rule
+    * family): most-frequent-word share, duplicate-bigram and
+    * duplicate-trigram fractions, plus the composite flag a curation
+    * pipeline filters on. Entirely per-row higher-order expressions —
+    * map-only, one codegen'd pass, no shuffle at any scale. The
+    * per-word count scan is O(distinct·n) on a bounded document slice;
+    * production corpora bound it the same way via max-doc-length
+    * truncation upstream. */
+  val repetition: QueryDef = QueryDef(
+    "q_text_repetition",
+    s"""WITH w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
+       |g AS (SELECT doc_id, ws,
+       |  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+       |  list_transform(range(1, greatest(len(ws) - 1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+       |  FROM w),
+       |m AS (SELECT doc_id,
+       |  len(ws) AS n_words,
+       |  CASE WHEN len(ws) > 0 THEN
+       |    round(CAST(list_max(list_transform(list_distinct(ws),
+       |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS top_word_frac,
+       |  CASE WHEN len(bg) > 0 THEN
+       |    round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS dup_bigram_frac,
+       |  CASE WHEN len(tg) > 0 THEN
+       |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE), 6)
+       |  ELSE 0.0 END AS dup_trigram_frac
+       |  FROM g)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, top_word_frac,
+       |  dup_bigram_frac, dup_trigram_frac,
+       |  top_word_frac > 0.2 OR dup_bigram_frac > 0.3 AS flagged
+       |FROM m""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .withColumn("bg", expr(
+        """CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))
+          |ELSE array() END""".stripMargin))
+      .withColumn("tg", expr(
+        """CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))
+          |ELSE array() END""".stripMargin))
+      .withColumn("n_words", expr("CAST(size(ws) AS BIGINT)"))
+      .withColumn("top_word_frac", expr(
+        """CASE WHEN size(ws) > 0 THEN
+          |  round(CAST(array_max(transform(array_distinct(ws),
+          |    w -> size(filter(ws, x -> x = w)))) AS DOUBLE) / CAST(size(ws) AS DOUBLE), 6)
+          |ELSE 0.0D END""".stripMargin))
+      .withColumn("dup_bigram_frac", expr(
+        """CASE WHEN size(bg) > 0 THEN
+          |  round(CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE) / CAST(size(bg) AS DOUBLE), 6)
+          |ELSE 0.0D END""".stripMargin))
+      .withColumn("dup_trigram_frac", expr(
+        """CASE WHEN size(tg) > 0 THEN
+          |  round(CAST(size(tg) - size(array_distinct(tg)) AS DOUBLE) / CAST(size(tg) AS DOUBLE), 6)
+          |ELSE 0.0D END""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("top_word_frac"),
+        col("dup_bigram_frac"), col("dup_trigram_frac"),
+        (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.3).as("flagged"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
-    editDist)
+    editDist, repetition)
 }
