@@ -49,7 +49,27 @@ object PlanAudit {
       "q_vec_quantize" -> Seq("Project", "!Exchange"),
       // typed cogroup: CoGroup physical op, one shuffle per side
       "q_cogroup" -> Seq("CoGroup"),
-      "q_agg_mode" -> Seq("HashAggregate"))
+      "q_agg_mode" -> Seq("HashAggregate"),
+      // round 4b: TPC-H completion wave + new pipeline operators.
+      // Q6 must be a map-only pushed scan: no join anywhere, the
+      // quantity/discount predicates reach parquet
+      "q6_forecast_revenue" -> Seq("PushedFilters: [IsNotNull(l_shipdate)", "!Join"),
+      // Q8's dims all broadcast; the only big exchange is lineitem⋈orders
+      "q8_market_share" -> Seq("BroadcastHashJoin", "partial_sum"),
+      // Q13's outer join keeps the residual predicate at the join, and
+      // the agg-of-agg stays two hash aggregates
+      "q13_cust_distribution" -> Seq("LeftOuter", "HashAggregate"),
+      // Q16's NOT IN must plan as an anti join, never a nested loop
+      "q16_supplier_cnt" -> Seq("LeftAnti", "!NestedLoop"),
+      // Q21's EXISTS/NOT-EXISTS decorrelate to semi + anti joins
+      "q21_waiting_supplier" -> Seq("LeftSemi", "LeftAnti"),
+      // Q2's top-20 must collapse to TakeOrderedAndProject (never a
+      // global sort), with the correlated MIN as a grouped-min join
+      "q2_min_cost_supplier" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      // outlier removal: centroids broadcast back, no all-pairs loop
+      "q_embed_outliers" -> Seq("BroadcastHashJoin", "!NestedLoop"),
+      // repetition signals are one map-only projection pass
+      "q_text_repetition" -> Seq("Project", "!Exchange"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
