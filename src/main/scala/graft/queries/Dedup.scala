@@ -424,6 +424,47 @@ object Dedup {
       .select(col("v1"), col("v2"), col("bucket"), col("cos_sim"))
   }
 
+  /** Cross-document CHUNK dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape): documents are split into non-overlapping 10-word chunks;
+    * a chunk survives only in the lowest-doc_id document that contains
+    * it, and every document is re-assembled from its surviving chunks
+    * in order. Scale shape: explode to (chunk_hash, doc, pos) → one
+    * hash-partitioned min-agg per chunk hash → hash equi-join back →
+    * per-doc ordered re-assembly (partial aggregation applies; nothing
+    * is ever all-pairs). The reassembled text is fingerprinted (md5) so
+    * the output stays scalar. */
+  val dedupChunks: QueryDef = QueryDef(
+    "q_dedup_chunks",
+    """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+      |ch AS (SELECT doc_id, i AS pos,
+      |         array_to_string(ws[(i-1)*10+1 : least(i*10, len(ws))], ' ') AS chunk
+      |       FROM w, unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)),
+      |keyed AS (SELECT doc_id, pos, chunk, md5(chunk) AS ck FROM ch),
+      |firsts AS (SELECT ck, MIN(doc_id) AS keep_doc FROM keyed GROUP BY ck),
+      |flagged AS (SELECT k.doc_id, k.pos, k.chunk, k.doc_id = f.keep_doc AS keep
+      |            FROM keyed k JOIN firsts f ON k.ck = f.ck)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(md5(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE keep), ' ')), md5('')) AS cleaned_md5
+      |FROM flagged GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val chunks = Tables.documents(s, dir)
+      .withColumn("ws", expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, CAST(ceil(size(ws) / 10.0) AS INT)),
+          |  i -> array_join(slice(ws, (i-1)*10+1, 10), ' '))""".stripMargin)).as(Seq("pos0", "chunk")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("chunk"),
+        md5(col("chunk")).as("ck"))
+    val firsts = chunks.groupBy(col("ck")).agg(min(col("doc_id")).as("keep_doc"))
+    chunks.join(firsts, Seq("ck"))
+      .withColumn("keep", col("doc_id") === col("keep_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(expr(
+          """array_join(transform(filter(array_sort(collect_list(struct(pos, chunk, keep))),
+            |  x -> x.keep), x -> x.chunk), ' ')""".stripMargin)).as("cleaned_md5"))
+  }
+
   /** The composite training-data cleaning pipeline — the operators
     * above chained the way a 100 TB curation job runs them, cheapest
     * filter first so each stage shrinks the next stage's input:
@@ -479,5 +520,5 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
-    datasetClean)
+    dedupChunks, datasetClean)
 }

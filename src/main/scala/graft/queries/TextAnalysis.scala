@@ -291,6 +291,48 @@ object TextAnalysis {
         (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.3).as("flagged"))
   }
 
+  /** Benchmark DECONTAMINATION — the eval-leakage check every LLM
+    * training pipeline runs before a corpus ships: hash every
+    * overlapping 8-gram of the held-out set (here: doc_id < 20 stands
+    * in for the benchmark), build the distinct gram set, and count each
+    * corpus document's 8-gram collisions against it. Scale shape: the
+    * benchmark gram set is tiny (benchmarks are a few MB even when the
+    * corpus is 100 TB) so it BROADCASTS, and the corpus side is one
+    * map-only explode + broadcast-hash left join + per-doc count —
+    * no shuffle of corpus text, ever. Documents too short to produce
+    * an 8-gram are re-attached with zero counts. */
+  val decontaminate: QueryDef = QueryDef(
+    "q_text_decontaminate",
+    s"""WITH w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 7, 0) + 1),
+       |        i -> md5(array_to_string(ws[i : i+7], ' '))) AS grams FROM w),
+       |bench AS (SELECT DISTINCT gh FROM g, unnest(grams) AS t(gh) WHERE doc_id < 20),
+       |hits AS (SELECT g.doc_id, COUNT(*) AS n_ngrams, COUNT(b.gh) AS n_hits
+       |         FROM g, unnest(grams) AS t(gh) LEFT JOIN bench b ON b.gh = t.gh
+       |         WHERE g.doc_id >= 20 GROUP BY g.doc_id)
+       |SELECT d.doc_id, coalesce(n_ngrams, 0) AS n_ngrams, coalesce(n_hits, 0) AS n_hits,
+       |  coalesce(n_hits, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+       |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+    val grams = Tables.documents(s, dir)
+      .withColumn("ws", expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+          |  i -> md5(array_join(slice(ws, i, 8), ' ')))
+          |ELSE array() END""".stripMargin)).as("gh"))
+    val bench = grams.filter(col("doc_id") < 20).select(col("gh").as("bh")).distinct()
+    val hits = grams.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), col("bh") === col("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("bh")).as("n_hits"))
+    Tables.documents(s, dir).filter(col("doc_id") >= 20).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
-    editDist, repetition)
+    editDist, repetition, decontaminate)
 }
