@@ -312,8 +312,21 @@ object Aggregations {
         mode(col("l_linenumber")).cast("int").as("mode_line"))
   }
 
+  /** Ordered string aggregation (Spark 4 `listagg ... WITHIN GROUP` ==
+    * DuckDB `string_agg ... ORDER BY`). The WITHIN GROUP ordering makes
+    * the concatenation deterministic — without it listagg inherits
+    * partition arrival order. */
+  val aggListAgg: QueryDef = QueryDef(
+    "q_agg_listagg",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("names"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
-    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode)
+    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg)
 }

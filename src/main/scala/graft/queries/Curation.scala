@@ -75,5 +75,34 @@ object Curation {
           .as("q8"))
   }
 
-  val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize)
+  /** Sequence PACKING — the pre-training batching primitive: stream
+    * whole documents, in deterministic order, into fixed token-budget
+    * training sequences (budget 512 here; a doc may overflow its bin —
+    * standard greedy stream packing). seq_no = floor(start_offset /
+    * budget) where start_offset is the running token count BEFORE the
+    * doc, i.e. one prefix-sum window. Scale shape: packing is
+    * partitioned by `source` (a real pipeline packs per shard), so the
+    * window never sees more than one shard's rows — no global sort, and
+    * each shard's prefix sum is a single pass. */
+  val packSequences: QueryDef = QueryDef(
+    "q_pack_sequences",
+    """WITH t AS (SELECT doc_id, source,
+      |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, source, n_tok,
+      |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no
+      |FROM t""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+          .cast("long").as("n_tok"))
+      .withColumn("seq_no",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(512.0)).cast("long"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize, packSequences)
 }

@@ -619,10 +619,45 @@ object Scalars {
       expr("equal_null(event_type, 'click')").as("is_click"))
   }
 
+  /** Spark 4 VARIANT shredding: build a nested JSON envelope, parse it
+    * ONCE into a binary `variant` column, then extract typed paths with
+    * `variant_get` (no re-parse per path — the Spark-4 answer to the
+    * from_json CSE trap in CLAUDE.md). Oracle extracts the same paths
+    * from the same JSON text with DuckDB's JSON functions. Doubles ride
+    * the repo policy (round 6 dp → DOUBLE). */
+  val variantShred: QueryDef = QueryDef(
+    "q_variant_shred",
+    """WITH j AS (SELECT l_orderkey, l_linenumber,
+      |  to_json({'qty': CAST(l_quantity AS BIGINT),
+      |           'flags': {'ret': l_returnflag, 'ls': l_linestatus},
+      |           'price': l_extendedprice}) AS doc
+      | FROM lineitem WHERE l_orderkey % 7 = 0)
+      |SELECT l_orderkey, l_linenumber,
+      | CAST(json_extract_string(doc, '$.qty') AS BIGINT) AS qty,
+      | json_extract_string(doc, '$.flags.ret') AS ret,
+      | json_extract_string(doc, '$.flags.ls') AS ls,
+      | CAST(round(CAST(json_extract_string(doc, '$.price') AS DOUBLE), 6) AS DOUBLE) AS price,
+      | json_extract_string(doc, '$.missing') AS missing
+      |FROM j""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        parse_json(to_json(struct(
+          col("l_quantity").cast("bigint").as("qty"),
+          struct(col("l_returnflag").as("ret"), col("l_linestatus").as("ls")).as("flags"),
+          col("l_extendedprice").as("price")))).as("v"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("variant_get(v, '$.qty', 'bigint')").as("qty"),
+        expr("variant_get(v, '$.flags.ret', 'string')").as("ret"),
+        expr("variant_get(v, '$.flags.ls', 'string')").as("ls"),
+        round(expr("variant_get(v, '$.price', 'double')"), 6).cast("double").as("price"),
+        expr("try_variant_get(v, '$.missing', 'string')").as("missing"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projCompute, filterPred, filterNullSafe, condCase, castLadder,
     strFuncs, dateFuncs, mathFuncs, arrayFuncs, mapFuncs, jsonFuncs,
     strFuncs2, bitFuncs, arrayFuncs2, dateFuncs2, explodeOuter,
     strFuncs3, arrayFuncs3, mapFuncs2, mapFuncs3, mathFuncs2, dateFuncs3,
-    regexFuncs, posExplode, binaryFuncs, nullFuncs)
+    regexFuncs, posExplode, binaryFuncs, nullFuncs, variantShred)
 }

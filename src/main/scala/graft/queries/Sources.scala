@@ -181,6 +181,30 @@ object Sources {
         col("O_TOTALPRICE").as("o_totalprice"), col("O_ORDERSTATUS").as("o_orderstatus"))
   }
 
+  /** XML sink + schema'd XML source round-trip (Spark 4's built-in XML
+    * data source — the last text format the engine speaks natively).
+    * Doubles survive via shortest-round-trip formatting, same as JSON;
+    * the read supplies an explicit schema so no inference pass runs
+    * (at 100 TB, schema inference is a full extra scan). */
+  val xmlRoundtrip: QueryDef = QueryDef(
+    "q_xml_roundtrip",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer") { (s, dir) =>
+    val path = scratch("customer_xml")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .write.mode("overwrite")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .format("xml").save(path)
+    s.read
+      .schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType))))
+      .option("rowTag", "customer")
+      .format("xml").load(path)
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions)
+    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip)
 }

@@ -333,6 +333,38 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** PII scrubbing — the redaction pass every shipped training corpus
+    * runs: count and mask emails and IPv4 literals. The synthetic corpus
+    * contains no PII, so both engines first append a deterministic
+    * doc_id-derived contact line (identical enrichment on both sides),
+    * then redact it back out. Patterns stay in the RE2 ∩ java.util.regex
+    * dialect (no lookaround/backrefs) so Spark and DuckDB agree; DuckDB
+    * needs the 'g' flag to match Spark's replace-all. Map-only — no
+    * shuffle at any scale. */
+  val piiRedact: QueryDef = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    QueryDef(
+      "q_text_pii_redact",
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.'
+         |       || CAST(doc_id % 256 AS VARCHAR) || '.7 thanks' AS txt FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_ips,
+         | regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g') AS redacted
+         |FROM t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("txt", concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 thanks")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(ip), lit(0))).cast("long").as("n_ips"),
+          regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"), ip, "<IP>").as("redacted"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
-    editDist, repetition, decontaminate)
+    editDist, repetition, decontaminate, piiRedact)
 }
