@@ -23,7 +23,7 @@ object PlanAudit {
     val audit = Seq(
       "q1_agg" -> Seq("PushedFilters: [IsNotNull(l_shipdate)", "partial_sum"),
       "q_scan_pushdown" -> Seq("PushedFilters", "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate"),
-      "q_join_broadcast_star" -> Seq("BroadcastHashJoin", "partial_sum"),
+      "q_join_broadcast_star" -> Seq("BroadcastHashJoin", "partial_sum", "!DimHint"),
       // AQEShuffleRead on the big-big join proves the runtime re-plan
       // (coalesce/skew-split) is active
       "q_join_shuffle" -> Seq("Join", "partial_sum", "AQEShuffleRead"),
@@ -35,7 +35,7 @@ object PlanAudit {
       "q_partition_prune" -> Seq("PartitionFilters", "= 1996)"),
       "q4_order_priority" -> Seq("LeftSemi"),
       "q_join_existence" -> Seq("ExistenceJoin"),
-      "q19_brand_bands" -> Seq("BroadcastHashJoin", "PushedFilters"),
+      "q19_brand_bands" -> Seq("BroadcastHashJoin", "PushedFilters", "!DimHint"),
       "q10_returned_items" -> Seq("TakeOrderedAndProject"),
       // round 4: the reshaped/new operators' scale-critical shapes.
       // "!X" = plan must NOT contain X.
@@ -55,17 +55,34 @@ object PlanAudit {
       // quantity/discount predicates reach parquet
       "q6_forecast_revenue" -> Seq("PushedFilters: [IsNotNull(l_shipdate)", "!Join"),
       // Q8's dims all broadcast; the only big exchange is lineitem⋈orders
-      "q8_market_share" -> Seq("BroadcastHashJoin", "partial_sum"),
+      "q8_market_share" -> Seq("BroadcastHashJoin", "partial_sum", "!DimHint"),
       // Q13's outer join keeps the residual predicate at the join, and
       // the agg-of-agg stays two hash aggregates
       "q13_cust_distribution" -> Seq("LeftOuter", "HashAggregate"),
       // Q16's NOT IN must plan as an anti join, never a nested loop
-      "q16_supplier_cnt" -> Seq("LeftAnti", "!NestedLoop"),
-      // Q21's EXISTS/NOT-EXISTS decorrelate to semi + anti joins
-      "q21_waiting_supplier" -> Seq("LeftSemi", "LeftAnti"),
+      "q16_supplier_cnt" -> Seq("LeftAnti", "!NestedLoop", "!DimHint"),
+      // Q21's EXISTS/NOT-EXISTS decorrelate to semi + anti joins; the
+      // late-lineitem table is persisted so lineitem⋈orders runs once
+      // (both consumers read the InMemoryRelation)
+      "q21_waiting_supplier" -> Seq("LeftSemi", "LeftAnti", "InMemoryTableScan", "!DimHint"),
       // Q2's top-20 must collapse to TakeOrderedAndProject (never a
       // global sort), with the correlated MIN as a grouped-min join
-      "q2_min_cost_supplier" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      "q2_min_cost_supplier" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin", "!DimHint"),
+      // round 5: supplier/customer/part scale linearly with SF, so no
+      // query may carry a forced broadcast() hint on them ("!DimHint" =
+      // no ResolvedHint whose child outputs s_suppkey/c_custkey/
+      // p_partkey in the analyzed plan). AQE still picks
+      // BroadcastHashJoin at this SF purely from size — proving the
+      // plan is right both here and at 100x.
+      "q_join_inner" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q5_local_supplier" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q7_volume_shipping" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q9_product_profit" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q14_promo_effect" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q15_top_supplier" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q17_small_qty_revenue" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q18_large_orders" -> Seq("BroadcastHashJoin", "!DimHint"),
+      "q20_part_promotion" -> Seq("BroadcastHashJoin", "!DimHint"),
       // outlier removal: centroids broadcast back, no all-pairs loop
       "q_embed_outliers" -> Seq("BroadcastHashJoin", "!NestedLoop"),
       // repetition signals are one map-only projection pass
@@ -83,6 +100,16 @@ object PlanAudit {
       (expects :+ "WholeStageCodegen").foreach { e =>
         val hit =
           if (e == "WholeStageCodegen") executed.contains("*(")
+          else if (e == "!DimHint") {
+            // no forced broadcast on SF-scaling tables: a ResolvedHint
+            // whose subtree outputs a supplier/customer/part key column
+            // would be a 100 TB OOM dressed up as an optimization
+            df.queryExecution.analyzed.collect {
+              case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+                  if Seq("s_suppkey", "c_custkey", "p_partkey")
+                    .exists(cn => h.child.output.exists(_.name == cn)) => h
+            }.isEmpty
+          }
           else if (e.startsWith("!"))
             !(plan.contains(e.drop(1)) || executed.contains(e.drop(1)))
           else plan.contains(e) || executed.contains(e)

@@ -206,12 +206,17 @@ object Dedup {
     * is persisted pre-partitioned on the join key so only the (much
     * smaller) label table moves each round.
     *
-    * The per-round one-row `SUM(lbl)` action is the canonical Spark
-    * iterative-fixpoint driver loop (labels only ever decrease, so an
-    * unchanged sum proves convergence); it moves a single scalar to the
+    * Convergence uses a one-row `SUM(lbl)` scalar (labels only ever
+    * decrease, so an unchanged sum proves convergence); it is folded
+    * into the checkpoint materialization via `observe()`, so each
+    * round runs exactly ONE job and moves a single scalar to the
     * driver, never row data. `localCheckpoint` truncates the logical
     * plan each round — without it the self-referential lineage grows
-    * with the iteration count and analysis cost compounds.
+    * with the iteration count and analysis cost compounds. Each
+    * superseded label generation is unpersisted as soon as its
+    * successor materializes, so at most two generations are ever
+    * pinned — at 100 TB a 20-round convergence would otherwise hold
+    * 20 label tables in storage memory and evict the edge table.
     *
     * Output: every clustered doc with its cluster id (= min doc_id in
     * the component), the cluster size, and an `is_keeper` survivorship
@@ -239,12 +244,31 @@ object Dedup {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(col("src"))
       .persist(lvl)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
-    def lblSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L)).as("s")).head().getLong(0)
-    var prevSum = lblSum(labels)
+    // Checkpoint + convergence sum in ONE job: observe() attaches the
+    // SUM(lbl) metric to the plan, the eager localCheckpoint is the
+    // action that materializes it, and the Observation hands the scalar
+    // back without a second pass.
+    var obsId = 0
+    def checkpointWithSum(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      obsId += 1
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$obsId")
+      val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("lbl_sum"))
+        .localCheckpoint(true)
+      (ck, obs.get("lbl_sum").asInstanceOf[Long])
+    }
+    // A localCheckpointed Dataset's plan is a LogicalRDD over the
+    // pinned RDD; unpersisting that RDD is how a superseded generation
+    // is released (Dataset.unpersist only talks to the relation cache).
+    def release(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     var iter = 0
     var done = false
     while (!done && iter < 30) {
@@ -256,10 +280,10 @@ object Dedup {
         .join(labels.select(col("node").as("pn"), col("lbl").as("plbl")),
           col("lbl") === col("pn"))
         .select(col("node"), col("plbl").as("lbl"))
-      val next = labels.union(viaNeighbor).union(viaPointer)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = lblSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.union(viaNeighbor).union(viaPointer)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+      release(labels)
       labels = next
       done = nextSum == prevSum
       prevSum = nextSum
@@ -431,8 +455,10 @@ object Dedup {
     * in order. Scale shape: explode to (chunk_hash, doc, pos) → one
     * hash-partitioned min-agg per chunk hash → hash equi-join back →
     * per-doc ordered re-assembly (partial aggregation applies; nothing
-    * is ever all-pairs). The reassembled text is fingerprinted (md5) so
-    * the output stays scalar. */
+    * is ever all-pairs). The output carries the reassembled
+    * `cleaned_text` itself (bounded by the doc length, still a scalar
+    * cell) so the operator is usable as a pipeline stage, plus its md5
+    * fingerprint for cheap downstream equality. */
   val dedupChunks: QueryDef = QueryDef(
     "q_dedup_chunks",
     """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
@@ -445,7 +471,8 @@ object Dedup {
       |            FROM keyed k JOIN firsts f ON k.ck = f.ck)
       |SELECT doc_id, COUNT(*) AS n_chunks,
       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  coalesce(md5(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE keep), ' ')), md5('')) AS cleaned_md5
+      |  coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE keep), ' '), '') AS cleaned_text,
+      |  md5(coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE keep), ' '), '')) AS cleaned_md5
       |FROM flagged GROUP BY doc_id""".stripMargin) { (s, dir) =>
     val chunks = Tables.documents(s, dir)
       .withColumn("ws", expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
@@ -460,9 +487,10 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(expr(
+        expr(
           """array_join(transform(filter(array_sort(collect_list(struct(pos, chunk, keep))),
-            |  x -> x.keep), x -> x.chunk), ' ')""".stripMargin)).as("cleaned_md5"))
+            |  x -> x.keep), x -> x.chunk), ' ')""".stripMargin).as("cleaned_text"))
+      .withColumn("cleaned_md5", md5(col("cleaned_text")))
   }
 
   /** The composite training-data cleaning pipeline — the operators

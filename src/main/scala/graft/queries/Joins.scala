@@ -7,17 +7,20 @@ import graft.Tables
 
 /** Join surface (SURVEY.md §2B "Joins") on the TPC-H-ish keys.
   *
-  * Scale notes: dimension sides (region/nation/supplier/customer at
-  * their natural cardinalities) are explicitly `broadcast()` — on a
-  * 1000-executor cluster that is a map-side join with no shuffle of
-  * the fact table. The orders⋈lineitem join is the genuine big-big
-  * case and is left to shuffle on the join key so AQE can pick
-  * sort-merge vs shuffled-hash and split skewed partitions.
+  * Scale notes: only the constant-size dims (region = 5 rows, nation
+  * = 25 rows at every SF) carry an explicit `broadcast()` hint.
+  * supplier/customer/part scale linearly with SF, so their joins are
+  * left unhinted: AQE's size-based planning broadcasts them whenever
+  * they actually fit and falls back to a shuffled join when they
+  * don't — a forced hint would be an OOM at the 100 TB target. The
+  * orders⋈lineitem join is the genuine big-big case and shuffles on
+  * the join key so AQE can pick sort-merge vs shuffled-hash and split
+  * skewed partitions.
   */
 object Joins {
 
   /** Equi inner join + aggregate: revenue per market segment.
-    * customer is dimension-sized → broadcast. */
+    * customer scales with SF → no hint; AQE broadcasts when it fits. */
   val joinInner: QueryDef = QueryDef(
     "q_join_inner",
     """SELECT c_mktsegment,
@@ -26,7 +29,7 @@ object Joins {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -34,7 +37,8 @@ object Joins {
         expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("total_price"))
   }
 
-  /** Star join through three broadcast dims: lineitem⋈supplier⋈nation⋈region. */
+  /** Star join: lineitem⋈supplier⋈nation⋈region. nation/region are
+    * constant-size → hinted; supplier is SF-scaling → AQE decides. */
   val joinBroadcastStar: QueryDef = QueryDef(
     "q_join_broadcast_star",
     """SELECT r_name, n_name,
@@ -46,7 +50,7 @@ object Joins {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -96,7 +96,7 @@ object Relational {
           .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")),
         col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
@@ -125,7 +125,7 @@ object Relational {
       .drop("raw_qty")
     big
       .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("total_qty"))
   }

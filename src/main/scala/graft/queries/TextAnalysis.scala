@@ -234,9 +234,15 @@ object TextAnalysis {
     * duplicate-trigram fractions, plus the composite flag a curation
     * pipeline filters on. Entirely per-row higher-order expressions —
     * map-only, one codegen'd pass, no shuffle at any scale. The
-    * per-word count scan is O(distinct·n) on a bounded document slice;
-    * production corpora bound it the same way via max-doc-length
-    * truncation upstream. */
+    * top-word share is a sorted-run-length scan: sort the words once
+    * (equal words become adjacent; O(n log n)), collect the boundary
+    * positions where the word changes, and take the max gap between
+    * adjacent boundaries — the longest run. A pathological
+    * multi-megabyte document costs n log n, never the
+    * O(n_words × n_distinct) of counting each distinct word with its
+    * own pass. (Expressed as list ops, not a struct fold: DuckDB
+    * v1.0.0's list_reduce evaluates struct-lambda fields against a
+    * partially-updated accumulator, so run/best folds miscount.) */
   val repetition: QueryDef = QueryDef(
     "q_text_repetition",
     s"""WITH w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
@@ -244,19 +250,26 @@ object TextAnalysis {
        |  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
        |  list_transform(range(1, greatest(len(ws) - 1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
        |  FROM w),
+       |srtd AS (SELECT doc_id, ws, bg, tg, list_sort(ws) AS srt FROM g),
+       |bnd AS (SELECT doc_id, ws, bg, tg, srt,
+       |  CASE WHEN len(srt) >= 2 THEN
+       |    [1] || list_filter(range(2, len(srt) + 1), i -> srt[i] != srt[i-1]) || [len(srt) + 1]
+       |  ELSE [1] END AS b2
+       |  FROM srtd),
        |m AS (SELECT doc_id,
        |  len(ws) AS n_words,
-       |  CASE WHEN len(ws) > 0 THEN
-       |    round(CAST(list_max(list_transform(list_distinct(ws),
-       |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
-       |  ELSE 0.0 END AS top_word_frac,
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |       WHEN len(ws) = 1 THEN 1.0
+       |       ELSE round(CAST(list_max(list_transform(range(1, len(b2)),
+       |              j -> b2[j+1] - b2[j])) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+       |  END AS top_word_frac,
        |  CASE WHEN len(bg) > 0 THEN
        |    round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6)
        |  ELSE 0.0 END AS dup_bigram_frac,
        |  CASE WHEN len(tg) > 0 THEN
        |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE), 6)
        |  ELSE 0.0 END AS dup_trigram_frac
-       |  FROM g)
+       |  FROM bnd)
        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, top_word_frac,
        |  dup_bigram_frac, dup_trigram_frac,
        |  top_word_frac > 0.2 OR dup_bigram_frac > 0.3 AS flagged
@@ -273,11 +286,20 @@ object TextAnalysis {
           |  i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))
           |ELSE array() END""".stripMargin))
       .withColumn("n_words", expr("CAST(size(ws) AS BIGINT)"))
+      .withColumn("srt", expr("array_sort(ws)"))
+      .withColumn("b2", expr(
+        """CASE WHEN size(srt) >= 2 THEN
+          |  concat(array(1),
+          |    filter(sequence(2, size(srt)), i -> element_at(srt, i) != element_at(srt, i-1)),
+          |    array(size(srt) + 1))
+          |ELSE array(1) END""".stripMargin))
       .withColumn("top_word_frac", expr(
-        """CASE WHEN size(ws) > 0 THEN
-          |  round(CAST(array_max(transform(array_distinct(ws),
-          |    w -> size(filter(ws, x -> x = w)))) AS DOUBLE) / CAST(size(ws) AS DOUBLE), 6)
-          |ELSE 0.0D END""".stripMargin))
+        """CASE WHEN size(ws) = 0 THEN 0.0D
+          |     WHEN size(ws) = 1 THEN 1.0D
+          |     ELSE round(CAST(array_max(transform(sequence(1, size(b2) - 1),
+          |            j -> element_at(b2, j+1) - element_at(b2, j))) AS DOUBLE)
+          |          / CAST(size(ws) AS DOUBLE), 6)
+          |END""".stripMargin))
       .withColumn("dup_bigram_frac", expr(
         """CASE WHEN size(bg) > 0 THEN
           |  round(CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE) / CAST(size(bg) AS DOUBLE), 6)

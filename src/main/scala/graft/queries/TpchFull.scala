@@ -67,9 +67,9 @@ object TpchFull {
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
       .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
       .join(n1, col("s_nationkey") === col("n1_key"))
       .join(n2, col("c_nationkey") === col("n2_key"))
       .filter((col("n1_key") < 5 && col("n2_key") >= 5 && col("n2_key") < 10) ||
@@ -97,11 +97,11 @@ object TpchFull {
     val n2 = broadcast(Tables.nation(s, dir)
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("nat")))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+      .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY"),
         col("p_partkey") === col("l_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
       .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
       .join(n1, col("c_nationkey") === col("n1_key"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -113,8 +113,10 @@ object TpchFull {
 
   /** TPC-H Q9 shape: product-type profit rollup per nation-year.
     * Adapted: cost = p_retailprice × quantity × 0.5 (no partsupp).
-    * part is pre-filtered before the broadcast so the LIKE runs on the
-    * dim, not the fact. */
+    * part is pre-filtered before the join so the LIKE runs on the dim,
+    * not the fact; AQE broadcasts it whenever the filtered dim fits
+    * (no hint — part scales with SF, so the choice must stay
+    * size-driven). */
   val q9Profit: QueryDef = QueryDef(
     "q9_product_profit",
     s"""SELECT nat AS n_name, yr AS o_year, CAST(round(SUM(amount),2) AS DOUBLE) AS sum_profit FROM (
@@ -125,9 +127,9 @@ object TpchFull {
        |  WHERE p_name LIKE '%widget%') t
        |GROUP BY nat, yr""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))),
+      .join(Tables.part(s, dir).filter(col("p_name").like("%widget%")),
         col("p_partkey") === col("l_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
       .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .withColumn("amount",
@@ -196,7 +198,7 @@ object TpchFull {
     val top = rev.agg(max(col("total_rev")).as("max_rev"))
     rev.crossJoin(broadcast(top))
       .filter(col("total_rev") === col("max_rev"))
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("sk"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("sk"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_revenue"))
   }
 
@@ -213,11 +215,11 @@ object TpchFull {
       |GROUP BY p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
     val badSupp = Tables.supplier(s, dir).filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)
+      .join(Tables.part(s, dir)
           .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
-            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))),
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)),
         col("p_partkey") === col("l_partkey"))
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -237,8 +239,8 @@ object TpchFull {
       .groupBy(col("l_partkey").as("pk"))
       .agg(expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").as("sq"), count(lit(1)).as("cnt"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)
-          .filter(col("p_brand") === "Brand#3" && col("p_size") < 20)),
+      .join(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#3" && col("p_size") < 20),
         col("p_partkey") === col("l_partkey"))
       .join(pa, col("pk") === col("l_partkey"))
       .filter(expr("CAST(l_quantity AS DECIMAL(12,2)) * 2 * cnt < sq"))
@@ -261,18 +263,22 @@ object TpchFull {
       |AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
       |                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name""".stripMargin) { (s, dir) =>
+    // late feeds BOTH the main lane and the NOT-EXISTS side — persist
+    // so the lineitem⋈orders join runs once (same pattern as the LSH
+    // band table in Dedup)
     val late = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
         col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val others = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("lk2"), col("l_suppkey").as("sk2"))
     val lateOthers = late.select(col("l_orderkey").as("lk3"), col("l_suppkey").as("sk3"))
     late
       .join(others, col("lk2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
       .join(lateOthers, col("lk3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
@@ -322,9 +328,9 @@ object TpchFull {
       .agg(expr("CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/SUM(l_quantity), 6) AS DECIMAL(20,6))").as("unit_price"))
     val minSp = sp.groupBy(col("pk").as("min_pk")).agg(min(col("unit_price")).as("min_price"))
     sp.join(minSp, col("min_pk") === col("pk") && col("unit_price") === col("min_price"))
-      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "LARGE")),
+      .join(Tables.part(s, dir).filter(col("p_type") === "LARGE"),
         col("p_partkey") === col("pk"))
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("sk"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("sk"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
       .limit(20)
@@ -349,13 +355,13 @@ object TpchFull {
     val sq = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-      .join(broadcast(blueParts), col("p_partkey") === col("l_partkey"), "left_semi")
+      .join(blueParts, col("p_partkey") === col("l_partkey"), "left_semi")
       .groupBy(col("l_suppkey").as("sk"))
       .agg(expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").as("shipped"))
     val totals = sq.agg(count(lit(1)).as("sq_cnt"), sum(col("shipped")).as("sq_total"))
     sq.crossJoin(broadcast(totals))
       .filter(col("shipped") * col("sq_cnt") > col("sq_total"))
-      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("sk"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("sk"))
       .select(col("s_suppkey"), col("s_name"), col("shipped").cast("double").as("shipped_qty"))
   }
 

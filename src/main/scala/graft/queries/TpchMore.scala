@@ -108,7 +108,7 @@ object TpchMore {
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
         && col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
-      .join(broadcast(Tables.part(s, dir)), col("p_partkey") === col("l_partkey"))
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
       .agg(
         expr("""CAST(round(SUM(CASE WHEN p_type = 'PROMO'
                 |  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
@@ -119,9 +119,9 @@ object TpchMore {
   }
 
   /** TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions —
-    * the whole OR-of-ANDs pushes below the broadcast join as a single
-    * post-join filter; each disjunct's part-side conjuncts prune the
-    * broadcast build side. */
+    * the whole OR-of-ANDs sits above the join as a single post-join
+    * filter; part is unhinted (SF-scaling) so AQE broadcasts it only
+    * when it fits. */
   val q19BrandBands: QueryDef = QueryDef(
     "q19_brand_bands",
     """SELECT COUNT(*) AS n_lines,
@@ -131,7 +131,7 @@ object TpchMore {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
       |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("p_partkey") === col("l_partkey"))
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
       .filter(
         (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) && col("l_quantity").between(1, 15)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) && col("l_quantity").between(10, 25)) ||
