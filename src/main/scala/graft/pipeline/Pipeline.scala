@@ -160,6 +160,11 @@ object Pipeline {
     val parsed = parseMaterialized(raw, schemas = schemas)
     try {
       val batch = route(parsed, schemas)
+      // executeBatch round size for Spark's JDBC writer — the
+      // reference's CORRIE_BATCH=1000 (Dockerfile:35); callers may
+      // override via props
+      if (props.getProperty("batchsize") == null)
+        props.setProperty("batchsize", "1000")
       batch.groups.foreach { case (q, g) =>
         val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
         // Derby folds unquoted identifiers to uppercase; the JDBC read
@@ -191,16 +196,21 @@ object Pipeline {
     * DDL is the caller's. */
   def sinkBatchJdbcIsolated(
       raw: DataFrame, url: String, deadDir: String,
-      schemas: Map[String, StructType] = Messages.targetSchemas): Unit =
-    sinkBatchJdbcIsolated(raw, Seq(url), deadDir, schemas, FailoverJdbc.InOrder)
+      schemas: Map[String, StructType] = Messages.targetSchemas,
+      chunkSize: Int = 1000): Unit =
+    sinkBatchJdbcIsolated(raw, Seq(url), deadDir, schemas,
+      FailoverJdbc.InOrder, chunkSize)
 
   /** Failover variant (§2A-13, reference etc/corrie.yml:16
     * `alt_hosts`): the sink is a list of equivalent JDBC endpoints;
-    * each partition connects via [[FailoverJdbc]] under `strategy`. */
+    * each partition connects via [[FailoverJdbc]] under `strategy`.
+    * `chunkSize` = executeBatch round size (reference CORRIE_BATCH,
+    * Dockerfile:35, default 1000). */
   def sinkBatchJdbcIsolated(
       raw: DataFrame, urls: Seq[String], deadDir: String,
       schemas: Map[String, StructType],
-      strategy: FailoverJdbc.Strategy): Unit = {
+      strategy: FailoverJdbc.Strategy,
+      chunkSize: Int): Unit = {
     val parsed = parseMaterialized(raw, schemas = schemas)
     var execDead: Option[DataFrame] = None
     try {
@@ -211,7 +221,7 @@ object Pipeline {
       execDead = batch.groups.map { case (q, g) =>
         val table = "SINK_" + graft.multimodal.Codecs.md5hex(q.getBytes("UTF-8")).toUpperCase
         RowIsolatedJdbcSink
-          .writeIsolated(g.goodWithBody, g.schema, urls, table, 500, strategy)
+          .writeIsolated(g.goodWithBody, g.schema, urls, table, chunkSize, strategy)
           .toDF()
       }.reduceOption(_ union _).map(_.localCheckpoint(eager = true))
       val allDead = execDead.fold(batch.dead)(batch.dead.union)

@@ -110,13 +110,17 @@ object RowIsolatedJdbcSink {
     * carried-body column + the target's columns) to `table`, isolating
     * per-row failures.
     *
+    * `chunkSize` is the executeBatch round size — default 1000,
+    * matching the reference's insert batch (CORRIE_BATCH=1000,
+    * Dockerfile:35).
+    *
     * Returns the failed rows as a LAZY dataset — materializing it IS
     * the write. Union it into the dead-letter append so one action
     * drives both the inserts and the failure routing (ack-after-commit
     * ordering, writer/writer.go:177-186). */
   def writeIsolated(
       goodWithBody: DataFrame, schema: StructType, url: String, table: String,
-      chunkSize: Int = 500): Dataset[DeadLetter] =
+      chunkSize: Int = 1000): Dataset[DeadLetter] =
     writeIsolated(goodWithBody, schema, Seq(url), table, chunkSize,
       FailoverJdbc.InOrder)
 
