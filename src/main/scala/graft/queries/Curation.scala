@@ -86,8 +86,8 @@ object Curation {
     * each shard's prefix sum is a single pass. */
   val packSequences: QueryDef = QueryDef(
     "q_pack_sequences",
-    """WITH t AS (SELECT doc_id, source,
-      |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+    s"""WITH t AS (SELECT doc_id, source,
+      |  CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok
       |  FROM documents)
       |SELECT doc_id, source, n_tok,
       |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -98,7 +98,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-        size(expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+        size(expr(Tokenize.sparkTrim))
           .cast("long").as("n_tok"))
       .withColumn("seq_no",
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(512.0)).cast("long"))

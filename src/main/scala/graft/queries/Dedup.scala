@@ -16,11 +16,9 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  /** Normalized word list (shared by all text dedup/analysis). */
-  private val wordsSql =
-    "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
-  private val duckWordsSql =
-    "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+  /** Normalized word list — the shared [[Tokenize]] pair. */
+  private val wordsSql = Tokenize.spark
+  private val duckWordsSql = Tokenize.duck
 
   /** Exact dedup on a normalized content key: md5 of the normalized
     * text; survivor = lowest doc_id per key. */
@@ -461,7 +459,7 @@ object Dedup {
     * fingerprint for cheap downstream equality. */
   val dedupChunks: QueryDef = QueryDef(
     "q_dedup_chunks",
-    """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, ${Tokenize.duckTrim} AS ws FROM documents),
       |ch AS (SELECT doc_id, i AS pos,
       |         array_to_string(ws[(i-1)*10+1 : least(i*10, len(ws))], ' ') AS chunk
       |       FROM w, unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)),
@@ -475,7 +473,7 @@ object Dedup {
       |  md5(coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE keep), ' '), '')) AS cleaned_md5
       |FROM flagged GROUP BY doc_id""".stripMargin) { (s, dir) =>
     val chunks = Tables.documents(s, dir)
-      .withColumn("ws", expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .withColumn("ws", expr(Tokenize.sparkTrim))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, CAST(ceil(size(ws) / 10.0) AS INT)),
           |  i -> array_join(slice(ws, (i-1)*10+1, 10), ' '))""".stripMargin)).as(Seq("pos0", "chunk")))

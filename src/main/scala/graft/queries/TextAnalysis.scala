@@ -13,14 +13,11 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private val wordsSql =
-    "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
-  private val duckWordsSql =
-    "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
-  /** Trimmed variant: edge whitespace would otherwise leave empty edge
-    * tokens that the NGramGenerator (which trims) never sees. */
-  private val duckWordsTrimSql =
-    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+  // the shared tokenizer pair ([[Tokenize]]) — aliased for brevity in
+  // the oracle interpolations below
+  private val wordsSql = Tokenize.spark
+  private val duckWordsSql = Tokenize.duck
+  private val duckWordsTrimSql = Tokenize.duckTrim
 
   /** Stopword vote lists (tiny public function-word sets). */
   private val stop = Seq(
@@ -275,8 +272,7 @@ object TextAnalysis {
        |  top_word_frac > 0.2 OR dup_bigram_frac > 0.3 AS flagged
        |FROM m""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
-      .withColumn("ws", expr(
-        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .withColumn("ws", expr(Tokenize.sparkTrim))
       .withColumn("bg", expr(
         """CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),
           |  i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))
@@ -337,7 +333,7 @@ object TextAnalysis {
        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
        |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
     val grams = Tables.documents(s, dir)
-      .withColumn("ws", expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .withColumn("ws", expr(Tokenize.sparkTrim))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
           |  i -> md5(array_join(slice(ws, i, 8), ' ')))
