@@ -104,5 +104,67 @@ object Curation {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(512.0)).cast("long"))
   }
 
-  val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize, packSequences)
+  /** Temperature (α=0.5) language rebalancing — the multilingual
+    * mixing primitive (XLM-R/mT5 style): target share per language ∝
+    * (n_l/N)^α, flattening the head and upsampling the tail, plus a
+    * deterministic per-document keep decision against a 50% global
+    * budget. Scale shape: one tiny per-language aggregate (two scalar
+    * broadcasts), then a broadcast join back to the corpus and a
+    * map-only keep predicate — the corpus itself never shuffles.
+    *
+    * Determinism: α=0.5 makes the weight a sqrt — IEEE-exact in both
+    * engines (no libm divergence); every derived fraction is rounded
+    * to 6 dp and carried as DECIMAL(20,6); the sampling uniform is
+    * integer arithmetic ((doc_id · 2654435761) mod 2^16 / 2^16), so
+    * the keep decision is bit-identical across engines and runs. */
+  val mixTemperature: QueryDef = QueryDef(
+    "q_mix_temperature",
+    """WITH s AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      |tot AS (SELECT SUM(n_l) AS n FROM s),
+      |t AS (SELECT lang, n_l,
+      |  CAST(round(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(20,6)) AS raw_frac,
+      |  CAST(round(sqrt(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+      |  FROM s CROSS JOIN tot),
+      |tw AS (SELECT SUM(w) AS sum_w FROM t),
+      |k AS (SELECT lang, n_l, raw_frac,
+      |  CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6)) AS temp_frac
+      |  FROM t CROSS JOIN tw),
+      |kp AS (SELECT lang, n_l, raw_frac, temp_frac,
+      |  CAST(round(least(1.0, 0.5 * CAST(temp_frac AS DOUBLE) / CAST(raw_frac AS DOUBLE)), 6) AS DECIMAL(20,6)) AS keep_prob
+      |  FROM k)
+      |SELECT d.doc_id, d.lang, CAST(n_l AS BIGINT) AS n_lang,
+      |  CAST(raw_frac AS DOUBLE) AS raw_frac,
+      |  CAST(temp_frac AS DOUBLE) AS temp_frac,
+      |  CAST(keep_prob AS DOUBLE) AS keep_prob,
+      |  CAST((d.doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0 < CAST(keep_prob AS DOUBLE) AS kept
+      |FROM documents d JOIN kp ON d.lang = kp.lang""".stripMargin) { (s, dir) =>
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val tot = counts.agg(sum(col("n_l")).as("n"))
+    val t = counts.crossJoin(broadcast(tot))
+      .withColumn("raw_frac",
+        expr("CAST(round(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(20,6))"))
+      .withColumn("w",
+        expr("CAST(round(sqrt(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(20,6))"))
+    val tw = t.agg(sum(col("w")).as("sum_w"))
+    // per-language table is bounded by the language inventory (not by
+    // SF) — broadcast is the natural shape, like the IVF centroids
+    val k = t.crossJoin(broadcast(tw))
+      .withColumn("temp_frac",
+        expr("CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6))"))
+      .withColumn("keep_prob",
+        expr("CAST(round(least(1.0D, 0.5D * CAST(temp_frac AS DOUBLE) / CAST(raw_frac AS DOUBLE)), 6) AS DECIMAL(20,6))"))
+      .select(col("lang"), col("n_l"), col("raw_frac"), col("temp_frac"), col("keep_prob"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(k), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        col("n_l").cast("long").as("n_lang"),
+        col("raw_frac").cast("double").as("raw_frac"),
+        col("temp_frac").cast("double").as("temp_frac"),
+        col("keep_prob").cast("double").as("keep_prob"),
+        expr("CAST((doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0D < CAST(keep_prob AS DOUBLE)").as("kept"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
+    packSequences, mixTemperature)
 }

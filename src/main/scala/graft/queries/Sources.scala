@@ -205,6 +205,21 @@ object Sources {
       .format("xml").load(path)
   }
 
+  /** Avro container-file sink + source round-trip over Avro CORE
+    * ([[graft.sources.AvroIO]] — no spark-avro module in the sandbox):
+    * one container per partition out, binaryFile + DataFileStream
+    * decode back; result must equal the original table. */
+  val avroRoundtrip: QueryDef = QueryDef(
+    "q_avro_roundtrip",
+    "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part") { (s, dir) =>
+    val path = scratch("part_avro")
+    val df = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+    graft.sources.AvroIO.write(df, path, "part")
+    graft.sources.AvroIO.read(s, path, df.schema)
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip)
+    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip)
 }
