@@ -86,7 +86,14 @@ object PlanAudit {
       // outlier removal: centroids broadcast back, no all-pairs loop
       "q_embed_outliers" -> Seq("BroadcastHashJoin", "!NestedLoop"),
       // repetition signals are one map-only projection pass
-      "q_text_repetition" -> Seq("Project", "!Exchange"))
+      "q_text_repetition" -> Seq("Project", "!Exchange"),
+      // round 5: CMS sketches are TypedImperativeAggregates — partial
+      // matrices fold per-partition under ObjectHashAggregate, and the
+      // sketch table broadcasts back to the probe side
+      "q_agg_countmin" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      // temperature mixing: per-language stats broadcast back to the
+      // corpus; the corpus side itself never shuffles
+      "q_mix_temperature" -> Seq("BroadcastHashJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -325,8 +325,42 @@ object Aggregations {
       .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("names"))
   }
 
+  /** Count-min sketch frequency estimation — the third sketch family
+    * (HLL distinct / KLL-ish percentile / CMS frequency), verified
+    * through the oracle by the repo's approx pattern: emit the exact
+    * per-key count plus a Spark-computed `within_bound` flag asserting
+    * the CMS estimate obeys its guarantees (estimate ≥ exact, overshoot
+    * ≤ ε·N; fixed seed ⇒ deterministic). Scale shape: the sketch is a
+    * partial-aggregating fixed-size summary per group — at 100 TB each
+    * executor folds its partition into a w×d counter matrix and only
+    * matrices shuffle, never rows; the per-group sketch table is
+    * sketch-sized and broadcasts back to the probe side. */
+  val aggCountMin: QueryDef = QueryDef(
+    "q_agg_countmin",
+    """SELECT l_returnflag, l_linenumber, COUNT(*) AS exact_cnt, TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag, l_linenumber""".stripMargin) { (s, dir) =>
+    val est = udf((sk: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(key))
+    val sketches = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      // key cast to BIGINT so build-side and probe-side hashing agree
+      .agg(expr("count_min_sketch(CAST(l_linenumber AS BIGINT), 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_rows"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linenumber"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .join(broadcast(sketches), Seq("l_returnflag"))
+      .withColumn("est", est(col("sk"), col("l_linenumber").cast("long")))
+      .select(col("l_returnflag"), col("l_linenumber"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt") &&
+          col("est") <= col("exact_cnt") + ceil(lit(0.001) * col("n_rows")).cast("long"))
+          .as("within_bound"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
-    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg)
+    aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
+    aggCountMin)
 }
