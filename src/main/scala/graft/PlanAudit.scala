@@ -93,7 +93,10 @@ object PlanAudit {
       "q_agg_countmin" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       // temperature mixing: per-language stats broadcast back to the
       // corpus; the corpus side itself never shuffles
-      "q_mix_temperature" -> Seq("BroadcastHashJoin"))
+      "q_mix_temperature" -> Seq("BroadcastHashJoin"),
+      // perplexity filter: the 256-row model is TakeOrdered (never a
+      // global sort) and broadcast back; scoring is a broadcast join
+      "q_text_ppl" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

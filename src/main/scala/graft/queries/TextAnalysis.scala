@@ -383,6 +383,69 @@ object TextAnalysis {
     }
   }
 
+  /** Perplexity-style quality filtering (the CCNet shape): fit a tiny
+    * character-trigram language model on a deterministic 5% sample of
+    * the corpus (doc_id % 20 = 0 — at 100 TB the model NEVER fits on
+    * the full corpus; CCNet fits on Wikipedia), then score every
+    * document map-only against the broadcast model: average negative
+    * log-likelihood per trigram, out-of-vocabulary floored at half the
+    * rarest mass. High avg-NLL = unnatural character statistics (the
+    * gibberish/boilerplate signal perplexity filters key on).
+    *
+    * Scale shape: the model is a 256-row table + one scalar (two
+    * broadcasts); the corpus side is explode → broadcast-left-join →
+    * per-doc agg, partial aggregation applies, and only per-doc
+    * results shuffle. Determinism: each trigram's -ln(p) is rounded to
+    * 6 dp and carried as DECIMAL (exact sum under any order); the
+    * per-doc mean divides exact decimals and rounds once more. */
+  val perplexity: QueryDef = QueryDef(
+    "q_text_ppl",
+    """WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |tg AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+      |       FROM nrm, unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS u(i)),
+      |cnt AS (SELECT tri, COUNT(*) AS c FROM tg WHERE doc_id % 20 = 0 GROUP BY tri),
+      |tot AS (SELECT SUM(c) AS n FROM cnt),
+      |model AS (SELECT tri AS mtri, c FROM cnt ORDER BY c DESC, tri LIMIT 256),
+      |nll AS (SELECT doc_id,
+      |    CAST(round(-ln((CASE WHEN m.mtri IS NULL THEN 0.5 ELSE CAST(m.c AS DOUBLE) END)
+      |                   / CAST(n AS DOUBLE)), 6) AS DECIMAL(20,6)) AS v
+      |  FROM tg LEFT JOIN model m ON m.mtri = tg.tri CROSS JOIN tot),
+      |scored AS (SELECT doc_id, COUNT(*) AS n_tri,
+      |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_nll
+      |  FROM nll GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(n_tri, 0) AS n_tri,
+      |  coalesce(avg_nll, 0.0) AS avg_nll,
+      |  coalesce(avg_nll, 0.0) > 6.0 AS flagged
+      |FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
+    val tg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN length(t) >= 3 THEN
+          |  transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))
+          |ELSE array() END""".stripMargin)).as("tri"))
+    val cnt = tg.filter(col("doc_id") % 20 === 0)
+      .groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    val model = cnt.orderBy(col("c").desc, col("tri")).limit(256)
+      .withColumnRenamed("tri", "mtri")
+    val scored = tg
+      .join(broadcast(model), col("mtri") === col("tri"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("v", expr(
+        """CAST(round(-ln((CASE WHEN mtri IS NULL THEN 0.5D ELSE CAST(c AS DOUBLE) END)
+          |               / CAST(n AS DOUBLE)), 6) AS DECIMAL(20,6))""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        expr("CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)").as("avg_nll"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"),
+        (coalesce(col("avg_nll"), lit(0.0)) > 6.0).as("flagged"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
-    editDist, repetition, decontaminate, piiRedact)
+    editDist, repetition, decontaminate, piiRedact, perplexity)
 }
