@@ -220,6 +220,29 @@ object Sources {
     graft.sources.AvroIO.read(s, path, df.schema)
   }
 
+  /** Schema evolution on read: two parquet batches written with
+    * different schemas (a column added mid-stream — the normal life of
+    * a long-lived ingest directory) unified by `mergeSchema`; rows
+    * from the narrow batch surface the new column as null. At 100 TB
+    * schema merging is a footer-only operation — data files are never
+    * rewritten. */
+  val schemaEvolution: QueryDef = QueryDef(
+    "q_schema_evolution",
+    """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+      |FROM nation WHERE n_nationkey < 13
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 13""".stripMargin) { (s, dir) =>
+    val base = scratch("nation_evolve")
+    Tables.nation(s, dir).filter(col("n_nationkey") < 13)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    Tables.nation(s, dir).filter(col("n_nationkey") >= 13)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$base/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip)
+    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
+    schemaEvolution)
 }
