@@ -165,6 +165,38 @@ object Curation {
         expr("CAST((doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0D < CAST(keep_prob AS DOUBLE)").as("kept"))
   }
 
+  /** Johnson–Lindenstrauss random projection: 64-d embeddings
+    * compressed to 16-d with a deterministic ±1 sign matrix
+    * (s_ij = parity of an integer hash of (i,j)) scaled by 1/√16 —
+    * the standard dimensionality reduction in front of a
+    * billion-vector ANN index (smaller vectors → cheaper distance
+    * math and 4× less index memory, with JL-bounded distortion).
+    * Map-only per row; at scale the matrix is a broadcast constant
+    * (here it is inlined integer arithmetic — no randomness, no
+    * state).
+    *
+    * Determinism: the dot products are SEQUENTIAL folds (`aggregate`
+    * == `list_reduce`, the repo vector policy), the sign matrix is
+    * pure integer arithmetic, 1/√16 = 0.25 exactly, and outputs
+    * serialize through scale-padded DECIMAL(20,6) (no array cells). */
+  val vecProject: QueryDef = QueryDef(
+    "q_vec_project",
+    """SELECT vec_id,
+      | array_to_string(list_transform(range(1, 17),
+      |  j -> CAST(CAST(round(0.25 * list_reduce(list_transform(range(1, 65),
+      |         i -> CAST(embedding[i] AS DOUBLE)
+      |              * (CASE WHEN (i * 2654435761 + j * 40503) % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+      |         (x, y) -> x + y), 6) AS DECIMAL(20,6)) AS VARCHAR)), ',') AS proj16
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        """array_join(transform(sequence(1, 16),
+          |  j -> CAST(CAST(round(0.25D * aggregate(sequence(1, 64),
+          |         0D, (acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE)
+          |              * (CASE WHEN (i * 2654435761 + j * 40503) % 2 = 0 THEN 1.0D ELSE -1.0D END)),
+          |         6) AS DECIMAL(20,6)) AS STRING)), ',')""".stripMargin).as("proj16"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
-    packSequences, mixTemperature)
+    packSequences, mixTemperature, vecProject)
 }
