@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.defs ++ Sources.defs ++ Scalars.defs ++ Joins.defs ++
       Aggregations.defs ++ Windows.defs ++ SetOps.defs ++ Streaming.defs ++
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ MultimodalQ.defs ++
-      Reshape.defs ++ TpchMore.defs ++ Curation.defs ++ TpchFull.defs
+      Reshape.defs ++ TpchMore.defs ++ Curation.defs ++ TpchFull.defs ++
+      SqlSurface.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
