@@ -260,8 +260,33 @@ object Joins {
         expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("total_price"))
   }
 
+  /** Null-safe equi-join: `<=>` as the JOIN KEY (not just a filter) —
+    * Spark plans EqualNullSafe as a hash/sort-merge join key, so
+    * null-keyed rows co-locate and match each other instead of being
+    * dropped (the merge-on-nullable-business-key case). Nulls are
+    * injected deterministically (custkey 7 → NULL on both sides) so
+    * the null partition is small; at scale a hot null key is exactly
+    * the salting case q_join_skew_salted covers. */
+  val joinNullSafe: QueryDef = QueryDef(
+    "q_join_nullsafe_key",
+    """SELECT c_mktsegment, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pairs
+      |FROM (SELECT c_mktsegment, NULLIF(c_custkey, 7) AS ck FROM customer) c
+      |JOIN (SELECT NULLIF(o_custkey, 7) AS ok FROM orders) o
+      |  ON ck IS NOT DISTINCT FROM ok
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+      .select(col("c_mktsegment"), expr("NULLIF(c_custkey, 7)").as("ck"))
+    val o = Tables.orders(s, dir)
+      .select(expr("NULLIF(o_custkey, 7)").as("ok"))
+    c.join(o, col("ck") <=> col("ok"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ck").isNull, 1L).otherwise(0L)).as("n_null_pairs"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
-    joinShuffle, joinSkewSalted, joinBucketed)
+    joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe)
 }
