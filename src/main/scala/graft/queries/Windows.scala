@@ -196,6 +196,41 @@ object Windows {
         last(col("v"), ignoreNulls = true).over(wFill).as("filled_v"))
   }
 
+  /** Batch gap-based sessionization (the batch twin of
+    * q_session_window): a new session starts when a user's inter-event
+    * gap exceeds 8 h; session id = running sum of boundary flags.
+    * Scale shape: ONE shuffle on user_id — the lag and the prefix sum
+    * share one window sort, and the per-session rollup reuses the
+    * user_id hash partitioning (clustering (user_id, sess_no) is a
+    * superset, so no second exchange). Tie-safe ordering via the
+    * unique (ts, event_id) key; gaps compared in integer micros
+    * (unix_micros == epoch_us), so the boundary decision is
+    * bit-identical across engines. */
+  val eventSessionize: QueryDef = QueryDef(
+    "q_event_sessionize",
+    """WITH b AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, event_id,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM b)
+      |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+      |FROM s GROUP BY user_id, sess_no""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 28800000000L, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(wSum).cast("long"))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+  }
+
   val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
-    winRangeInterval, winFillForward)
+    winRangeInterval, winFillForward, eventSessionize)
 }
