@@ -197,6 +197,46 @@ object Curation {
           |         6) AS DECIMAL(20,6)) AS STRING)), ',')""".stripMargin).as("proj16"))
   }
 
+  /** Z-order (Morton) clustering key — the multi-dimensional data
+    * layout primitive (Delta/Iceberg OPTIMIZE ZORDER): interleave the
+    * low 10 bits of two dimensions (customer, order-date day index) so
+    * that sorting by the single z-value co-locates rows that are close
+    * in BOTH dimensions. The query emits the per-bucket min/max
+    * manifest (top 6 z-bits = a 128×128 tile): every bucket spans
+    * ≤128 of each 1024-wide dimension, which is exactly the file-stat
+    * locality that lets a 2-predicate scan skip ~63/64 of the files.
+    * At scale: map-only z computation + `repartitionByRange(zval)` on
+    * write; the manifest agg here is a plain hash-agg. All-integer
+    * bit math — bit-identical across engines. */
+  val zorderCluster: QueryDef = {
+    def terms(shl: (String, Int) => String, shr: (String, Int) => String): String =
+      (0 until 10).map(i =>
+        s"${shl(s"${shr("zx", i)} & 1", 2 * i)} + ${shl(s"${shr("zy", i)} & 1", 2 * i + 1)}")
+        .mkString(" + ")
+    val sparkZ = terms((e, n) => s"shiftleft($e, $n)", (c, n) => s"(shiftright($c, $n))")
+    val duckZ = terms((e, n) => s"(($e) << $n)", (c, n) => s"(($c >> $n))")
+    QueryDef(
+      "q_zorder_cluster",
+      s"""WITH t AS (SELECT o_custkey % 1024 AS zx,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS zy FROM orders),
+        |z AS (SELECT zx, zy, $duckZ AS zval FROM t)
+        |SELECT CAST(zval >> 14 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(zx) AS BIGINT) AS x_min, CAST(MAX(zx) AS BIGINT) AS x_max,
+        |  CAST(MIN(zy) AS BIGINT) AS y_min, CAST(MAX(zy) AS BIGINT) AS y_max
+        |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(expr("o_custkey % 1024").as("zx"),
+          expr("datediff(o_orderdate, DATE '1992-01-01') % 1024").as("zy"))
+        .withColumn("zval", expr(sparkZ))
+        .groupBy(expr("CAST(shiftright(zval, 14) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(MIN(zx) AS BIGINT)").as("x_min"),
+          expr("CAST(MAX(zx) AS BIGINT)").as("x_max"),
+          expr("CAST(MIN(zy) AS BIGINT)").as("y_min"),
+          expr("CAST(MAX(zy) AS BIGINT)").as("y_max"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
-    packSequences, mixTemperature, vecProject)
+    packSequences, mixTemperature, vecProject, zorderCluster)
 }
