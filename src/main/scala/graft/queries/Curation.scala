@@ -237,6 +237,36 @@ object Curation {
     }
   }
 
+  /** Sliding-window document CHUNKING with overlap — the context-window
+    * primitive in front of embedding / RAG indexing: each document is
+    * cut into 64-token chunks on a 48-token stride (16-token overlap so
+    * no boundary sentence is lost), each chunk carrying its index and
+    * token offset for provenance. Scale shape: map-only — tokenize,
+    * generate the start offsets with `sequence` (fan-out bounded by
+    * doc_len/stride), explode, slice. No shuffle at any SF; the chunk
+    * count scales linearly with corpus token count. The shared
+    * [[Tokenize]] pair keeps chunk token counts consistent with the
+    * packing/dedup operators. */
+  val chunkOverlap: QueryDef = QueryDef(
+    "q_chunk_overlap",
+    s"""WITH w AS (SELECT doc_id, ${Tokenize.duckTrim} AS ws FROM documents),
+      |s AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS st FROM w)
+      |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(st AS BIGINT) AS start_tok,
+      |  CAST(len(list_slice(ws, st + 1, st + 64)) AS BIGINT) AS n_tok,
+      |  array_to_string(list_slice(ws, st + 1, st + 64), ' ') AS chunk_text
+      |FROM s""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(Tokenize.sparkTrim).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, size(ws) - 1, 48)")).as("st"))
+      .select(col("doc_id"),
+        expr("CAST(st DIV 48 AS BIGINT)").as("chunk_idx"),
+        col("st").cast("long").as("start_tok"),
+        expr("CAST(size(slice(ws, st + 1, 64)) AS BIGINT)").as("n_tok"),
+        expr("array_join(slice(ws, st + 1, 64), ' ')").as("chunk_text"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
-    packSequences, mixTemperature, vecProject, zorderCluster)
+    packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap)
 }
