@@ -191,8 +191,45 @@ object SetOps {
       .withColumnRenamed("merged_status", "o_orderstatus")
   }
 
+  /** Snapshot DIFFERENCING (CDC change-feed derivation): given two
+    * versions of a keyed table, emit the insert/update/delete rows and
+    * drop the unchanged majority — the complement of [[mergeUpsert]]
+    * (that one produces the merged state; this one produces the feed a
+    * downstream incremental consumer replays). Snapshots are simulated
+    * deterministically from `orders`: the prior version is missing the
+    * keys ≡0 (mod 7), the current version is missing keys ≡0 (mod 5)
+    * and reprices keys ≡0 (mod 3). Scale shape: one full-outer
+    * SortMergeJoin with both sides hash-partitioned on the key, then a
+    * map-only classify+filter — the standard diff plan; on bucketed
+    * snapshot storage the shuffle disappears entirely. */
+  val cdcDiff: QueryDef = QueryDef(
+    "q_cdc_diff",
+    """WITH prev AS (SELECT o_orderkey AS pk, o_totalprice AS pp
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |curr AS (SELECT o_orderkey AS ck,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS cp
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT COALESCE(pk, ck) AS o_orderkey,
+      |  CASE WHEN pk IS NULL THEN 'I' WHEN ck IS NULL THEN 'D' ELSE 'U' END AS change_type,
+      |  CAST(CAST(round(pp, 6) AS DECIMAL(20,6)) AS DOUBLE) AS old_price,
+      |  CAST(CAST(round(cp, 6) AS DECIMAL(20,6)) AS DOUBLE) AS new_price
+      |FROM prev FULL JOIN curr ON pk = ck
+      |WHERE pk IS NULL OR ck IS NULL OR pp <> cp""".stripMargin) { (s, dir) =>
+    val prev = Tables.orders(s, dir).filter("o_orderkey % 7 <> 0")
+      .select(col("o_orderkey").as("pk"), col("o_totalprice").as("pp"))
+    val curr = Tables.orders(s, dir).filter("o_orderkey % 5 <> 0")
+      .select(col("o_orderkey").as("ck"),
+        expr("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1D ELSE o_totalprice END").as("cp"))
+    prev.join(curr, col("pk") === col("ck"), "full")
+      .filter("pk IS NULL OR ck IS NULL OR pp <> cp")
+      .select(coalesce(col("pk"), col("ck")).as("o_orderkey"),
+        expr("CASE WHEN pk IS NULL THEN 'I' WHEN ck IS NULL THEN 'D' ELSE 'U' END").as("change_type"),
+        expr("CAST(CAST(round(pp, 6) AS DECIMAL(20,6)) AS DOUBLE)").as("old_price"),
+        expr("CAST(CAST(round(cp, 6) AS DECIMAL(20,6)) AS DOUBLE)").as("new_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sortLimit, sortNulls, unionAll, unionByNameQ, unionDistinct,
     intersectQ, exceptQ, intersectAllQ, exceptAllQ, distinctQ, dedupByKey,
-    mergeUpsert)
+    mergeUpsert, cdcDiff)
 }
