@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality / governance operators: table profiling and a
+  * privacy (k-anonymity) audit. Both are the audit passes a curation
+  * pipeline runs before publishing a training snapshot.
+  */
+object Profiling {
+
+  private val profCols = Seq(
+    "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+
+  /** ONE-PASS multi-column table profiling (the ANALYZE TABLE
+    * primitive): per column — null count, exact distinct count, min and
+    * max — over five lineitem columns in a single aggregate, then a
+    * `stack` unpivot of the 5×3 metric grid into one row per column.
+    * Numeric min/max serialize through scale-padded DECIMAL(20,6) so
+    * both engines print identically.
+    *
+    * Scale shape: the scan is ONE pass; the multi-distinct rewrite
+    * expands rows 5× before the partial aggregate (Spark's Expand), and
+    * every metric is partial+final — no row ever leaves its partition
+    * un-aggregated. At 100 TB the production variant swaps exact
+    * distinct for approx_count_distinct and the plan collapses to a
+    * single non-expanded pass; exact is kept here because the oracle
+    * compares values. */
+  val profileStats: QueryDef = {
+    def duckOne(c: String, numeric: Boolean): String = {
+      val (mn, mx) =
+        if (numeric)
+          (s"CAST(CAST(round(MIN($c), 6) AS DECIMAL(20,6)) AS VARCHAR)",
+            s"CAST(CAST(round(MAX($c), 6) AS DECIMAL(20,6)) AS VARCHAR)")
+        else (s"MIN($c)", s"MAX($c)")
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mn AS min_v, $mx AS max_v FROM lineitem""".stripMargin
+    }
+    val numeric = Set("l_quantity", "l_extendedprice", "l_discount")
+    QueryDef(
+      "q_profile_stats",
+      profCols.map(c => duckOne(c, numeric(c))).mkString("\n  UNION ALL\n")) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val aggs = profCols.flatMap { c =>
+        val (mn, mx) =
+          if (numeric(c))
+            (expr(s"CAST(CAST(round(MIN($c), 6) AS DECIMAL(20,6)) AS STRING)"),
+              expr(s"CAST(CAST(round(MAX($c), 6) AS DECIMAL(20,6)) AS STRING)"))
+          else (expr(s"MIN($c)"), expr(s"MAX($c)"))
+        Seq(
+          expr(s"CAST(COUNT(1) - COUNT($c) AS BIGINT)").as(s"${c}_nn"),
+          expr(s"CAST(COUNT(DISTINCT $c) AS BIGINT)").as(s"${c}_nd"),
+          mn.as(s"${c}_mn"), mx.as(s"${c}_mx"))
+      }
+      val stacked = profCols
+        .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${profCols.size}, $stacked) AS (col_name, n_null, n_distinct, min_v, max_v)")
+    }
+  }
+
+  /** K-ANONYMITY / l-diversity audit — the privacy gate before a
+    * dataset release: group by the quasi-identifier tuple
+    * (nation, market segment), report group size k, the number of
+    * distinct sensitive values (account-balance sign) as l, and flag
+    * groups smaller than k=5 as re-identifiable. Scale shape: one
+    * hash aggregate over the QI columns (partial+final); the flag is
+    * map-only arithmetic on the aggregate — nothing row-level leaves
+    * an executor. */
+  val kAnonymity: QueryDef = QueryDef(
+    "q_kanon_audit",
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) AS BIGINT) AS l_div,
+      |  COUNT(*) < 5 AS risky
+      |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"),
+        expr("CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) AS BIGINT)").as("l_div"),
+        (count(lit(1)) < 5).as("risky"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity)
+}
