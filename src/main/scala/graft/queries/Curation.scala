@@ -267,6 +267,46 @@ object Curation {
         expr("array_join(slice(ws, st + 1, 64), ' ')").as("chunk_text"))
   }
 
+  /** RANGE-SPLIT manifest — exact equi-depth partition boundaries (the
+    * `repartitionByRange` / range-bucketed-write planning step): 7
+    * boundaries at the octile quantiles of l_extendedprice, then every
+    * row assigned to its range bucket and counted, proving the splits
+    * balance. Boundaries are rounded to 6 dp BEFORE bucket assignment
+    * (`percentile` == `quantile_cont`, the repo's established libm
+    * policy) so the `<=` comparisons are on identical doubles in both
+    * engines.
+    *
+    * Scale shape: one percentile aggregate (production swaps in the
+    * reservoir sample repartitionByRange already uses — exact kept
+    * for the oracle), a 7-element broadcast, then map-only bucket
+    * assignment + hash-agg counts. The data table never sorts. */
+  val rangeSplit: QueryDef = QueryDef(
+    "q_range_split",
+    """WITH b AS (SELECT list_transform(
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE),
+      |      [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+      |    x -> round(CAST(x AS DOUBLE), 6)) AS bs FROM lineitem),
+      |a AS (SELECT CAST(len(list_filter(bs, x -> x <= l_extendedprice)) AS BIGINT) AS bucket,
+      |  CASE WHEN len(list_filter(bs, x -> x <= l_extendedprice)) >= 1
+      |       THEN bs[len(list_filter(bs, x -> x <= l_extendedprice))] END AS lo
+      |  FROM lineitem, b)
+      |SELECT bucket, lo, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM a GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val b = li.agg(expr(
+      """transform(percentile(l_extendedprice,
+        |  array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)),
+        |  x -> round(x, 6))""".stripMargin).as("bs"))
+    li.select(col("l_extendedprice")).crossJoin(broadcast(b))
+      .select(
+        expr("CAST(size(filter(bs, x -> x <= l_extendedprice)) AS BIGINT)").as("bucket"),
+        expr("""CASE WHEN size(filter(bs, x -> x <= l_extendedprice)) >= 1
+               |THEN element_at(bs, size(filter(bs, x -> x <= l_extendedprice))) END""".stripMargin).as("lo"))
+      .groupBy(col("bucket"), col("lo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
-    packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap)
+    packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
+    rangeSplit)
 }

@@ -231,6 +231,49 @@ object Windows {
         max(col("ts")).as("t_end"))
   }
 
+  /** 2-D SKYLINE (Pareto frontier) per brand: the parts not dominated
+    * by any same-brand part that is both cheaper-or-equal and
+    * bigger-or-equal (strict in one dimension) — minimize
+    * p_retailprice, maximize p_size. Computed the sort-scan way, not
+    * by the quadratic self-join: collapse to per-(brand, price) max
+    * size, then one window pass ordered by price asc keeps a price
+    * point iff its max size strictly exceeds the running max over all
+    * strictly-cheaper points (1 PRECEDING frame — price is unique
+    * within the partition after the collapse, so the frame is
+    * deterministic). Survivor (price, size) pairs join back to recover
+    * part keys. Scale shape: hash-agg + one partitioned window + an
+    * equi-join — O(n log n_partition) per brand vs the O(n²) EXISTS
+    * formulation; the partition key (brand) keeps every window local
+    * to an executor. */
+  val skyline: QueryDef = QueryDef(
+    "q_skyline",
+    """WITH m AS (SELECT p_brand, p_retailprice AS price, MAX(p_size) AS msize
+      |  FROM part GROUP BY 1, 2),
+      |w AS (SELECT p_brand, price, msize,
+      |  MAX(msize) OVER (PARTITION BY p_brand ORDER BY price
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM m),
+      |sky AS (SELECT p_brand, price, msize FROM w WHERE rm IS NULL OR msize > rm)
+      |SELECT p.p_partkey, p.p_brand,
+      |  CAST(CAST(round(p.p_retailprice, 6) AS DECIMAL(20,6)) AS DOUBLE) AS price,
+      |  CAST(p.p_size AS BIGINT) AS size
+      |FROM part p JOIN sky s
+      |  ON p.p_brand = s.p_brand AND p.p_retailprice = s.price AND p.p_size = s.msize""".stripMargin) { (s, dir) =>
+    val m = Tables.part(s, dir)
+      .groupBy(col("p_brand"), col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("msize"))
+    val w = Window.partitionBy("p_brand").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = m.withColumn("rm", max(col("msize")).over(w))
+      .filter(col("rm").isNull || col("msize") > col("rm"))
+      .select(col("p_brand").as("s_brand"), col("price"), col("msize"))
+    Tables.part(s, dir)
+      .join(sky, col("p_brand") === col("s_brand") &&
+        col("p_retailprice") === col("price") && col("p_size") === col("msize"))
+      .select(col("p_partkey"), col("p_brand"),
+        expr("CAST(CAST(round(p_retailprice, 6) AS DECIMAL(20,6)) AS DOUBLE)").as("price"),
+        col("p_size").cast("long").as("size"))
+  }
+
   val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
-    winRangeInterval, winFillForward, eventSessionize)
+    winRangeInterval, winFillForward, eventSessionize, skyline)
 }
