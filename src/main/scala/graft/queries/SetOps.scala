@@ -228,8 +228,65 @@ object SetOps {
         expr("CAST(CAST(round(cp, 6) AS DECIMAL(20,6)) AS DOUBLE)").as("new_price"))
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE: a per-customer (sum, count)
+    * aggregate maintained from the [[cdcDiff]] change feed instead of
+    * rescanning the base table — inserts add the new row, deletes
+    * subtract the old row, updates apply the difference; the grouped
+    * delta full-outer-merges into the previous aggregate state.
+    * Correctness statement: the maintained state is EXACTLY the
+    * recompute over the current snapshot — the oracle computes the
+    * direct aggregate and the hash must match, which only holds
+    * because every money value is rounded to 6 dp and cast to DECIMAL(20,6) per row and
+    * summed exactly after a single 6-dp round (double sums would drift between the delta path
+    * and the rescan path).
+    *
+    * Scale shape: the whole point at 100 TB — the base table is
+    * touched only for the (small) delta; the state update is a
+    * hash-partitioned merge join on the group key, both sides already
+    * aggregated. Same snapshot simulation as [[cdcDiff]]. */
+  val ivmAgg: QueryDef = QueryDef(
+    "q_ivm_agg",
+    """WITH curr AS (SELECT o_custkey,
+      |  CAST(round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END, 6) AS DECIMAL(20,6)) AS p
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT o_custkey, CAST(SUM(p) AS DECIMAL(20,6)) AS sum_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM curr GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    def snap(pred: String, priced: Boolean) = {
+      val price =
+        if (priced) "CAST(round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1D ELSE o_totalprice END, 6) AS DECIMAL(20,6))"
+        else "CAST(round(o_totalprice, 6) AS DECIMAL(20,6))"
+      Tables.orders(s, dir).filter(pred)
+        .select(col("o_orderkey"), col("o_custkey"), expr(price).as("p"))
+    }
+    val prev = snap("o_orderkey % 7 <> 0", priced = false)
+    val curr = snap("o_orderkey % 5 <> 0", priced = true)
+    // maintained state BEFORE the change (aggregate of the prior snapshot)
+    val state = prev.groupBy(col("o_custkey"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("c"))
+    // change feed: per-key contribution delta (I:+new, D:-old, U:new-old)
+    val delta = prev.select(col("o_orderkey").as("pk"), col("o_custkey").as("pck"), col("p").as("pp"))
+      .join(curr.select(col("o_orderkey").as("ck"), col("o_custkey").as("cck"), col("p").as("cp")),
+        col("pk") === col("ck"), "full")
+      .filter("pk IS NULL OR ck IS NULL OR pp <> cp")
+      .select(coalesce(col("cck"), col("pck")).as("o_custkey"),
+        expr("coalesce(cp, CAST(0 AS DECIMAL(20,6))) - coalesce(pp, CAST(0 AS DECIMAL(20,6)))").as("dp"),
+        expr("CAST(CASE WHEN pk IS NULL THEN 1 WHEN ck IS NULL THEN -1 ELSE 0 END AS BIGINT)").as("dc"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("dp")).as("ds"), sum(col("dc")).as("dn"))
+    // merge delta into state; drop keys whose count reaches zero
+    state.join(delta, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        expr("coalesce(s, CAST(0 AS DECIMAL(20,6))) + coalesce(ds, CAST(0 AS DECIMAL(20,6)))").as("sum_raw"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_custkey"),
+        expr("CAST(sum_raw AS DECIMAL(20,6))").as("sum_price"),
+        col("n_orders"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sortLimit, sortNulls, unionAll, unionByNameQ, unionDistinct,
     intersectQ, exceptQ, intersectAllQ, exceptAllQ, distinctQ, dedupByKey,
-    mergeUpsert, cdcDiff)
+    mergeUpsert, cdcDiff, ivmAgg)
 }
