@@ -306,7 +306,63 @@ object Curation {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** GROUP-LEVEL train/val/test split (GroupShuffleSplit): the split
+    * decision hashes the GROUP key (source ∥ lang — the provenance
+    * unit), not the row, so all documents from one group land in the
+    * same split and no near-duplicate can straddle the train/eval
+    * boundary — the leakage guarantee row-hash splits ([[q_sample_hash
+    * elsewhere]]) cannot give. 80/10/10 by md5-prefix threshold,
+    * deterministic across engines and runs. Scale shape: map-only
+    * split assignment (pushable predicate per split); the per-split
+    * per-lang audit counts are one hash-agg. */
+  val splitGrouped: QueryDef = QueryDef(
+    "q_split_grouped",
+    """WITH t AS (SELECT lang,
+      |  CASE WHEN substr(md5(source || '|' || lang), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(source || '|' || lang), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM t GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("""CASE WHEN substr(md5(source || '|' || lang), 1, 2) < 'cc' THEN 'train'
+               |     WHEN substr(md5(source || '|' || lang), 1, 2) < 'e6' THEN 'val'
+               |     ELSE 'test' END""".stripMargin).as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-Res): key_i = u_i^(1/w_i) ⇔ rank by ln(u_i)/w_i; top-k keys win,
+    * giving inclusion probability ∝ weight (here w = document length,
+    * so long documents are favored the way a token-budget sampler
+    * favors them). u_i is the integer-hash uniform (no rand()), the
+    * ln() output is a libm value so the key is rounded to 6 dp with
+    * doc_id tie-break — deterministic in both engines.
+    * Scale shape: map-only key computation + TakeOrderedAndProject
+    * top-k (per-partition heads, k-row driver merge) — the data never
+    * globally sorts, the standard distributed weighted-reservoir
+    * equivalent. */
+  val sampleWeighted: QueryDef = QueryDef(
+    "q_sample_weighted",
+    """WITH t AS (SELECT doc_id, n_chars,
+      |  round(ln((1.0 + (doc_id * 2654435761) % 65536) / 65537.0)
+      |        / CAST(n_chars AS DOUBLE), 6) AS sort_key
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(sort_key AS DOUBLE) AS sort_key
+      |FROM t ORDER BY sort_key DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("round(ln((1.0D + (doc_id * 2654435761) % 65536) / 65537.0D) / CAST(n_chars AS DOUBLE), 6)").as("sort_key"),
+        col("n_chars"))
+      .orderBy(col("sort_key").desc, col("doc_id"))
+      .limit(25)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("sort_key").cast("double").as("sort_key"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
-    rangeSplit)
+    rangeSplit, splitGrouped, sampleWeighted)
 }
