@@ -96,7 +96,34 @@ object PlanAudit {
       "q_mix_temperature" -> Seq("BroadcastHashJoin"),
       // perplexity filter: the 256-row model is TakeOrdered (never a
       // global sort) and broadcast back; scoring is a broadcast join
-      "q_text_ppl" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"))
+      "q_text_ppl" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      // round 5b: curation/layout/IVM wave.
+      // chunking is scan + Generate (explode) — never a shuffle
+      "q_chunk_overlap" -> Seq("Generate", "!Exchange"),
+      // zorder manifest: integer bit-math projection + one hash agg
+      "q_zorder_cluster" -> Seq("HashAggregate", "!Join"),
+      // snapshot diff / IVM: keyed full-outer joins, no nested loop
+      "q_cdc_diff" -> Seq("FullOuter", "!NestedLoop"),
+      "q_ivm_agg" -> Seq("FullOuter", "HashAggregate", "!NestedLoop"),
+      // range split: percentile is an ObjectHashAggregate; the 1-row
+      // boundary table joins back as a broadcast, never a sort-merge
+      "q_range_split" -> Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"),
+      // skyline: partitioned window + equi join back — no all-pairs
+      "q_skyline" -> Seq("Window", "!NestedLoop"),
+      // profiling: multi-distinct rewrites to Expand over ONE scan;
+      // string min/max buffers are immutable so Spark falls back to
+      // SortAggregate — still partial+final (partial_min/partial_count
+      // fold per-partition before the exchange). The 100 TB variant
+      // swaps exact distinct for approx_count_distinct and the whole
+      // thing collapses to one non-expanded HashAggregate pass; exact
+      // is kept because the oracle compares values.
+      "q_profile_stats" -> Seq("Expand", "SortAggregate", "partial_min"),
+      // group split is agg-only; weighted sample is top-k, not a sort
+      "q_split_grouped" -> Seq("HashAggregate", "!Join"),
+      "q_sample_weighted" -> Seq("TakeOrderedAndProject"),
+      // pagerank: fact joins stay hint-free (AQE sizes the dims); the
+      // collapsed transition table is persisted for the iterations
+      "q_graph_pagerank" -> Seq("InMemoryTableScan", "!DimHint"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
