@@ -339,7 +339,10 @@ object Curation {
     * so long documents are favored the way a token-budget sampler
     * favors them). u_i is the integer-hash uniform (no rand()), the
     * ln() output is a libm value so the key is rounded to 6 dp with
-    * doc_id tie-break — deterministic in both engines.
+    * doc_id tie-break — deterministic in both engines. The `+ 0.0`
+    * normalizes IEEE negative zero: a near-zero key rounds to -0.0
+    * in DuckDB but 0.0 in Spark (sf0.1 surfaced one) and the driver
+    * comparator diffs the repr, not the value.
     * Scale shape: map-only key computation + TakeOrderedAndProject
     * top-k (per-partition heads, k-row driver merge) — the data never
     * globally sorts, the standard distributed weighted-reservoir
@@ -348,13 +351,13 @@ object Curation {
     "q_sample_weighted",
     """WITH t AS (SELECT doc_id, n_chars,
       |  round(ln((1.0 + (doc_id * 2654435761) % 65536) / 65537.0)
-      |        / CAST(n_chars AS DOUBLE), 6) AS sort_key
+      |        / CAST(n_chars AS DOUBLE), 6) + 0.0 AS sort_key
       |  FROM documents)
       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(sort_key AS DOUBLE) AS sort_key
       |FROM t ORDER BY sort_key DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr("round(ln((1.0D + (doc_id * 2654435761) % 65536) / 65537.0D) / CAST(n_chars AS DOUBLE), 6)").as("sort_key"),
+        expr("round(ln((1.0D + (doc_id * 2654435761) % 65536) / 65537.0D) / CAST(n_chars AS DOUBLE), 6) + 0.0D").as("sort_key"),
         col("n_chars"))
       .orderBy(col("sort_key").desc, col("doc_id"))
       .limit(25)

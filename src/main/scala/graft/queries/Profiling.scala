@@ -83,5 +83,40 @@ object Profiling {
         (count(lit(1)) < 5).as("risky"))
   }
 
-  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity)
+  /** DECLARATIVE DATA-QUALITY RULES (the Deequ/constraint-suite
+    * shape): a rule set of named boolean predicates evaluated over the
+    * whole table in ONE aggregate pass — each rule's violation count
+    * is a conditional sum, so adding a rule adds a column to the agg,
+    * never a scan. NULL predicate results count as violations
+    * (completeness and validity in the same expression). Scale shape:
+    * single scan, partial+final hash-agg of N counters, then a
+    * constant-width stack unpivot — the audit cost is one pass
+    * regardless of how many rules the suite carries. */
+  val dqRules: QueryDef = {
+    val rules: Seq[(String, String)] = Seq(
+      "quantity_complete" -> "l_quantity IS NOT NULL",
+      "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+      "price_nonneg" -> "l_extendedprice >= 0",
+      "discount_band" -> "l_discount BETWEEN 0.0 AND 0.1",
+      "flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+      "ship_after_epoch" -> "l_shipdate >= DATE '1992-01-01'")
+    def viol(pred: String): String =
+      s"SUM(CASE WHEN ($pred) THEN 0 ELSE 1 END)"
+    QueryDef(
+      "q_dq_rules",
+      rules.map { case (n, p) =>
+        s"""SELECT '$n' AS rule, CAST(${viol(p)} AS BIGINT) AS n_violations,
+           |  ${viol(p)} = 0 AS pass FROM lineitem""".stripMargin
+      }.mkString("\n  UNION ALL\n")) { (s, dir) =>
+      val aggs = rules.map { case (n, p) =>
+        expr(s"CAST(${viol(p)} AS BIGINT)").as(s"v_$n")
+      }
+      val stacked = rules.map { case (n, _) => s"'$n', v_$n, v_$n = 0" }.mkString(", ")
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${rules.size}, $stacked) AS (rule, n_violations, pass)")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules)
 }
