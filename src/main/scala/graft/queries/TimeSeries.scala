@@ -84,5 +84,71 @@ object TimeSeries {
         max(col("running")).cast("long").as("peak"))
   }
 
-  val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep)
+  /** LAST-TOUCH ATTRIBUTION: each purchase is credited to the user's
+    * most recent preceding marketing touch (click or view), but only
+    * if it happened within the 7-day attribution window. The carry
+    * is the fill-forward idiom ([[winFillForward]]'s proven
+    * `last_value IGNORE NULLS` pair) over ONE user-partitioned window
+    * in event-time order — no self-join, no per-purchase subquery.
+    * Scale shape: one shuffle on user_id, in-partition sort, map-only
+    * window-age check; the classic join formulation would be a range
+    * self-join of purchases × touches, quadratic per heavy user. */
+  val attribution: QueryDef = QueryDef(
+    "q_attribution",
+    """WITH w AS (SELECT event_id, user_id, event_type, ts, value,
+      |  last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+      |  last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(CAST(round(value, 6) AS DECIMAL(20,6)) AS DOUBLE) AS value,
+      |  CASE WHEN touch_ts IS NOT NULL AND ts - touch_ts <= INTERVAL 7 DAY
+      |       THEN touch_id END AS attributed_touch
+      |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch_id",
+        last(expr("CASE WHEN event_type IN ('click','view') THEN event_id END"), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(expr("CASE WHEN event_type IN ('click','view') THEN ts END"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(CAST(round(value, 6) AS DECIMAL(20,6)) AS DOUBLE)").as("value"),
+        expr("CASE WHEN touch_ts IS NOT NULL AND ts - touch_ts <= INTERVAL 7 DAY THEN touch_id END")
+          .as("attributed_touch"))
+  }
+
+  /** 7-DAY ROLLING DISTINCT USERS per event type — the sliding
+    * count-distinct a plain window frame cannot express (COUNT
+    * DISTINCT is not a window function in either engine). Shape:
+    * collapse to distinct (type, day, user) first — the only pass
+    * over raw events — then fan each day-user pair out to the ≤7
+    * report days it contributes to via a range join against the
+    * (small, calendar-bounded) day dimension, and count distinct per
+    * (type, day). Scale: the fan-out is a broadcast range join (day
+    * table rows = observed days, never SF-scaled) and the final
+    * distinct is a hash-agg on already-deduplicated pairs — no
+    * quadratic self-join of events. */
+  val rollingDistinct: QueryDef = QueryDef(
+    "q_rolling_distinct",
+    """WITH du AS (SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d AS rd FROM du)
+      |SELECT du.event_type, days.rd AS day,
+      |  CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS u7
+      |FROM du JOIN days ON du.d BETWEEN days.rd - 6 AND days.rd
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(date_trunc('day', ts) AS DATE)").as("d"), col("user_id"))
+      .distinct()
+    val days = du.select(col("d").as("rd")).distinct()
+    du.join(broadcast(days), expr("d BETWEEN rd - 6 AND rd"))
+      .groupBy(col("event_type"), col("rd").as("day"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct)
 }
