@@ -123,7 +123,18 @@ object PlanAudit {
       "q_sample_weighted" -> Seq("TakeOrderedAndProject"),
       // pagerank: fact joins stay hint-free (AQE sizes the dims); the
       // collapsed transition table is persisted for the iterations
-      "q_graph_pagerank" -> Seq("InMemoryTableScan", "!DimHint"))
+      "q_graph_pagerank" -> Seq("InMemoryTableScan", "!DimHint"),
+      // round 5c: time-series + audit wave.
+      // OHLC: one partial+final agg, no join anywhere
+      "q_time_ohlc" -> Seq("partial_", "!Join"),
+      // sweep and attribution: ONE partitioned window, never a self-join
+      "q_interval_sweep" -> Seq("Window", "Union", "!Join"),
+      "q_attribution" -> Seq("Window", "!Join"),
+      // rolling distinct: the day-dim range join must broadcast (a
+      // sort-merge over the fanned-out pairs would be the scale bug)
+      "q_rolling_distinct" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin"),
+      // DQ rules: the whole suite is one scan + one agg, no join
+      "q_dq_rules" -> Seq("HashAggregate", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
