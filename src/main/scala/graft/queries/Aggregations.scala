@@ -358,9 +358,40 @@ object Aggregations {
           .as("within_bound"))
   }
 
+  /** MERGEABLE-SKETCH ROLLUP — the re-aggregation property that makes
+    * sketches the 100 TB answer: per-day DataSketches HLL sketches of
+    * the user set (`hll_sketch_agg`) are UNIONED up to weekly
+    * estimates (`hll_union_agg`) without touching raw events again.
+    * This is the materialized-cube pattern: store tiny daily sketches,
+    * answer any coarser-grain distinct query by merging them. Oracle
+    * pattern as [[aggApprox]]: the row carries the exact weekly
+    * distinct + a `within_bound` flag asserting the merged estimate
+    * landed within 5% — the sketch path is exercised on the Spark
+    * side, the hash-compared values are exact. */
+  val aggSketchRollup: QueryDef = QueryDef(
+    "q_sketch_rollup",
+    """SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_u,
+      | TRUE AS within_bound
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), expr("CAST(date_trunc('day', ts) AS DATE)").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily
+      .groupBy(col("event_type"), expr("CAST(date_trunc('week', day) AS DATE)").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev
+      .groupBy(col("event_type"), expr("CAST(date_trunc('week', ts) AS DATE)").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_u"))
+    exact.join(weekly, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("exact_u"),
+        (abs(col("est") - col("exact_u")) / col("exact_u") <= lit(0.05)).as("within_bound"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
     aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
-    aggCountMin)
+    aggCountMin, aggSketchRollup)
 }

@@ -118,5 +118,41 @@ object Profiling {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules)
+  /** ROBUST OUTLIER DETECTION by Median Absolute Deviation — the
+    * heavy-tail-safe alternative to z-scores (mean/stddev are
+    * themselves dragged by the outliers they're meant to find): per
+    * return flag, med = median(price), MAD = median(|price − med|),
+    * outlier ⇔ |price − med| > 3·MAD. Two grouped percentile
+    * aggregates with the (3-row) medians broadcast back between them;
+    * the flag check is map-only. Both medians are rounded to 6 dp
+    * before any comparison (the repo percentile policy), so the
+    * deviation arithmetic is engine-identical. */
+  val madOutliers: QueryDef = QueryDef(
+    "q_mad_outliers",
+    """WITH m1 AS (SELECT l_returnflag, round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 6) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m1.med) AS dev, m1.med
+      |  FROM lineitem l JOIN m1 ON l.l_returnflag = m1.l_returnflag),
+      |m2 AS (SELECT l_returnflag, round(CAST(quantile_cont(dev, 0.5) AS DOUBLE), 6) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.l_returnflag, d.med, m2.mad,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN m2 ON d.l_returnflag = m2.l_returnflag
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val m1 = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med"))
+    val d = li.select(col("l_returnflag").as("rf"), col("l_extendedprice"))
+      .join(broadcast(m1), col("rf") === m1("l_returnflag")).drop("l_returnflag")
+      .select(col("rf"), abs(col("l_extendedprice") - col("med")).as("dev"), col("med"))
+    val m2 = d.groupBy(col("rf").as("rf2"))
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    d.join(broadcast(m2), col("rf") === col("rf2"))
+      .groupBy(col("rf").as("l_returnflag"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_total"),
+        expr("CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)").as("n_outliers"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers)
 }

@@ -150,5 +150,39 @@ object TimeSeries {
       .agg(countDistinct(col("user_id")).as("u7"))
   }
 
-  val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct)
+  /** GAPS-AND-ISLANDS — consecutive-month activity streaks per
+    * customer: collapse orders to distinct (customer, month-index)
+    * pairs, then the classic island key `m − row_number()` (constant
+    * within a consecutive run, distinct across gaps) groups each
+    * streak; the customer-level rollup reports how many distinct
+    * streaks and the longest one. All-integer arithmetic. Scale
+    * shape: distinct hash-agg → customer-partitioned window (never
+    * global) → two more hash-aggs; each stage reuses the same
+    * partitioning so AQE collapses the exchanges. */
+  val gapsIslands: QueryDef = QueryDef(
+    "q_gaps_islands",
+    """WITH m AS (SELECT DISTINCT o_custkey,
+      |  (year(CAST(o_orderdate AS DATE)) - 1992) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS m
+      |  FROM orders),
+      |i AS (SELECT o_custkey, m,
+      |  m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS isl
+      |  FROM m),
+      |runs AS (SELECT o_custkey, isl, COUNT(*) AS len FROM i GROUP BY 1, 2)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak
+      |FROM runs GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("m")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("(year(CAST(o_orderdate AS DATE)) - 1992) * 12 + month(CAST(o_orderdate AS DATE)) - 1").as("m"))
+      .distinct()
+      .withColumn("isl", col("m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).cast("long").as("longest_streak"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
+    gapsIslands)
 }
