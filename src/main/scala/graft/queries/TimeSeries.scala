@@ -183,6 +183,61 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_streaks"), max(col("len")).cast("long").as("longest_streak"))
   }
 
+  /** COHORT RETENTION — the product-analytics triangle: cohort = the
+    * week a user was first seen; each (cohort, weeks-since) cell
+    * counts the cohort's users still active that week. Shape:
+    * collapse to distinct (user, week) pairs (the only raw-events
+    * pass), min-agg per user for the cohort, join back ON THE USER
+    * KEY (both sides already hash-partitioned by user — AQE reuses
+    * the exchange), then one hash-agg; exact distinct is safe because
+    * the pairs are already deduplicated. */
+  val retentionCohort: QueryDef = QueryDef(
+    "q_retention_cohort",
+    """WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+      |f AS (SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY 1)
+      |SELECT f.cohort, CAST(date_diff('day', f.cohort, uw.w) // 7 AS BIGINT) AS week_no,
+      |  CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS active_u
+      |FROM uw JOIN f ON uw.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("CAST(date_trunc('week', ts) AS DATE)").as("w"))
+      .distinct()
+    val f = uw.groupBy(col("user_id").as("fu")).agg(min(col("w")).as("cohort"))
+    uw.join(f, col("user_id") === col("fu"))
+      .groupBy(col("cohort"),
+        expr("CAST(datediff(w, cohort) DIV 7 AS BIGINT)").as("week_no"))
+      .agg(countDistinct(col("user_id")).as("active_u"))
+  }
+
+  /** EVENT-TRANSITION MATRIX (first-order Markov estimate): for each
+    * consecutive event pair in a user's timeline, count src→dst and
+    * normalize per source — the sequence-mining primitive behind
+    * next-action prediction and anomalous-flow detection. `lead` over
+    * the user-partitioned window is the single sequential pass; the
+    * transition table is bounded by |event types|², so the
+    * normalization join is a broadcast. Probabilities round to 6 dp
+    * from exact integer counts — engine-identical. */
+  val eventTransitions: QueryDef = QueryDef(
+    "q_event_transitions",
+    """WITH p AS (SELECT event_type AS src,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |t AS (SELECT src, dst, COUNT(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tn FROM t GROUP BY 1)
+      |SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+      |  CAST(round(CAST(t.n AS DOUBLE) / CAST(tot.tn AS DOUBLE), 6) AS DOUBLE) AS prob
+      |FROM t JOIN tot ON t.src = tot.src""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("src").as("src2")).agg(sum(col("n")).as("tn"))
+    t.join(broadcast(tot), col("src") === col("src2"))
+      .select(col("src"), col("dst"), col("n"),
+        expr("CAST(round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS DOUBLE)").as("prob"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
-    gapsIslands)
+    gapsIslands, retentionCohort, eventTransitions)
 }
