@@ -134,7 +134,16 @@ object PlanAudit {
       // sort-merge over the fanned-out pairs would be the scale bug)
       "q_rolling_distinct" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin"),
       // DQ rules: the whole suite is one scan + one agg, no join
-      "q_dq_rules" -> Seq("HashAggregate", "!Join"))
+      "q_dq_rules" -> Seq("HashAggregate", "!Join"),
+      // sketch rollup: HllSketchAgg/HllUnionAgg are typed-imperative →
+      // ObjectHashAggregate, partial+final at both grains
+      "q_sketch_rollup" -> Seq("ObjectHashAggregate", "!NestedLoop"),
+      "q_gaps_islands" -> Seq("Window", "HashAggregate", "!Join"),
+      // MAD: percentile = ObjectHashAggregate; the 3-row median tables
+      // must come back as broadcasts, never a shuffle of the fact side
+      "q_mad_outliers" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      "q_retention_cohort" -> Seq("HashAggregate", "!NestedLoop"),
+      "q_event_transitions" -> Seq("Window", "BroadcastHashJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
