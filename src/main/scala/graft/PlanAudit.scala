@@ -143,7 +143,11 @@ object PlanAudit {
       // must come back as broadcasts, never a shuffle of the fact side
       "q_mad_outliers" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       "q_retention_cohort" -> Seq("HashAggregate", "!NestedLoop"),
-      "q_event_transitions" -> Seq("Window", "BroadcastHashJoin"))
+      "q_event_transitions" -> Seq("Window", "BroadcastHashJoin"),
+      // referential audit: each FK edge is an anti join on the key
+      "q_dq_referential" -> Seq("LeftAnti", "!NestedLoop"),
+      // skew report: key agg + 1-row broadcast + top-k, never a sort
+      "q_skew_report" -> Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -154,5 +154,63 @@ object Profiling {
         expr("CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)").as("n_outliers"))
   }
 
-  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers)
+  /** REFERENTIAL-INTEGRITY AUDIT — the cross-table half of the DQ
+    * suite ([[dqRules]] covers row-local predicates): orphan counts
+    * for each foreign-key edge (lineitem→orders, lineitem→part,
+    * orders→customer), each as a LeftAnti join + count, unioned into
+    * one report. Scale shape: anti joins hash-partition on the FK —
+    * the same plan a big-big semi join takes — and only counts cross
+    * the final exchange; no row data is ever collected. */
+  val dqReferential: QueryDef = {
+    val edges = Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+    QueryDef(
+      "q_dq_referential",
+      edges.map { case (n, ct, ck, pt, pk) =>
+        s"""SELECT '$n' AS fk_edge,
+           |  CAST((SELECT COUNT(*) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) AS BIGINT) AS n_orphans,
+           |  (SELECT COUNT(*) FROM $ct WHERE $ck NOT IN (SELECT $pk FROM $pt)) = 0 AS pass""".stripMargin
+      }.mkString("\n  UNION ALL\n")) { (s, dir) =>
+      edges.map { case (n, ct, ck, pt, pk) =>
+        val orphans = Tables.load(s, dir, ct).select(col(ck))
+          .join(Tables.load(s, dir, pt).select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(n).as("fk_edge"), col("n_orphans"),
+            (col("n_orphans") === 0).as("pass"))
+        orphans
+      }.reduce(_ union _)
+    }
+  }
+
+  /** PARTITION-SKEW REPORT — the diagnostic a pipeline runs before
+    * choosing a shuffle strategy (salting / AQE skew-join thresholds):
+    * per-key cardinalities for the join key, reduced to the top-10
+    * heaviest keys plus each key's share of the table and its ratio
+    * to the mean key size. One hash-agg over the key, a 1-row global
+    * aggregate broadcast back, and a top-k (TakeOrderedAndProject) —
+    * the raw table is never sorted. */
+  val skewReport: QueryDef = QueryDef(
+    "q_skew_report",
+    """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS nkeys FROM k)
+      |SELECT k.key, CAST(k.n AS BIGINT) AS n,
+      |  CAST(round(k.n / g.total, 6) AS DOUBLE) AS share,
+      |  CAST(round(k.n / (g.total / g.nkeys), 6) AS DOUBLE) AS x_mean
+      |FROM k, g
+      |ORDER BY n DESC, key LIMIT 10""".stripMargin) { (s, dir) =>
+    val k = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n"))
+    val g = k.agg(sum(col("n")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("nkeys"))
+    k.crossJoin(broadcast(g))
+      .select(col("key"), col("n"),
+        expr("CAST(round(n / total, 6) AS DOUBLE)").as("share"),
+        expr("CAST(round(n / (total / nkeys), 6) AS DOUBLE)").as("x_mean"))
+      .orderBy(col("n").desc, col("key")).limit(10)
+  }
+
+  val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers,
+    dqReferential, skewReport)
 }
