@@ -110,14 +110,12 @@ object PlanAudit {
       "q_range_split" -> Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"),
       // skyline: partitioned window + equi join back — no all-pairs
       "q_skyline" -> Seq("Window", "!NestedLoop"),
-      // profiling: multi-distinct rewrites to Expand over ONE scan;
-      // string min/max buffers are immutable so Spark falls back to
-      // SortAggregate — still partial+final (partial_min/partial_count
-      // fold per-partition before the exchange). The 100 TB variant
-      // swaps exact distinct for approx_count_distinct and the whole
-      // thing collapses to one non-expanded HashAggregate pass; exact
-      // is kept because the oracle compares values.
-      "q_profile_stats" -> Seq("Expand", "SortAggregate", "partial_min"),
+      // profiling: the distinct pass is Expand + pure HashAggregate
+      // (fusing string min/max into it would force a 6x-row
+      // SortAggregate — the measured-3x-slower shape this entry
+      // guards against); min/max live in a separate zero-group fold
+      // whose partial_min runs per-partition before the exchange
+      "q_profile_stats" -> Seq("Expand", "HashAggregate", "partial_min"),
       // group split is agg-only; weighted sample is top-k, not a sort
       "q_split_grouped" -> Seq("HashAggregate", "!Join"),
       "q_sample_weighted" -> Seq("TakeOrderedAndProject"),

@@ -19,13 +19,19 @@ object Profiling {
     * Numeric min/max serialize through scale-padded DECIMAL(20,6) so
     * both engines print identically.
     *
-    * Scale shape: the scan is ONE pass; the multi-distinct rewrite
-    * expands rows 5× before the partial aggregate (Spark's Expand), and
-    * every metric is partial+final — no row ever leaves its partition
-    * un-aggregated. At 100 TB the production variant swaps exact
-    * distinct for approx_count_distinct and the plan collapses to a
-    * single non-expanded pass; exact is kept here because the oracle
-    * compares values. */
+    * Scale shape: TWO aggregate passes, each the cheap kind. Pass A
+    * (nulls/min/max) is a zero-group fold — string min/max buffers
+    * force SortAggregate, but with no grouping keys that is a plain
+    * per-partition fold, no sort. Pass B (exact distincts) is the
+    * multi-distinct Expand (5×) into a purely hash aggregate — count
+    * buffers only, so nothing sorts. Fusing both into one aggregate
+    * (the obvious one-pass form) drags the string min/max buffers
+    * into the expanded first-level distinct pre-agg and turns it into
+    * a 6×-row SortAggregate — measured ~3× slower at sf0.1. The two
+    * 1-row results cross-join back and stack. At 100 TB the
+    * production variant swaps exact distinct for
+    * approx_count_distinct and pass B collapses into pass A; exact is
+    * kept here because the oracle compares values. */
   val profileStats: QueryDef = {
     def duckOne(c: String, numeric: Boolean): String = {
       val (mn, mx) =
@@ -43,7 +49,7 @@ object Profiling {
       "q_profile_stats",
       profCols.map(c => duckOne(c, numeric(c))).mkString("\n  UNION ALL\n")) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
-      val aggs = profCols.flatMap { c =>
+      val foldAggs = profCols.flatMap { c =>
         val (mn, mx) =
           if (numeric(c))
             (expr(s"CAST(CAST(round(MIN($c), 6) AS DECIMAL(20,6)) AS STRING)"),
@@ -51,12 +57,15 @@ object Profiling {
           else (expr(s"MIN($c)"), expr(s"MAX($c)"))
         Seq(
           expr(s"CAST(COUNT(1) - COUNT($c) AS BIGINT)").as(s"${c}_nn"),
-          expr(s"CAST(COUNT(DISTINCT $c) AS BIGINT)").as(s"${c}_nd"),
           mn.as(s"${c}_mn"), mx.as(s"${c}_mx"))
       }
+      val distinctAggs = profCols.map(c =>
+        expr(s"CAST(COUNT(DISTINCT $c) AS BIGINT)").as(s"${c}_nd"))
+      val folds = li.agg(foldAggs.head, foldAggs.tail: _*)
+      val distincts = li.agg(distinctAggs.head, distinctAggs.tail: _*)
       val stacked = profCols
         .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
-      li.agg(aggs.head, aggs.tail: _*)
+      folds.crossJoin(distincts)
         .selectExpr(s"stack(${profCols.size}, $stacked) AS (col_name, n_null, n_distinct, min_v, max_v)")
     }
   }
