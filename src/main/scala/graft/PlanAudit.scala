@@ -145,7 +145,9 @@ object PlanAudit {
       // referential audit: each FK edge is an anti join on the key
       "q_dq_referential" -> Seq("LeftAnti", "!NestedLoop"),
       // skew report: key agg + 1-row broadcast + top-k, never a sort
-      "q_skew_report" -> Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin"))
+      "q_skew_report" -> Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin"),
+      // RFM: quintile boundaries broadcast back, no global-sort ntile
+      "q_rfm_quintiles" -> Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -365,7 +365,51 @@ object Curation {
         col("sort_key").cast("double").as("sort_key"))
   }
 
+  /** RFM QUINTILE SCORING — the classic customer segmentation
+    * (recency / frequency / monetary, each 1–5), done the scalable
+    * way: a global `ntile(5)` would be a single-partition window over
+    * every customer; instead the quintile BOUNDARIES (4 per metric)
+    * come from one percentile aggregate, broadcast back, and the
+    * score is a map-only boundary count — the [[rangeSplit]] idiom
+    * applied three ways. Recency scores invert (smaller = better).
+    * Monetary sums go through DECIMAL(20,6) per row (exact,
+    * order-insensitive) and boundaries round to 6 dp before any
+    * comparison — engine-identical bucketing. */
+  val rfmQuintiles: QueryDef = QueryDef(
+    "q_rfm_quintiles",
+    """WITH c AS (SELECT o_custkey,
+      |  date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1998-08-01') AS r_days,
+      |  CAST(COUNT(*) AS BIGINT) AS f_cnt,
+      |  CAST(CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS DOUBLE) AS m_sum
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT
+      |  list_transform(quantile_cont(CAST(r_days AS DOUBLE), [0.2,0.4,0.6,0.8]), x -> round(CAST(x AS DOUBLE), 6)) AS rb,
+      |  list_transform(quantile_cont(CAST(f_cnt AS DOUBLE), [0.2,0.4,0.6,0.8]), x -> round(CAST(x AS DOUBLE), 6)) AS fb,
+      |  list_transform(quantile_cont(m_sum, [0.2,0.4,0.6,0.8]), x -> round(CAST(x AS DOUBLE), 6)) AS mb
+      |  FROM c)
+      |SELECT o_custkey,
+      |  CAST(5 - len(list_filter(rb, x -> x <= CAST(r_days AS DOUBLE))) AS BIGINT) AS r_score,
+      |  CAST(1 + len(list_filter(fb, x -> x <= CAST(f_cnt AS DOUBLE))) AS BIGINT) AS f_score,
+      |  CAST(1 + len(list_filter(mb, x -> x <= m_sum)) AS BIGINT) AS m_score
+      |FROM c, b""".stripMargin) { (s, dir) =>
+    val c = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("datediff(DATE '1998-08-01', MAX(CAST(o_orderdate AS DATE)))").as("r_days"),
+        count(lit(1)).as("f_cnt"),
+        expr("CAST(CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS DOUBLE)").as("m_sum"))
+    val b = c.agg(
+      expr("transform(percentile(CAST(r_days AS DOUBLE), array(0.2D,0.4D,0.6D,0.8D)), x -> round(x, 6))").as("rb"),
+      expr("transform(percentile(CAST(f_cnt AS DOUBLE), array(0.2D,0.4D,0.6D,0.8D)), x -> round(x, 6))").as("fb"),
+      expr("transform(percentile(m_sum, array(0.2D,0.4D,0.6D,0.8D)), x -> round(x, 6))").as("mb"))
+    c.crossJoin(broadcast(b))
+      .select(col("o_custkey"),
+        expr("CAST(5 - size(filter(rb, x -> x <= CAST(r_days AS DOUBLE))) AS BIGINT)").as("r_score"),
+        expr("CAST(1 + size(filter(fb, x -> x <= CAST(f_cnt AS DOUBLE))) AS BIGINT)").as("f_score"),
+        expr("CAST(1 + size(filter(mb, x -> x <= m_sum)) AS BIGINT)").as("m_score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
-    rangeSplit, splitGrouped, sampleWeighted)
+    rangeSplit, splitGrouped, sampleWeighted, rfmQuintiles)
 }
