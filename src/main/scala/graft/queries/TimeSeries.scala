@@ -238,6 +238,48 @@ object TimeSeries {
         expr("CAST(round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS DOUBLE)").as("prob"))
   }
 
+  /** LAG-1 AUTOCORRELATION of the daily revenue series — the
+    * stationarity probe before any forecasting model. The series is
+    * built with exact DECIMAL daily sums, re-expressed in millions at
+    * 2 dp (scaling keeps every moment sum's unscaled value below 2^53
+    * so the DECIMAL→DOUBLE casts are exact in both engines — the raw
+    * cents-scale moments would overflow that bound), then Pearson r
+    * over (rev_t, rev_{t−1}) pairs from the [[Reshape.corrAgg]]
+    * exact-moment formula, rounded to 6 dp. Scale shape: the raw scan
+    * collapses to one calendar-bounded row per day; the lag window
+    * runs over that tiny series, not the data. */
+  val autocorr: QueryDef = QueryDef(
+    "q_autocorr",
+    """WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+      |  CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0, 2) AS DECIMAL(10,2)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |p AS (SELECT rev AS a, lag(rev) OVER (ORDER BY day) AS b FROM d),
+      |q AS (SELECT a, b FROM p WHERE b IS NOT NULL)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CASE WHEN COUNT(*) > 1
+      |    AND (CAST(SUM(a*a) AS DOUBLE) - CAST(SUM(a) AS DOUBLE) * CAST(SUM(a) AS DOUBLE) / COUNT(*)) > 0
+      |    AND (CAST(SUM(b*b) AS DOUBLE) - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*)) > 0 THEN
+      |   round((CAST(SUM(a*b) AS DOUBLE) - CAST(SUM(a) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*))
+      |    / (sqrt(CAST(SUM(a*a) AS DOUBLE) - CAST(SUM(a) AS DOUBLE) * CAST(SUM(a) AS DOUBLE) / COUNT(*))
+      |     * sqrt(CAST(SUM(b*b) AS DOUBLE) - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*))), 6) END AS r_lag1
+      |FROM q""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(date_trunc('day', l_shipdate) AS DATE)").as("day"))
+      .agg(expr("CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0D, 2) AS DECIMAL(10,2))").as("rev"))
+    val w = Window.orderBy("day")
+    val q = d.withColumn("b", lag(col("rev"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select(col("rev").as("a"), col("b"))
+    q.agg(
+      count(lit(1)).as("n_pairs"),
+      expr("""CASE WHEN COUNT(*) > 1
+             |  AND (CAST(SUM(a*a) AS DOUBLE) - CAST(SUM(a) AS DOUBLE) * CAST(SUM(a) AS DOUBLE) / COUNT(*)) > 0
+             |  AND (CAST(SUM(b*b) AS DOUBLE) - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*)) > 0 THEN
+             | round((CAST(SUM(a*b) AS DOUBLE) - CAST(SUM(a) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*))
+             |  / (sqrt(CAST(SUM(a*a) AS DOUBLE) - CAST(SUM(a) AS DOUBLE) * CAST(SUM(a) AS DOUBLE) / COUNT(*))
+             |   * sqrt(CAST(SUM(b*b) AS DOUBLE) - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*))), 6) END""".stripMargin).as("r_lag1"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
-    gapsIslands, retentionCohort, eventTransitions)
+    gapsIslands, retentionCohort, eventTransitions, autocorr)
 }
