@@ -25,15 +25,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects (non-vectorized path) — read it as a long and truncate to
-    * microseconds, exactly what DuckDB does when it loads the file.
+  /** events.ts has shipped as TIMESTAMP(NANOS) parquet (which Spark's
+    * reader rejects — read as long via nanosAsLong, truncate to micros
+    * exactly as DuckDB does), as TIMESTAMP_NTZ micros (isAdjustedToUTC
+    * = false), and as plain TIMESTAMP. Normalize every generation to
+    * session-TZ TIMESTAMP — the session pins UTC, so the NTZ→LTZ cast
+    * is wall-clock identity, matching what DuckDB reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    val df = load(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
