@@ -147,7 +147,16 @@ object PlanAudit {
       // skew report: key agg + 1-row broadcast + top-k, never a sort
       "q_skew_report" -> Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin"),
       // RFM: quintile boundaries broadcast back, no global-sort ntile
-      "q_rfm_quintiles" -> Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"))
+      "q_rfm_quintiles" -> Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"),
+      // round 5d: SQL recursion + resample + geo wave.
+      // the recursive CTE must execute as the iterative UnionLoop
+      // (per-iteration frontier join), never a nested loop
+      "q_recursive_cte" -> Seq("UnionLoop", "!NestedLoop"),
+      // interpolation: spine is a Generate (explode), fill is Window
+      "q_time_interpolate" -> Seq("Generate", "Window"),
+      // geo lanes: the volume work is the key joins + one hash-agg;
+      // trig runs post-agg on <= |nations|^2 rows
+      "q_geo_lanes" -> Seq("BroadcastHashJoin", "partial_", "!DimHint"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

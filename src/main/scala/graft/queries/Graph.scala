@@ -84,5 +84,74 @@ object Graph {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(pageRank)
+  /** GEO TRADE LANES — haversine great-circle distance over the
+    * international trade graph: each nation gets deterministic
+    * synthetic coordinates (integer-derived, exactly representable
+    * halves — no pole/antimeridian edge cases), each cross-nation
+    * (supplier→customer) lane aggregates item count and exact-DECIMAL
+    * revenue, and the lane length comes from the haversine formula
+    * written with IDENTICAL operation order in both engines (explicit
+    * `x * pi() / 180` instead of each engine's radians(), products
+    * instead of pow) so the only divergence surface is libm sin/cos/
+    * asin — absorbed by the 6-dp rounding policy.
+    *
+    * Scale shape: the volume work is the same 3-way key join +
+    * hash-agg as [[pageRank]]'s edge derivation; the collapsed lane
+    * table is ≤|nations|² rows, and the coordinate join is against
+    * constant-size nation (broadcast by policy). Trig runs on ≤625
+    * rows, post-aggregation — map-only noise. */
+  val geoLanes: QueryDef = {
+    val haversineSql =
+      """round(2.0 * 6371.0088 * asin(sqrt(
+        |      sin((lat2 - lat1) * pi() / 360.0) * sin((lat2 - lat1) * pi() / 360.0)
+        |    + cos(lat1 * pi() / 180.0) * cos(lat2 * pi() / 180.0)
+        |      * sin((lon2 - lon1) * pi() / 360.0) * sin((lon2 - lon1) * pi() / 360.0))), 6)""".stripMargin
+    QueryDef(
+      "q_geo_lanes",
+      s"""WITH geo AS (SELECT n_nationkey, n_name,
+         |    CAST((n_nationkey * 37) % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+         |    CAST((n_nationkey * 91) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+         |  FROM nation),
+         |lanes AS (SELECT s_nationkey AS src, c_nationkey AS dst,
+         |    COUNT(*) AS n_items,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE s_nationkey <> c_nationkey
+         |  GROUP BY 1, 2),
+         |x AS (SELECT g1.n_name AS src_nation, g2.n_name AS dst_nation,
+         |    l.n_items, l.rev, g1.lat AS lat1, g1.lon AS lon1, g2.lat AS lat2, g2.lon AS lon2
+         |  FROM lanes l JOIN geo g1 ON l.src = g1.n_nationkey
+         |  JOIN geo g2 ON l.dst = g2.n_nationkey)
+         |SELECT src_nation, dst_nation, CAST(n_items AS BIGINT) AS n_items,
+         |  CAST(rev AS DOUBLE) AS revenue,
+         |  $haversineSql AS dist_km
+         |FROM x""".stripMargin) { (s, dir) =>
+      val geo = Tables.nation(s, dir).select(
+        col("n_nationkey"), col("n_name"),
+        expr("CAST((n_nationkey * 37) % 120 - 60 AS DOUBLE) + 0.5").as("lat"),
+        expr("CAST((n_nationkey * 91) % 360 - 180 AS DOUBLE) + 0.5").as("lon"))
+      val lanes = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))").as("rev"))
+      val g1 = geo.select(col("n_nationkey").as("k1"), col("n_name").as("src_nation"),
+        col("lat").as("lat1"), col("lon").as("lon1"))
+      val g2 = geo.select(col("n_nationkey").as("k2"), col("n_name").as("dst_nation"),
+        col("lat").as("lat2"), col("lon").as("lon2"))
+      lanes.join(broadcast(g1), col("src") === col("k1"))
+        .join(broadcast(g2), col("dst") === col("k2"))
+        .select(col("src_nation"), col("dst_nation"),
+          col("n_items").cast("long").as("n_items"),
+          col("rev").cast("double").as("revenue"),
+          expr(haversineSql).as("dist_km"))
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes)
 }

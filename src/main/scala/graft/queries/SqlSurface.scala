@@ -51,5 +51,53 @@ object SqlSurface {
     s.sql(sharedSql)
   }
 
-  val defs: Seq[QueryDef] = Seq(sqlDirect)
+  /** RECURSIVE CTE — iterative ancestor-chain walk over a synthetic
+    * customer hierarchy (parent = key halved, root = key 0): every
+    * customer seeds the recursion, each step hops to the parent via a
+    * key join; the `anc > 0` guard stops the walk at the root (key 0
+    * is its own halving fixed point, so without the guard the
+    * recursion never drains).
+    * Spark 4 executes this as `UnionLoop` — per-iteration frontier
+    * join, exactly the distributed iterative shape of
+    * [[graft.queries.Dedup]]'s component loop but declared in pure
+    * SQL. Output per customer: chain length and the exact-DECIMAL sum
+    * of account balances along the self-inclusive ancestor chain.
+    *
+    * Scale shape: total recursion output is n·log₂(n) rows; every
+    * iteration is a hash join on the key (no broadcast of SF-scaled
+    * data), and depth grows only logarithmically with SF (≈27 levels
+    * at SF 100), far under the engine's recursion-level limit. */
+  private val recursiveSparkSql =
+    """WITH RECURSIVE up AS (
+      |  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT up.node, c.c_custkey, up.depth + 1
+      |  FROM up JOIN customer c ON c.c_custkey = up.anc DIV 2
+      |  WHERE up.anc > 0
+      |)
+      |SELECT up.node AS c_custkey,
+      |  CAST(MAX(up.depth) AS BIGINT) AS chain_len,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS chain_bal
+      |FROM up JOIN customer c ON c.c_custkey = up.anc
+      |GROUP BY up.node""".stripMargin
+
+  val recursiveCte: QueryDef = QueryDef(
+    "q_recursive_cte",
+    """WITH RECURSIVE up AS (
+      |  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT up.node, c.c_custkey, up.depth + 1
+      |  FROM up JOIN customer c ON c.c_custkey = up.anc // 2
+      |  WHERE up.anc > 0
+      |)
+      |SELECT up.node AS c_custkey,
+      |  CAST(MAX(up.depth) AS BIGINT) AS chain_len,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS chain_bal
+      |FROM up JOIN customer c ON c.c_custkey = up.anc
+      |GROUP BY up.node""".stripMargin) { (s, dir) =>
+    registerViews(s, dir)
+    s.sql(recursiveSparkSql)
+  }
+
+  val defs: Seq[QueryDef] = Seq(sqlDirect, recursiveCte)
 }

@@ -280,6 +280,62 @@ object TimeSeries {
              |   * sqrt(CAST(SUM(b*b) AS DOUBLE) - CAST(SUM(b) AS DOUBLE) * CAST(SUM(b) AS DOUBLE) / COUNT(*))), 6) END""".stripMargin).as("r_lag1"))
   }
 
+  /** LINEAR GAP INTERPOLATION — resample a sparse daily series onto a
+    * dense calendar spine and linearly interpolate the missing days:
+    * the upsample/resample primitive of every forecasting feature
+    * pipeline. The series (daily revenue of >49-quantity shipments —
+    * deliberately sparse so ~half the calendar days are gaps) is
+    * joined against an exploded `sequence(min_day, max_day)` spine;
+    * the previous/next known (day, value) pairs come from the proven
+    * fill-forward idiom (`last_value`/`first_value IGNORE NULLS`), and
+    * the gap rows blend them by elapsed-day fraction. Both engines
+    * compute the blend with the identical operation order and round to
+    * 6 dp; values are positive so no −0.0 repr hazard. Boundary rows
+    * are observed by construction (the spine spans observed min..max),
+    * so prev/next are never NULL.
+    *
+    * Scale shape: the raw scan collapses to ≤|calendar| rows before
+    * anything expensive; the global-ORDER window runs over that
+    * calendar-bounded series (the [[autocorr]] precedent), never over
+    * SF-scaled data. */
+  val timeInterpolate: QueryDef = QueryDef(
+    "q_time_interpolate",
+    """WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      |    FROM lineitem WHERE l_quantity > 49 GROUP BY 1),
+      |  b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+      |  spine AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |  j AS (SELECT spine.day, d.rev FROM spine LEFT JOIN d ON spine.day = d.day),
+      |  f AS (SELECT day, rev,
+      |    last_value(rev IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(rev IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |    FROM j)
+      |SELECT day, rev IS NOT NULL AS observed,
+      |  CASE WHEN rev IS NOT NULL THEN round(rev, 6)
+      |       ELSE round(pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE)), 6) END AS rev_filled
+      |FROM f""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 49)
+      .groupBy(expr("CAST(date_trunc('day', l_shipdate) AS DATE)").as("day"))
+      .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("rev"))
+    val spine = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val j = spine.join(d.withColumnRenamed("day", "dday"),
+      col("day") === col("dday"), "left").drop("dday")
+    val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("pv", last(col("rev"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(expr("CASE WHEN rev IS NOT NULL THEN day END"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("rev"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(expr("CASE WHEN rev IS NOT NULL THEN day END"), ignoreNulls = true).over(wNext))
+      .select(col("day"), col("rev").isNotNull.as("observed"),
+        expr("""CASE WHEN rev IS NOT NULL THEN round(rev, 6)
+               |     ELSE round(pv + (nv - pv) * (CAST(datediff(day, pd) AS DOUBLE) / CAST(datediff(nd, pd) AS DOUBLE)), 6) END""".stripMargin)
+          .as("rev_filled"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
-    gapsIslands, retentionCohort, eventTransitions, autocorr)
+    gapsIslands, retentionCohort, eventTransitions, autocorr, timeInterpolate)
 }
