@@ -156,7 +156,13 @@ object PlanAudit {
       "q_time_interpolate" -> Seq("Generate", "Window"),
       // geo lanes: the volume work is the key joins + one hash-agg;
       // trig runs post-agg on <= |nations|^2 rows
-      "q_geo_lanes" -> Seq("BroadcastHashJoin", "partial_", "!DimHint"))
+      "q_geo_lanes" -> Seq("BroadcastHashJoin", "partial_", "!DimHint"),
+      // DPP: the partitioned fact scan must carry a dynamicpruning
+      // subquery in its PartitionFilters — runtime partition skipping
+      // driven by the dim filter, not a static rewrite
+      "q_dpp_prune" -> Seq("dynamicpruning", "PartitionFilters"),
+      // pareto: windows run over the collapsed <=|nations| table
+      "q_pareto_share" -> Seq("Window", "HashAggregate", "!NestedLoop"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -126,6 +126,47 @@ object Sources {
         col("o_year").cast("int").as("o_year"))
   }
 
+  /** DYNAMIC PARTITION PRUNING — the runtime cousin of
+    * [[partitionPrune]]'s static prune: the fact side is partitioned
+    * by year, the filter lives on a small dim table, and the years to
+    * scan are only known AFTER the dim filter runs — Spark inserts a
+    * `dynamicpruning` subquery into the scan's PartitionFilters so the
+    * fact read skips non-matching partitions at runtime. At 100 TB
+    * this is the difference between scanning 7 years and scanning 2,
+    * with no query rewrite: exactly how date-dim star schemas prune in
+    * production. The dim goes through a parquet round-trip because the
+    * pruning rule needs a surviving selective predicate on the build
+    * side — over a literal relation the filter constant-folds away
+    * before the PartitionPruning batch runs, and no pruning subquery
+    * is inserted. Constant-size dim — broadcast is right at every SF. */
+  val dppPrune: QueryDef = QueryDef(
+    "q_dpp_prune",
+    """WITH dim(d_year, d_label) AS (VALUES
+      |  (1992,'COLD'),(1993,'COLD'),(1994,'COLD'),(1995,'HOT'),
+      |  (1996,'HOT'),(1997,'COLD'),(1998,'COLD'))
+      |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN dim ON year(o_orderdate) = d_year
+      |WHERE d_label = 'HOT'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val path = scratch("orders_dpp_by_year")
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    import s.implicits._
+    val dimPath = scratch("year_dim")
+    Seq((1992, "COLD"), (1993, "COLD"), (1994, "COLD"), (1995, "HOT"),
+      (1996, "HOT"), (1997, "COLD"), (1998, "COLD")).toDF("d_year", "d_label")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    s.read.parquet(path)
+      .join(dim.filter(col("d_label") === "HOT"), col("o_year") === col("d_year"))
+      .groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("revenue"))
+  }
+
   /** CSV with non-default dialect options: pipe delimiter, explicit
     * quoting, a null token, and strings that exercise the quote path —
     * round-tripped through write+schema'd read. */
@@ -243,6 +284,6 @@ object Sources {
   }
 
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    msgCodec, partitionPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
+    msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
     schemaEvolution)
 }

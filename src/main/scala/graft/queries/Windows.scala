@@ -274,6 +274,47 @@ object Windows {
         col("p_size").cast("long").as("size"))
   }
 
+  /** PARETO / SHARE-OF-TOTAL — per-region contribution analysis: each
+    * nation's revenue share of its region plus the cumulative share in
+    * descending-revenue order (the 80/20 concentration read-off). Both
+    * ratios divide window DECIMAL sums (exact, order-insensitive) cast
+    * to DOUBLE — identical operation order in both engines — and round
+    * to 6 dp; the cumulative frame orders by (rev DESC, name) which is
+    * total, so ties are impossible. Unscaled cents stay below 2^53
+    * through the bench SFs (the [[graft.queries.TimeSeries.autocorr]]
+    * DECIMAL→DOUBLE bound).
+    *
+    * Scale shape: the volume work is one key join + hash-agg down to
+    * ≤|nations| rows; both windows run region-partitioned over that
+    * collapsed table, never over SF-scaled data. */
+  val paretoShare: QueryDef = QueryDef(
+    "q_pareto_share",
+    """WITH r AS (SELECT r_name, n_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share,
+      |  round(CAST(SUM(rev) OVER (PARTITION BY r_name ORDER BY rev DESC, n_name ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS cum_share
+      |FROM r""".stripMargin) { (s, dir) =>
+    val r = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(expr("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))").as("rev"))
+    val wTot = Window.partitionBy("r_name")
+    val wCum = Window.partitionBy("r_name")
+      .orderBy(col("rev").desc, col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.select(col("r_name"), col("n_name"), col("rev").cast("double").as("revenue"),
+      round(col("rev").cast("double") / sum(col("rev")).over(wTot).cast("double"), 6).as("share"),
+      round(sum(col("rev")).over(wCum).cast("double") / sum(col("rev")).over(wTot).cast("double"), 6).as("cum_share"))
+  }
+
   val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
-    winRangeInterval, winFillForward, eventSessionize, skyline)
+    winRangeInterval, winFillForward, eventSessionize, skyline, paretoShare)
 }
