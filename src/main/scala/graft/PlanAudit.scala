@@ -162,7 +162,11 @@ object PlanAudit {
       // driven by the dim filter, not a static rewrite
       "q_dpp_prune" -> Seq("dynamicpruning", "PartitionFilters"),
       // pareto: windows run over the collapsed <=|nations| table
-      "q_pareto_share" -> Seq("Window", "HashAggregate", "!NestedLoop"))
+      "q_pareto_share" -> Seq("Window", "HashAggregate", "!NestedLoop"),
+      // checksum: map + zero-group partial/final fold, no join ever
+      "q_table_checksum" -> Seq("partial_", "!Join"),
+      // rolling z-score: one window over the collapsed daily series
+      "q_rolling_zscore" -> Seq("Window", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

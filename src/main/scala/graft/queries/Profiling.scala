@@ -220,6 +220,48 @@ object Profiling {
       .orderBy(col("n").desc, col("key")).limit(10)
   }
 
+  /** ORDER-INSENSITIVE TABLE CHECKSUM — the cross-replica
+    * reconciliation primitive ("did the copy land intact?"): per
+    * table, a canonical per-row string (doubles pinned through
+    * DECIMAL so both engines print identical text) hashes through
+    * md5, the first 12 hex digits become an integer, and the SUM of
+    * row hashes — commutative, so row order and partitioning are
+    * irrelevant — is the table fingerprint. Two engines computing the
+    * same fingerprint over their own copies proves the copies match
+    * without moving a row. Hash sums accumulate as DECIMAL(38,0)
+    * (a BIGINT sum would overflow past ~30k rows under ANSI mode) and
+    * serialize as text.
+    *
+    * Scale shape: pure map (canonicalize + hash) + one zero-group
+    * partial/final agg per table — the cheapest possible full-scan
+    * shape, embarrassingly parallel at any SF. */
+  val tableChecksum: QueryDef = {
+    def duckRow(cols: String) = s"CAST(CAST('0x' || substr(md5($cols), 1, 12) AS BIGINT) AS DECIMAL(38,0))"
+    def sparkRow(cols: String) = s"CAST(conv(substr(md5($cols), 1, 12), 16, 10) AS DECIMAL(38,0))"
+    val ordCanon = "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), CAST(CAST(o_orderdate AS DATE) AS VARCHAR))"
+    val custCanon = "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))"
+    val suppCanon = "concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR))"
+    def sparkCanon(c: String) = c.replace("AS VARCHAR", "AS STRING")
+    QueryDef(
+      "q_table_checksum",
+      s"""SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${duckRow(ordCanon)}) AS VARCHAR) AS checksum FROM orders
+         |UNION ALL
+         |SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(${duckRow(custCanon)}) AS VARCHAR) FROM customer
+         |UNION ALL
+         |SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(${duckRow(suppCanon)}) AS VARCHAR) FROM supplier""".stripMargin) { (s, dir) =>
+      def one(tbl: String, df: org.apache.spark.sql.DataFrame, canon: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          expr(s"CAST(SUM(${sparkRow(sparkCanon(canon))}) AS STRING)").as("checksum"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))
+      one("orders", Tables.orders(s, dir), ordCanon)
+        .unionAll(one("customer", Tables.customer(s, dir), custCanon))
+        .unionAll(one("supplier", Tables.supplier(s, dir), suppCanon))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers,
-    dqReferential, skewReport)
+    dqReferential, skewReport, tableChecksum)
 }

@@ -336,6 +336,53 @@ object TimeSeries {
           .as("rev_filled"))
   }
 
+  /** ROLLING Z-SCORE ANOMALY DETECTION — each day's revenue scored
+    * against the trailing 28-day baseline (current day excluded from
+    * its own baseline: ROWS 28..1 PRECEDING), flagging |z| > 3. The
+    * monitoring primitive behind every metric-alerting pipeline. The
+    * series uses [[autocorr]]'s exact-DECIMAL scaled representation;
+    * frame sums of rev and rev² stay DECIMAL (exact, order-free), the
+    * z computation is the same operation order in both engines, sqrt
+    * is IEEE-exact, and the rounded z gets the `+ 0.0` negative-zero
+    * guard (it crosses zero constantly). Warm-up rows (< 14 baseline
+    * days) are excluded.
+    *
+    * Scale shape: raw scan collapses to one row per calendar day; the
+    * rolling window runs over that bounded series only. */
+  val rollingZscore: QueryDef = QueryDef(
+    "q_rolling_zscore",
+    """WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+      |    CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0, 2) AS DECIMAL(10,2)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |f AS (SELECT day, rev,
+      |    SUM(rev) OVER w AS s1, SUM(rev * rev) OVER w AS s2,
+      |    COUNT(*) OVER w AS n
+      |  FROM d
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT day, rev, n,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n AS var,
+      |    CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / n AS dev
+      |  FROM f WHERE n >= 14)
+      |SELECT day, CAST(rev AS DOUBLE) AS rev,
+      |  round(CASE WHEN var > 0 THEN dev / sqrt(var) ELSE 0 END, 6) + 0.0 AS z,
+      |  CASE WHEN var > 0 AND abs(dev / sqrt(var)) > 3 THEN TRUE ELSE FALSE END AS is_anomaly
+      |FROM z""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(date_trunc('day', l_shipdate) AS DATE)").as("day"))
+      .agg(expr("CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0D, 2) AS DECIMAL(10,2))").as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-28, -1)
+    d.withColumn("s1", sum(col("rev")).over(w))
+      .withColumn("s2", sum(expr("rev * rev")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 14)
+      .withColumn("var", expr("(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n"))
+      .withColumn("dev", expr("CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / n"))
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        expr("round(CASE WHEN var > 0 THEN dev / sqrt(var) ELSE 0 END, 6) + 0.0").as("z"),
+        expr("CASE WHEN var > 0 AND abs(dev / sqrt(var)) > 3 THEN TRUE ELSE FALSE END").as("is_anomaly"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
-    gapsIslands, retentionCohort, eventTransitions, autocorr, timeInterpolate)
+    gapsIslands, retentionCohort, eventTransitions, autocorr, timeInterpolate,
+    rollingZscore)
 }
