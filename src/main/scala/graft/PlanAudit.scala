@@ -166,7 +166,10 @@ object PlanAudit {
       // checksum: map + zero-group partial/final fold, no join ever
       "q_table_checksum" -> Seq("partial_", "!Join"),
       // rolling z-score: one window over the collapsed daily series
-      "q_rolling_zscore" -> Seq("Window", "!Join"))
+      "q_rolling_zscore" -> Seq("Window", "!Join"),
+      // mutual information: one data pass to the contingency table,
+      // marginals re-joined as broadcasts — no SF-scaled join
+      "q_mutual_info" -> Seq("BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -262,6 +262,46 @@ object Profiling {
     }
   }
 
+  /** MUTUAL INFORMATION between two categorical columns (order status
+    * × priority) plus both marginal entropies — the column-dependency
+    * probe that tells a curation pipeline whether a field is redundant
+    * before training on it. Counts are exact integers; every p·ln
+    * term is a libm output, so each term rounds to 9 dp and sums as
+    * DECIMAL (exact, order-free) before the final 6-dp round; MI can
+    * round to −0.0 (it is ~0 for independent columns), hence the
+    * `+ 0.0` guard in both engines.
+    *
+    * Scale shape: ONE pass over the data collapses to the ≤|x|·|y|
+    * contingency table; marginals, the 1-row total, and all the log
+    * math run on that bounded table via broadcast joins. */
+  val mutualInfo: QueryDef = QueryDef(
+    "q_mutual_info",
+    """WITH j AS (SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM j),
+      |mx AS (SELECT x, CAST(SUM(n) AS DOUBLE) AS nx FROM j GROUP BY 1),
+      |my AS (SELECT y, CAST(SUM(n) AS DOUBLE) AS ny FROM j GROUP BY 1),
+      |mi AS (SELECT CAST(round(CAST(SUM(CAST(round((CAST(j.n AS DOUBLE) / t) * ln((CAST(j.n AS DOUBLE) * t) / (nx * ny)), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS DOUBLE) + 0.0 AS mi
+      |  FROM j JOIN tot ON TRUE JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y),
+      |hx AS (SELECT CAST(round(CAST(SUM(CAST(round(-(nx / t) * ln(nx / t), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS DOUBLE) AS hx FROM mx JOIN tot ON TRUE),
+      |hy AS (SELECT CAST(round(CAST(SUM(CAST(round(-(ny / t) * ln(ny / t), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS DOUBLE) AS hy FROM my JOIN tot ON TRUE)
+      |SELECT mi.mi, hx.hx, hy.hy FROM mi JOIN hx ON TRUE JOIN hy ON TRUE""".stripMargin) { (s, dir) =>
+    val j = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val tot = j.agg(expr("CAST(SUM(n) AS DOUBLE)").as("t"))
+    val mx = j.groupBy(col("x").as("mxx")).agg(expr("CAST(SUM(n) AS DOUBLE)").as("nx"))
+    val my = j.groupBy(col("y").as("myy")).agg(expr("CAST(SUM(n) AS DOUBLE)").as("ny"))
+    val mi = j.crossJoin(broadcast(tot))
+      .join(broadcast(mx), col("x") === col("mxx"))
+      .join(broadcast(my), col("y") === col("myy"))
+      .agg(expr("CAST(round(CAST(SUM(CAST(round((CAST(n AS DOUBLE) / t) * ln((CAST(n AS DOUBLE) * t) / (nx * ny)), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS DOUBLE) + 0.0").as("mi"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(expr("CAST(round(CAST(SUM(CAST(round(-(nx / t) * ln(nx / t), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS DOUBLE)").as("hx"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(expr("CAST(round(CAST(SUM(CAST(round(-(ny / t) * ln(ny / t), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS DOUBLE)").as("hy"))
+    mi.crossJoin(hx).crossJoin(hy)
+  }
+
   val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers,
-    dqReferential, skewReport, tableChecksum)
+    dqReferential, skewReport, tableChecksum, mutualInfo)
 }
