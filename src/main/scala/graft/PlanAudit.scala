@@ -169,7 +169,10 @@ object PlanAudit {
       "q_rolling_zscore" -> Seq("Window", "!Join"),
       // mutual information: one data pass to the contingency table,
       // marginals re-joined as broadcasts — no SF-scaled join
-      "q_mutual_info" -> Seq("BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"))
+      "q_mutual_info" -> Seq("BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"),
+      // sketch overlap: HLL algebra on the collapsed <=|types| table;
+      // sketches fold under ObjectHashAggregate and broadcast back
+      "q_sketch_overlap" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -389,9 +389,53 @@ object Aggregations {
         (abs(col("est") - col("exact_u")) / col("exact_u") <= lit(0.05)).as("within_bound"))
   }
 
+  /** SKETCH-ALGEBRA SET OVERLAP — audience overlap between event-type
+    * user populations by HLL inclusion–exclusion: |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), with the union computed by the binary
+    * `hll_union` over the two stored sketches — no raw-data re-scan.
+    * This is the train/val contamination and cross-dataset audience
+    * probe at 100 TB: keep one tiny sketch per population, answer any
+    * pairwise overlap from sketch algebra. Oracle pattern as
+    * [[aggSketchRollup]]: the hash-compared value is the exact
+    * overlap (distinct pairs + self-join on the user key), and the
+    * Spark side asserts the sketch estimate landed within the loose
+    * deterministic bound (HLL registers are order-insensitive, so the
+    * estimate is reproducible).
+    *
+    * Scale shape: one distinct hash-agg over (type,user); the exact
+    * side self-joins on the user key (≤|types|² fan-out per user);
+    * the sketch side collapses to ≤|types| rows before any algebra. */
+  val aggSketchOverlap: QueryDef = QueryDef(
+    "q_sketch_overlap",
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  CAST(COUNT(*) AS BIGINT) AS exact_overlap, TRUE AS within_bound
+      |FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = du.as("a")
+      .join(du.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val sk = du.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"), count(lit(1)).as("n"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"), col("n").as("n_a"))
+      .crossJoin(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"), col("n").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        expr("hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b) - hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est"))
+    exact.join(broadcast(pairs), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est") - col("exact_overlap")) <= lit(0.05) * (col("n_a") + col("n_b")) + lit(50))
+          .as("within_bound"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
     aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
-    aggCountMin, aggSketchRollup)
+    aggCountMin, aggSketchRollup, aggSketchOverlap)
 }
