@@ -172,7 +172,9 @@ object PlanAudit {
       "q_mutual_info" -> Seq("BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"),
       // sketch overlap: HLL algebra on the collapsed <=|types| table;
       // sketches fold under ObjectHashAggregate and broadcast back
-      "q_sketch_overlap" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"))
+      "q_sketch_overlap" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      // exact-n group sample: rank<=k folds below the shuffle
+      "q_sample_group_n" -> Seq("WindowGroupLimit", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -285,8 +285,35 @@ object SetOps {
         col("n_orders"))
   }
 
+  /** EXACT-N PER-GROUP DETERMINISTIC SAMPLE — the eval-set builder:
+    * exactly 20 documents per (lang, source) stratum, chosen by
+    * ranking on a row hash so the pick is stable under repartitioning
+    * and re-runs (the same leakage-safe determinism argument as
+    * `q_sample_hash`, but with an exact per-stratum count instead of
+    * a fraction). The (hash, doc_id) order key is total, so both
+    * engines rank identically.
+    *
+    * Scale shape: rank-≤-k over a partitioned window plans as
+    * WindowGroupLimit — per-partition top-k folds BELOW the shuffle,
+    * so only ≤k rows per stratum per input partition ever move. */
+  val sampleGroupN: QueryDef = QueryDef(
+    "q_sample_group_n",
+    """WITH r AS (SELECT doc_id, lang, source, n_chars,
+      |  row_number() OVER (PARTITION BY lang, source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sortLimit, sortNulls, unionAll, unionByNameQ, unionDistinct,
     intersectQ, exceptQ, intersectAllQ, exceptAllQ, distinctQ, dedupByKey,
-    mergeUpsert, cdcDiff, ivmAgg)
+    mergeUpsert, cdcDiff, ivmAgg, sampleGroupN)
 }
