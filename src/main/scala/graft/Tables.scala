@@ -34,8 +34,13 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ cast below is wall-clock identity ONLY under UTC;
+    // assert rather than trust every entry point to have pinned it.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC " +
+        "(NTZ layout normalization is timezone-sensitive)")
     val df = load(spark, dir, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
@@ -43,7 +48,14 @@ object Tables {
       case TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => df
+      case TimestampType => df
+      // fail FAST with the actual physical type — a silent fall-through
+      // here is how the r5 NANOS→NTZ regeneration took down 26 queries
+      // with opaque 'produced no output' errors (CLAUDE.md incident).
+      case other => throw new IllegalStateException(
+        s"events.ts has unrecognized parquet physical type $other at $dir — " +
+          "the driver regenerated testdata with a new layout; add a " +
+          "normalization branch here (see EventsLayoutSpec)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -329,9 +329,9 @@ object Dedup {
 
   /** SimHash near-dup pairs by Hamming distance ≤ 3, candidates
     * blocked on (lang, source, 4-bit hash prefix) — the prefix block
-    * is what keeps the pair space sub-quadratic at scale (full
-    * multi-probe would OR several rotated prefixes; one block
-    * demonstrates the plan shape). */
+    * is what keeps the pair space sub-quadratic at scale (single
+    * probe kept as the minimal plan shape; [[dedupHammingMultiprobe]]
+    * closes the recall gap with all four pigeonhole chunks). */
   val dedupHamming: QueryDef = QueryDef(
     "q_dedup_hamming",
     s"""WITH w AS (SELECT doc_id, lang, source, $duckWordsSql AS ws FROM documents),
@@ -361,6 +361,68 @@ object Dedup {
       expr("substring(sh, 1, 4)").as("pfx2"))
     a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
         && col("pfx") === col("pfx2") && col("d1") < col("d2"))
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 16), j -> substring(sh1, j, 1) != substring(sh2, j, 1)))").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** MULTI-PROBE SimHash near-dup pairs — closes the recall gap
+    * [[dedupHamming]] documents: the single 4-bit-prefix block misses
+    * any pair whose differing bits fall inside the prefix. Probe on
+    * ALL FOUR disjoint 4-bit chunks instead: by pigeonhole, ≤3
+    * differing bits can touch at most 3 of the 4 chunks, so every
+    * Hamming≤3 pair agrees exactly on at least one chunk — 100%
+    * recall, strict superset of the single-probe pairs, still
+    * sub-quadratic (4 bucketed equi-joins via one exploded probe
+    * table, deduped before the 16-bit distance is computed once per
+    * candidate).
+    *
+    * Scale shape: probe table = 4 rows/doc (map-only explode over the
+    * persisted signature table), candidates = equi-join on
+    * (lang, source, chunk_idx, chunk_val) — hash-partitioned, never
+    * all-pairs; DISTINCT collapses the ≤4 duplicate hits per pair
+    * before the verify filter. This is the standard pigeonhole
+    * blocking from Manku et al.'s web-dedup SimHash design. */
+  val dedupHammingMultiprobe: QueryDef = QueryDef(
+    "q_dedup_hamming_multiprobe",
+    s"""WITH w AS (SELECT doc_id, lang, source, $duckWordsSql AS ws FROM documents),
+       |h AS (SELECT doc_id, lang, source, $simhashDuckSql AS sh FROM w),
+       |p AS (SELECT doc_id, lang, source, sh, i,
+       |        substr(sh, CAST(i * 4 + 1 AS INT), 4) AS pv
+       |      FROM h, range(0, 4) t(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |        a.sh AS sh1, b.sh AS sh2
+       |      FROM p a JOIN p b
+       |        ON a.lang = b.lang AND a.source = b.source
+       |       AND a.i = b.i AND a.pv = b.pv
+       |       AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  CAST(len(list_filter(range(1, 17),
+       |    j -> substr(sh1, CAST(j AS INT), 1) != substr(sh2, CAST(j AS INT), 1))) AS INT) AS hamming
+       |FROM cand
+       |WHERE len(list_filter(range(1, 17),
+       |    j -> substr(sh1, CAST(j AS INT), 1) != substr(sh2, CAST(j AS INT), 1))) <= 3""".stripMargin) { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .withColumn("mds", expr(md5WordsSparkSql))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(simhashSparkSql).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = h.select(col("doc_id"), col("lang"), col("source"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 3), i -> struct(i AS i, substring(sh, i * 4 + 1, 4) AS pv))")).as("pr"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"),
+        col("pr.i").as("i"), col("pr.pv").as("pv"))
+    val a = probes.select(col("doc_id").as("d1"), col("lang"), col("source"),
+      col("sh").as("sh1"), col("i"), col("pv"))
+    val b = probes.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("source").as("source2"), col("sh").as("sh2"),
+      col("i").as("i2"), col("pv").as("pv2"))
+    a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
+        && col("i") === col("i2") && col("pv") === col("pv2")
+        && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sh1"), col("sh2"))
+      .distinct()
       .withColumn("hamming", expr(
         "size(filter(sequence(1, 16), j -> substring(sh1, j, 1) != substring(sh2, j, 1)))").cast("int"))
       .filter(col("hamming") <= 3)
@@ -546,5 +608,6 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
+    dedupHammingMultiprobe,
     dedupChunks, datasetClean)
 }

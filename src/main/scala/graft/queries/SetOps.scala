@@ -238,7 +238,9 @@ object SetOps {
     * direct aggregate and the hash must match, which only holds
     * because every money value is rounded to 6 dp and cast to DECIMAL(20,6) per row and
     * summed exactly after a single 6-dp round (double sums would drift between the delta path
-    * and the rescan path).
+    * and the rescan path). The FINAL sum is cast DECIMAL→DOUBLE in
+    * both engines (exact: max unscaled ~1.5e13 < 2^53) because the
+    * driver comparator cannot hash DecimalType outputs stably.
     *
     * Scale shape: the whole point at 100 TB — the base table is
     * touched only for the (small) delta; the state update is a
@@ -249,7 +251,7 @@ object SetOps {
     """WITH curr AS (SELECT o_custkey,
       |  CAST(round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END, 6) AS DECIMAL(20,6)) AS p
       |  FROM orders WHERE o_orderkey % 5 <> 0)
-      |SELECT o_custkey, CAST(SUM(p) AS DECIMAL(20,6)) AS sum_price,
+      |SELECT o_custkey, CAST(CAST(SUM(p) AS DECIMAL(20,6)) AS DOUBLE) AS sum_price,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM curr GROUP BY o_custkey""".stripMargin) { (s, dir) =>
     def snap(pred: String, priced: Boolean) = {
@@ -281,7 +283,7 @@ object SetOps {
         (coalesce(col("c"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"))
       .filter(col("n_orders") > 0)
       .select(col("o_custkey"),
-        expr("CAST(sum_raw AS DECIMAL(20,6))").as("sum_price"),
+        expr("CAST(CAST(sum_raw AS DECIMAL(20,6)) AS DOUBLE)").as("sum_price"),
         col("n_orders"))
   }
 

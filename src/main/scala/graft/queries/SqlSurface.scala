@@ -99,5 +99,85 @@ object SqlSurface {
     s.sql(recursiveSparkSql)
   }
 
-  val defs: Seq[QueryDef] = Seq(sqlDirect, recursiveCte)
+  /** A QueryDef whose Spark side executes the oracle string VERBATIM —
+    * the whole point of the direct-SQL lane: one dialect-portable text,
+    * two engines, one green row per language feature. */
+  private def shared(name: String, sql: String): QueryDef =
+    QueryDef(name, sql) { (s, dir) => registerViews(s, dir); s.sql(sql) }
+
+  /** Shared-dialect WINDOW functions: partitioned row_number ranking
+    * (tie-broken on the unique key per the determinism policy), a
+    * running DECIMAL frame sum (exact, so frame-order-invariant), and
+    * lag. Plans as WindowGroupLimit-eligible rank-filter. */
+  val sqlWindow: QueryDef = shared(
+    "q_sql_window",
+    """WITH ranked AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey) AS rk
+      |  FROM customer
+      |)
+      |SELECT c_custkey, c_nationkey,
+      |  CAST(bal AS DOUBLE) AS bal,
+      |  CAST(rk AS BIGINT) AS rk,
+      |  CAST(SUM(bal) OVER (PARTITION BY c_nationkey ORDER BY rk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_bal,
+      |  CAST(lag(bal) OVER (PARTITION BY c_nationkey ORDER BY rk) AS DOUBLE) AS prev_bal
+      |FROM ranked WHERE rk <= 5""".stripMargin)
+
+  /** Shared-dialect chained CTEs feeding a join + exact-DECIMAL
+    * aggregate — the everyday report shape a reference user writes. */
+  val sqlCteChain: QueryDef = shared(
+    "q_sql_cte_chain",
+    """WITH big_orders AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      |  FROM orders WHERE o_totalprice > 150000
+      |), seg AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer
+      |)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS revenue
+      |FROM big_orders JOIN seg ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin)
+
+  /** Shared-dialect set operations — INTERSECT nested explicitly under
+    * EXCEPT (parenthesized via a derived table so both engines parse
+    * the same tree regardless of native set-op precedence). */
+  val sqlSetops: QueryDef = shared(
+    "q_sql_setops",
+    """SELECT custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |) both_prio
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin)
+
+  /** Shared-dialect correlated subqueries: EXISTS + NOT EXISTS against
+    * the fact table — plans as a semi-join plus an anti-join, both
+    * hash-partitioned on the correlation key. */
+  val sqlExists: QueryDef = shared(
+    "q_sql_exists",
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+      |AND NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey AND l_quantity = 50 AND l_discount > 0.09)""".stripMargin)
+
+  /** Shared-dialect scalar surface: EXTRACT date parts, || concat,
+    * substr, CASE — grouped to keep the output small. */
+  val sqlScalar: QueryDef = shared(
+    "q_sql_scalar",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+      |  substr(o_orderpriority, 1, 1) || CASE
+      |    WHEN o_orderstatus = 'F' THEN '-done' ELSE '-open' END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY 1, 2, 3""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(
+    sqlDirect, recursiveCte,
+    sqlWindow, sqlCteChain, sqlSetops, sqlExists, sqlScalar)
 }

@@ -20,8 +20,9 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    graft.Verify.assertComparatorSafe(name, df.schema)
+    df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     spark.stop()
   }
 }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.TimestampType
 class EventsLayoutSpec extends SparkSpec {
 
   private def dir(layout: String): String =
-    getClass.getResource(s"/events_layouts/$layout").getPath
+    java.nio.file.Paths.get(
+      getClass.getResource(s"/events_layouts/$layout").toURI).toString
 
   private def loadTs(layout: String): Seq[(Long, String)] = {
     val df = Tables.events(spark, dir(layout))
