@@ -174,7 +174,38 @@ object PlanAudit {
       // sketches fold under ObjectHashAggregate and broadcast back
       "q_sketch_overlap" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       // exact-n group sample: rank<=k folds below the shuffle
-      "q_sample_group_n" -> Seq("WindowGroupLimit", "!Join"))
+      "q_sample_group_n" -> Seq("WindowGroupLimit", "!Join"),
+      // round 6: shared-dialect SQL surface + multiprobe + catalog.
+      // the verbatim SQL strings must get the same scale-critical
+      // physical shapes the DSL queries get: rank<=5 folds below the
+      // shuffle, EXISTS/NOT EXISTS decorrelate to semi/anti joins,
+      // set ops plan as joins over hash aggregates — never loops
+      "q_sql_window" -> Seq("WindowGroupLimit", "Window", "!Join"),
+      "q_sql_cte_chain" -> Seq("HashAggregate", "!NestedLoop", "!DimHint"),
+      "q_sql_setops" -> Seq("LeftSemi", "LeftAnti", "HashAggregate", "!NestedLoop"),
+      "q_sql_exists" -> Seq("LeftSemi", "LeftAnti", "!NestedLoop"),
+      "q_sql_scalar" -> Seq("HashAggregate", "!Join"),
+      // multiprobe: probe table is a Generate (explode), candidates
+      // come from the bucketed equi-join — an all-pairs loop here is
+      // exactly the scale bug multi-probing exists to avoid
+      "q_dedup_hamming_multiprobe" -> Seq("Generate", "HashAggregate", "!NestedLoop"),
+      // catalog lane: the read is a plain pruned scan of the saved
+      // table — no residual shuffle or join from the registration
+      "q_catalog_table" -> Seq("graft_cat_orders", "!Join", "!Exchange"),
+      // round 6b: token-level dedup + incremental dedup + tokenizer
+      // induction + kmeans step.
+      // ngram spans: explode shingles, hash-agg duplicates, semi-join
+      // back — never an all-pairs doc comparison
+      "q_dedup_ngram_spans" -> Seq("Generate", "HashAggregate", "LeftSemi", "!NestedLoop"),
+      // incremental: new×old band equi-join only; a loop join would
+      // re-pair the whole corpus nightly
+      "q_dedup_incremental" -> Seq("LeftSemi", "HashAggregate", "!NestedLoop"),
+      // kmeans step: k-row centroid table broadcast (constant size,
+      // never SF-scaled), map-only assignment, one partial+final agg
+      "q_vec_kmeans_step" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "cosine"),
+      // BPE pairs: pair expansion over the DISTINCT word table only;
+      // top-50 must be TakeOrdered, never a global sort
+      "q_text_bpe_pairs" -> Seq("TakeOrderedAndProject", "HashAggregate", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -19,6 +19,7 @@ object Dedup {
   /** Normalized word list — the shared [[Tokenize]] pair. */
   private val wordsSql = Tokenize.spark
   private val duckWordsSql = Tokenize.duck
+  private val duckTrimWordsSql = Tokenize.duckTrim
 
   /** Exact dedup on a normalized content key: md5 of the normalized
     * text; survivor = lowest doc_id per key. */
@@ -429,6 +430,125 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** EXACT-SUBSTRING (n-gram span) DEDUP — the token-level half of the
+    * dedup story (doc-level = exact/MinHash/SimHash families): find
+    * every 8-token shingle that occurs ≥2 times ANYWHERE in the corpus
+    * and report, per document, how many token positions are covered by
+    * a duplicated shingle (`dup_tokens`) and the covered fraction
+    * (`dup_frac`). This is the scalable approximation of suffix-array
+    * exact-substring dedup for LM training data: the pass that
+    * catches boilerplate, licenses, and templated spans that doc-level
+    * near-dup misses.
+    *
+    * Scale shape: shingling is map-only (explode, ~n rows per doc);
+    * duplicate detection is one hash-agg on the shingle hash; the
+    * cover join is equi on the hash; position expansion is a bounded
+    * ×8 explode collapsed by a distinct — every stage hash-partitions,
+    * nothing is quadratic in docs or corpus size. */
+  val dedupNgramSpans: QueryDef = QueryDef(
+    "q_dedup_ngram_spans",
+    s"""WITH toks AS (SELECT doc_id, $duckTrimWordsSql AS ws FROM documents),
+       |sh0 AS (SELECT doc_id, ws,
+       |    unnest(generate_series(1, len(ws) - 7)) AS i
+       |  FROM toks WHERE len(ws) >= 8),
+       |sh AS (SELECT doc_id, i,
+       |    md5(array_to_string(ws[i:i+7], ' ')) AS h FROM sh0),
+       |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+       |cov AS (SELECT DISTINCT s.doc_id, s.i + j AS p
+       |  FROM sh s JOIN dup USING (h), range(0, 8) r(j)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.ws), 6) AS dup_frac
+       |FROM toks t LEFT JOIN cnt c ON t.doc_id = c.doc_id""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(Tokenize.sparkTrim).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = toks.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> struct(i AS i, md5(array_join(slice(ws, i, 8), ' ')) AS h))")).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.h").as("h"))
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val cnt = sh.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6).as("dup_frac"))
+  }
+
+  /** INCREMENTAL DEDUP — the nightly-ingest shape: a NEW batch
+    * (doc_id ≡ 0 mod 10) deduped against the EXISTING corpus (the
+    * rest) via banded MinHash LSH, candidates restricted to new×old
+    * so no old×old work is ever re-done (at 100 TB the corpus side is
+    * petabytes of already-deduped history; re-pairing it nightly is
+    * the scale bug this operator's join direction avoids). Candidates
+    * verified with exact word-set Jaccard ≥ 0.5 as in
+    * [[dedupLshVerified]].
+    *
+    * Scale note: in production the old side's signatures/bands are a
+    * MATERIALIZED table updated append-only; here they are recomputed
+    * from the same corpus because the testdata has no history store —
+    * the plan shape (band equi-join, new-side-only probe) is the
+    * same. */
+  val dedupIncremental: QueryDef = QueryDef(
+    "q_dedup_incremental",
+    s"""WITH w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |bands AS (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+       |  FROM sig, unnest(range(0, 4)) AS t(b)),
+       |sized AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bands n JOIN bands o ON n.bk = o.bk
+       |  JOIN sized sz ON n.bk = sz.bk
+       |  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
+       |SELECT c.new_id, c.old_id,
+       |  CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN w wa ON wa.doc_id = c.new_id
+       |JOIN w wb ON wb.doc_id = c.old_id
+       |WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |  / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = w.select(col("doc_id"), expr(
+      """transform(sequence(0, 7),
+        |  s -> array_min(transform(ws,
+        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    val bands = sig
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = bands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val cand = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_id"), col("bk"))
+      .join(bands.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("old_id"), col("bk").as("bk2")),
+        col("bk") === col("bk2"))
+      .join(sized, Seq("bk"), "left_semi")
+      .select(col("new_id"), col("old_id")).distinct()
+    cand
+      .join(w.select(col("doc_id").as("new_id"), col("ws").as("w1")), Seq("new_id"))
+      .join(w.select(col("doc_id").as("old_id"), col("ws").as("w2")), Seq("old_id"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   /** DIDACTIC BASELINE — not the scale path. n-gram (word-set) Jaccard
     * near-dup pairs with coarse (lang, source) blocking: the candidate
     * join is quadratic WITHIN a block, so at 100 TB a popular
@@ -608,6 +728,6 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
-    dedupHammingMultiprobe,
+    dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupChunks, datasetClean)
 }

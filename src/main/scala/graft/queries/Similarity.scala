@@ -211,5 +211,54 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cos_centroid"), col("rk"))
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers)
+  /** ONE LLOYD k-MEANS STEP over the embedding table — the building
+    * block of IVF coarse quantizers and embedding-space curation:
+    * 4 fixed seed centroids (vec_id 1–4, the deterministic stand-in
+    * for the previous iteration's centroids) broadcast to every
+    * vector; each vector assigns to its max-cosine centroid
+    * (tie-broken on centroid id); per-cluster size and mean assigned
+    * similarity come back from one hash-agg.
+    *
+    * Scale shape: the centroid table is k rows (broadcast — constant
+    * size, never SF-scaled), assignment is map-only over the vectors,
+    * the stats are a partial+final agg; a full Lloyd loop is this
+    * plan iterated with the agg's per-dim sums fed back, exactly like
+    * [[graft.queries.Dedup]]'s fixpoint loop. Mean cosine goes
+    * through round-6dp DECIMAL sums per the determinism policy; the
+    * `+ 0.0` guards the -0.0 repr hazard. */
+  val kmeansStep: QueryDef = QueryDef(
+    "q_vec_kmeans_step",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id IN (1,2,3,4)),
+      |sims AS (
+      | SELECT e.vec_id, cid,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ce[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM e, c),
+      |ranked AS (SELECT vec_id, cid, cos_sim,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rk
+      | FROM sims),
+      |a AS (SELECT vec_id, cid, cos_sim FROM ranked WHERE rk = 1)
+      |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(CAST(round(cos_sim, 6) AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_cos
+      |FROM a GROUP BY cid""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id").isin(1, 2, 3, 4))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))
+    e.join(broadcast(c))
+      .withColumn("cos_sim", expr("cosine_sim(ce, embedding)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("cid").as("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("round(CAST(SUM(CAST(round(cos_sim, 6) AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0").as("mean_cos"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep)
 }

@@ -446,6 +446,39 @@ object TextAnalysis {
         (coalesce(col("avg_nll"), lit(0.0)) > 6.0).as("flagged"))
   }
 
+  /** BPE VOCABULARY INDUCTION, first merge step — the tokenizer-
+    * training primitive: corpus word frequencies (one hash-agg over
+    * exploded tokens), then every adjacent character pair inside each
+    * distinct word weighted by the word's corpus count; the top-50
+    * pairs by weighted count are exactly the candidates the first BPE
+    * merge would consider.
+    *
+    * Scale shape: the data-volume pass is the word-count agg
+    * (map-side partial + final); pair expansion runs over the DISTINCT
+    * word table (vocabulary-sized, not corpus-sized — the whole reason
+    * BPE training is tractable at 100 TB), and the top-50 is a
+    * TakeOrderedAndProject, never a global sort. (n DESC, pair) is a
+    * total order, so the cut is deterministic in both engines. */
+  val bpePairs: QueryDef = QueryDef(
+    "q_text_bpe_pairs",
+    s"""WITH toks AS (SELECT unnest(${Tokenize.duckTrim}) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS c FROM toks WHERE length(w) >= 2 GROUP BY w),
+       |expanded AS (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc),
+       |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, c FROM expanded)
+       |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+       |FROM p GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(expr(Tokenize.sparkTrim)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
-    editDist, repetition, decontaminate, piiRedact, perplexity)
+    editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs)
 }
