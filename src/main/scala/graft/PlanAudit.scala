@@ -205,7 +205,20 @@ object PlanAudit {
       "q_vec_kmeans_step" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "cosine"),
       // BPE pairs: pair expansion over the DISTINCT word table only;
       // top-50 must be TakeOrdered, never a global sort
-      "q_text_bpe_pairs" -> Seq("TakeOrderedAndProject", "HashAggregate", "!Join"))
+      "q_text_bpe_pairs" -> Seq("TakeOrderedAndProject", "HashAggregate", "!Join"),
+      // negative sampling: the CORPUS-side join must be the broadcast
+      // hash join on the (bucket, source) key; the only loop join is
+      // the rep-table x sources inequality over bounded agg outputs
+      // (<=16x|sources| rows), never over the corpus
+      "q_sample_negatives" -> Seq("BroadcastHashJoin", "HashAggregate", "!DimHint"),
+      // transcript assembly: one window + an ordered-listagg
+      // ObjectHashAggregate reusing its partitioning (single Exchange
+      // in the whole plan) — never a join or a global sort
+      "q_event_transcript" -> Seq("Window", "ObjectHashAggregate", "!Join"),
+      // bucketed interval self-join: the range predicate must ride an
+      // EQUI join (hash-partitionable) with the |dt| check residual —
+      // a loop/range join over per-user histories is the scale bug
+      "q_join_interval_bucketed" -> Seq("Generate", "HashAggregate", "!NestedLoop"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -409,7 +409,51 @@ object Curation {
         expr("CAST(1 + size(filter(mb, x -> x <= m_sum)) AS BIGINT)").as("m_score"))
   }
 
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training: every
+    * document gets 3 negatives drawn from OTHER sources via a hash
+    * ring — anchor bucket = first md5 hex digit of doc_id (16 buckets),
+    * negative j comes from bucket (b+j) mod 16, and the pick is the
+    * minimum doc_id in that bucket whose source differs from the
+    * anchor's (so a pair is never a trivial same-provenance positive).
+    * Hash-based selection makes the pairs repartition- and rerun-
+    * stable — the same leakage-safe determinism argument as
+    * `q_sample_hash`/`q_sample_group_n`, applied to pair mining.
+    *
+    * Scale shape: the rep table aggregates to ≤16×|sources| rows
+    * (bounded, AQE broadcasts it by size — no hint), anchors join it
+    * by (bucket, source) equi-key after a bounded ×3 explode; the
+    * corpus is touched exactly twice (rep agg + anchor join), nothing
+    * is quadratic. */
+  val sampleNegatives: QueryDef = QueryDef(
+    "q_sample_negatives",
+    """WITH d AS (SELECT doc_id, source,
+      |  strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+      |  FROM documents),
+      |m AS (SELECT bucket, source, MIN(doc_id) AS md FROM d GROUP BY bucket, source),
+      |srcs AS (SELECT DISTINCT source FROM d),
+      |rep AS (SELECT m.bucket, s.source AS anchor_source, MIN(m.md) AS neg_id
+      |  FROM m JOIN srcs s ON m.source <> s.source
+      |  GROUP BY m.bucket, s.source)
+      |SELECT d.doc_id, CAST(j AS INT) AS neg_rank, r.neg_id
+      |FROM d, range(1, 4) t(j)
+      |JOIN rep r ON r.bucket = (d.bucket + j) % 16 AND r.anchor_source = d.source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1").as("bucket"))
+    val m = d.groupBy(col("bucket"), col("source")).agg(min(col("doc_id")).as("md"))
+    val srcs = d.select(col("source")).distinct()
+      .select(col("source").as("anchor_source"))
+    val rep = m.join(srcs, col("source") =!= col("anchor_source"))
+      .groupBy(col("bucket").as("rbucket"), col("anchor_source"))
+      .agg(min(col("md")).as("neg_id"))
+    d.select(col("doc_id"), col("source"), col("bucket"),
+        explode(expr("sequence(1, 3)")).as("j"))
+      .join(rep, col("rbucket") === (col("bucket") + col("j")) % 16
+        && col("anchor_source") === col("source"))
+      .select(col("doc_id"), col("j").cast("int").as("neg_rank"), col("neg_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
-    rangeSplit, splitGrouped, sampleWeighted, rfmQuintiles)
+    rangeSplit, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives)
 }

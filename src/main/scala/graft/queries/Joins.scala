@@ -285,8 +285,106 @@ object Joins {
         sum(when(col("ck").isNull, 1L).otherwise(0L)).as("n_null_pairs"))
   }
 
+  /** RUNTIME BLOOM-FILTER JOIN PRUNING — the row-level cousin of
+    * dynamic partition pruning: with the application-side threshold
+    * lowered, Spark's InjectRuntimeFilter turns the selective dim
+    * predicate into a `might_contain(bloom_agg(o_orderkey))` filter ON
+    * THE FACT SCAN, so fact rows that cannot join are dropped BEFORE
+    * the shuffle (DPP skips whole partitions; this skips rows inside
+    * surviving partitions). At 100 TB the filter is built once from
+    * the small filtered dim and shipped to every fact scan task.
+    *
+    * The thresholds are session confs read at optimization time, so
+    * the join is materialized INSIDE this definition with the confs
+    * active and restored after — nothing leaks to other queries
+    * (BloomPruneSpec pins the `might_contain` plan shape; this
+    * QueryDef keeps the result oracle-checked). Broadcast is disabled
+    * for the materialized join because bloom pruning targets the
+    * shuffle-join regime — a broadcast join already filters fact rows
+    * at the probe. */
+  val bloomPrune: QueryDef = QueryDef(
+    "q_bloom_prune",
+    """WITH sel AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+    val path = Scratch.path("bloom_prune_out")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val sel = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)").as("revenue"))
+        .write.mode("overwrite").parquet(path)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+    s.read.parquet(path)
+  }
+
+  /** TIME-BUCKETED INTERVAL SELF-JOIN — the equi-join rewrite of a
+    * range join: "pairs of same-user events within 1 hour" would plan
+    * as a per-user range condition; bucketing ts into hours and
+    * equi-joining each event against buckets (h-1, h, h+1) turns the range
+    * predicate into ONE hash-partitionable equi-join (via a bounded
+    * ×3 explode on one side), with the exact |Δt| ≤ 1h check as a
+    * cheap residual. This is how Flink interval joins and production
+    * Spark range joins stay shuffle-partitionable: candidates are
+    * bounded by bucket width, never by the full per-key history.
+    *
+    * Scale shape: explode ×3 (map-only; ±1 because the e1<e2 dedup
+    * guard is on id, not time, so the partner bucket can be on either
+    * side — each qualifying pair matches at exactly one j), one equi
+    * shuffle on (user, bucket), residual filter; the (e1 < e2) guard
+    * dedups the symmetric candidates. */
+  val joinIntervalBucketed: QueryDef = QueryDef(
+    "q_join_interval_bucketed",
+    """WITH e AS (SELECT event_id, user_id, ts,
+      |    epoch_us(ts) // 3600000000 AS hb FROM events),
+      |probes AS (SELECT event_id, user_id, ts, hb + j AS pb
+      |  FROM e, range(-1, 2) t(j)),
+      |cand AS (SELECT a.event_id AS e1, b.event_id AS e2, a.user_id,
+      |    a.ts AS t1, b.ts AS t2
+      |  FROM probes a JOIN e b
+      |    ON a.user_id = b.user_id AND a.pb = b.hb
+      |   AND a.event_id < b.event_id)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(abs(epoch_us(t1) - epoch_us(t2))) AS BIGINT) AS min_gap_us
+      |FROM cand
+      |WHERE abs(epoch_us(t1) - epoch_us(t2)) <= 3600000000
+      |GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("unix_micros(ts) DIV 3600000000").as("hb"))
+    val probes = e.select(col("event_id"), col("user_id"), col("ts"), col("hb"),
+        explode(expr("sequence(-1, 1)")).as("j"))
+      .select(col("event_id").as("e1"), col("user_id"),
+        col("ts").as("t1"), (col("hb") + col("j")).as("pb"))
+    probes.join(
+        e.select(col("event_id").as("e2"), col("user_id").as("u2"),
+          col("ts").as("t2"), col("hb")),
+        col("user_id") === col("u2") && col("pb") === col("hb")
+          && col("e1") < col("e2"))
+      .filter(expr("abs(unix_micros(t1) - unix_micros(t2)) <= 3600000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(MIN(abs(unix_micros(t1) - unix_micros(t2))) AS BIGINT)").as("min_gap_us"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
-    joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe)
+    joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe, bloomPrune,
+    joinIntervalBucketed)
 }

@@ -315,6 +315,44 @@ object Windows {
       round(sum(col("rev")).over(wCum).cast("double") / sum(col("rev")).over(wTot).cast("double"), 6).as("cum_share"))
   }
 
+  /** SESSION TRANSCRIPT ASSEMBLY — the SFT/trajectory dataset
+    * primitive: each 8h-gap session (same boundary prefix-sum as
+    * [[eventSessionize]]) becomes one ordered `a>b>c` event-type
+    * transcript via deterministic ordered listagg ((ts, event_id) is a
+    * total order, so both engines concatenate identically). The same
+    * plan assembles chat turns into conversation records when
+    * event_type is a message column.
+    *
+    * Scale shape: one user-partitioned window pass for the session id,
+    * then a hash-agg on (user, session) that REUSES the window's
+    * partitioning — transcripts never cross executors. */
+  val eventTranscript: QueryDef = QueryDef(
+    "q_event_transcript",
+    """WITH b AS (SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, event_id, event_type,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM b)
+      |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+      |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+      |FROM s GROUP BY user_id, sess_no""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 28800000000L, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(wSum).cast("long"))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_turns"),
+        expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)").as("transcript"))
+  }
+
   val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
-    winRangeInterval, winFillForward, eventSessionize, skyline, paretoShare)
+    winRangeInterval, winFillForward, eventSessionize, skyline, paretoShare,
+    eventTranscript)
 }
