@@ -218,7 +218,14 @@ object PlanAudit {
       // bucketed interval self-join: the range predicate must ride an
       // EQUI join (hash-partitionable) with the |dt| check residual —
       // a loop/range join over per-user histories is the scale bug
-      "q_join_interval_bucketed" -> Seq("Generate", "HashAggregate", "!NestedLoop"))
+      "q_join_interval_bucketed" -> Seq("Generate", "HashAggregate", "!NestedLoop"),
+      // SCD-2 point-in-time join: EQUI hash join on the customer key
+      // with the validity range as residual — never a loop join; no
+      // forced broadcast on the SF-scaling dim history
+      "q_join_scd2" -> Seq("Join", "!NestedLoop", "!DimHint"),
+      // compaction planning runs on the bounded manifest: one agg,
+      // one year-partitioned window, no join
+      "q_compact_plan" -> Seq("HashAggregate", "Window", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

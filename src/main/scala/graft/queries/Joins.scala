@@ -382,9 +382,60 @@ object Joins {
         expr("CAST(MIN(abs(unix_micros(t1) - unix_micros(t2))) AS BIGINT)").as("min_gap_us"))
   }
 
+  /** SCD-2 POINT-IN-TIME JOIN — the warehouse dimension-history
+    * pattern: each customer has two versions with [valid_from,
+    * valid_to) ranges (version 2 reprices the balance from 1996-01-01)
+    * and every order picks the version valid AT ITS ORDER DATE. The
+    * join key is the EQUI customer key; the validity range is a cheap
+    * residual — per key there are O(versions) rows, so the range check
+    * never degenerates into a per-key history scan (contrast
+    * [[joinIntervalBucketed]], where the range is against an unbounded
+    * event history and needs bucketing).
+    *
+    * Scale shape: hash join on custkey, both sides partitioned by it;
+    * the dim's version fan-out is a bounded ×2. */
+  val joinScd2: QueryDef = QueryDef(
+    "q_join_scd2",
+    """WITH dim AS (
+      |  SELECT c_custkey, 1 AS version,
+      |    DATE '1992-01-01' AS valid_from, DATE '1996-01-01' AS valid_to,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(15,3)) AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2,
+      |    DATE '1996-01-01', DATE '2000-01-01',
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(15,3))
+      |  FROM customer)
+      |SELECT o_orderkey, o_custkey, CAST(version AS INT) AS version,
+      |  CAST(bal AS DOUBLE) AS bal_at_order
+      |FROM orders JOIN dim
+      |  ON o_custkey = c_custkey
+      | AND o_orderdate >= valid_from AND o_orderdate < valid_to""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    // version-2 balance goes through exact DECIMAL multiply (×1.1 is
+    // exact at scale 3) — a double round() here diverges between the
+    // engines' half-up/half-even modes (determinism policy)
+    val v1 = c.select(col("c_custkey"), lit(1).as("version"),
+      lit("1992-01-01").cast("date").as("valid_from"),
+      lit("1996-01-01").cast("date").as("valid_to"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(15,3))").as("bal"))
+    val v2 = c.select(col("c_custkey"), lit(2).as("version"),
+      lit("1996-01-01").cast("date").as("valid_from"),
+      lit("2000-01-01").cast("date").as("valid_to"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(15,3))").as("bal"))
+    Tables.orders(s, dir)
+      .join(v1.unionAll(v2),
+        col("o_custkey") === col("c_custkey")
+          && col("o_orderdate") >= col("valid_from")
+          && col("o_orderdate") < col("valid_to"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("version").cast("int").as("version"),
+        col("bal").cast("double").as("bal_at_order"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
     joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe, bloomPrune,
-    joinIntervalBucketed)
+    joinIntervalBucketed, joinScd2)
 }

@@ -314,7 +314,44 @@ object Sources {
     s.table("graft_cat_orders")
   }
 
+  /** SMALL-FILE COMPACTION PLANNING — the OPTIMIZE/rewrite planner's
+    * first half: from a (partition → estimated bytes) manifest (here
+    * per order month, 100 B/row estimate), assign consecutive months
+    * within each year to compaction groups by next-fit bin packing —
+    * group = floor(running-bytes-before-me / 500 KB), so each group
+    * closes as soon as it crosses the target and files are never
+    * split. Planning runs on the MANIFEST (metadata, bounded by
+    * partition count), never on data rows: the window partitions by
+    * year, so even a million-partition lake plans in parallel.
+    * The second half — actually rewriting each group — is a plain
+    * partitioned write, exercised by the layout queries. */
+  val compactPlan: QueryDef = QueryDef(
+    "q_compact_plan",
+    """WITH files AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+      |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+      |    COUNT(*) * 100 AS est_bytes
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (SELECT y, m, est_bytes,
+      |  coalesce(SUM(est_bytes) OVER (PARTITION BY y ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_me
+      |  FROM files)
+      |SELECT y, m, CAST(est_bytes AS BIGINT) AS est_bytes,
+      |  CAST(before_me // 500000 AS BIGINT) AS compact_group
+      |FROM w""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      .agg((count(lit(1)) * 100).as("est_bytes"))
+    val w = Window.partitionBy(col("y")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("before_me", coalesce(sum(col("est_bytes")).over(w), lit(0L)))
+      .select(col("y"), col("m"), col("est_bytes").cast("long").as("est_bytes"),
+        expr("CAST(before_me DIV 500000 AS BIGINT)").as("compact_group"))
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
-    schemaEvolution, catalogTable)
+    schemaEvolution, catalogTable, compactPlan)
 }
