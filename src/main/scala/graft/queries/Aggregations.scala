@@ -433,9 +433,42 @@ object Aggregations {
           .as("within_bound"))
   }
 
+  /** MARKET-BASKET pair mining: the 20 most frequently co-ordered part
+    * pairs (support = number of orders containing both), the first step
+    * of frequent-itemset / association-rule mining and of co-occurrence
+    * embedding training.
+    *
+    * Scale shape: the pair generation is a self equi-join of the
+    * DISTINCT (order, part) table on the order key with `p1 < p2` —
+    * hash-partitioned on the key both sides, and the fan-out per order
+    * is C(items,2) with items bounded by the order's basket size (≤7
+    * here, ~tens in any retail schema), so the pair stream stays a
+    * small constant factor of the input — never quadratic in parts or
+    * orders. Support counting is a partial+final hash-agg on the pair;
+    * the top-20 is TakeOrderedAndProject (no global sort). A skewed
+    * mega-basket would be capped upstream (the same guard as the LSH
+    * bucket cap in [[Dedup]]). */
+  val basketPairs: QueryDef = QueryDef(
+    "q_basket_pairs",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS part1, c.pk AS part2, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, part1, part2
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    b.as("a").join(b.withColumnRenamed("pk", "pk2").as("c"),
+        col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk2"))
+      .groupBy(col("a.pk").as("part1"), col("pk2").as("part2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part1"), col("part2"))
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
     aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
-    aggCountMin, aggSketchRollup, aggSketchOverlap)
+    aggCountMin, aggSketchRollup, aggSketchOverlap, basketPairs)
 }

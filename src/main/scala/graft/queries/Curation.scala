@@ -453,7 +453,122 @@ object Curation {
       .select(col("doc_id"), col("j").cast("int").as("neg_rank"), col("neg_id"))
   }
 
+  /** PER-DIMENSION embedding statistics (mean + population std for
+    * every coordinate) — the whitening / standardization pass run
+    * before PCA, PQ codebook training, or drift monitoring of an
+    * embedding column.
+    *
+    * Scale shape: posexplode is a bounded ×dim map-side fan-out, the
+    * stats are one partial+final hash-agg on the dimension index
+    * (|dims| groups — trivially small), nothing else moves. At 100 TB
+    * this is the canonical "one pass, tiny result" profile job.
+    *
+    * Determinism: each element is rounded to 6 dp and fixed as
+    * DECIMAL(12,6); SUM(v) and SUM(v*v) are then exact decimal
+    * (order-insensitive) in both engines, and only the final
+    * mean/std division drops to DOUBLE (rounded 6 dp, `+ 0.0`
+    * normalizing -0.0). */
+  val embedDimStats: QueryDef = QueryDef(
+    "q_embed_dim_stats",
+    """WITH x AS (SELECT vec_id, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |e AS (SELECT i - 1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS v FROM x)
+      |SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean,
+      |  CASE WHEN (CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) > 0
+      |    THEN round(sqrt((CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*)), 6) + 0.0
+      |    ELSE 0.0 END AS std
+      |FROM e GROUP BY dim""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("int").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("mean"),
+        expr("""CASE WHEN (CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) > 0
+               |  THEN round(sqrt((CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*)), 6) + 0.0D
+               |  ELSE 0.0D END""".stripMargin).as("std"))
+  }
+
+  /** POWER-OF-2 sequence-length bucketing — the padding-efficiency
+    * planner for batched training: documents grouped by the smallest
+    * power of two ≥ their token count, with the padded-token overhead
+    * each bucket would pay (`waste_frac`). Length-bucketed batching
+    * keys on exactly this histogram.
+    *
+    * The bucket is computed in pure INTEGER arithmetic — smallest
+    * p=2^k ≥ n via the binary length of n-1 (`length(bin(n-1))`) —
+    * because floor(log2(n)) in floating point is engine-dependent at
+    * exact powers of two. Map + |buckets|-group hash-agg; one pass. */
+  val lenBuckets: QueryDef = QueryDef(
+    "q_len_buckets",
+    s"""WITH t AS (SELECT len(${Tokenize.duckTrim}) AS n FROM documents),
+       |b AS (SELECT n, CASE WHEN n <= 1 THEN 1
+       |    ELSE CAST(power(2, length(bin(n - 1))) AS BIGINT) END AS bucket FROM t)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+       |  round(1.0 - CAST(SUM(n) AS DOUBLE) / (bucket * COUNT(*)), 6) + 0.0 AS waste_frac
+       |FROM b GROUP BY bucket""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(size(expr(Tokenize.sparkTrim)).cast("long").as("n"))
+      .select(col("n"),
+        when(col("n") <= 1, lit(1L))
+          .otherwise(expr("CAST(power(2, length(bin(n - 1))) AS BIGINT)")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        expr("round(1.0D - CAST(sum_tokens AS DOUBLE) / (bucket * n_docs), 6) + 0.0D").as("waste_frac"))
+  }
+
+  /** DATASET CARD rollup: the corpus composition table a training run
+    * publishes — docs / chars / tokens / token share for every (lang,
+    * source) cell PLUS each marginal and the grand total, in ONE scan
+    * via GROUPING SETS. `grouping()` distinguishes the rolled-up level
+    * from a genuine value, so the card is self-describing.
+    *
+    * Scale shape: grouping sets expand map-side (4 copies of the tiny
+    * per-group partials, not of the data); one hash-agg; the token
+    * share joins the 1-row grand total back by broadcast. */
+  val datasetCard: QueryDef = QueryDef(
+    "q_dataset_card",
+    s"""WITH t AS (SELECT lang, source, n_chars,
+       |    len(${Tokenize.duckTrim}) AS toks FROM documents),
+       |card AS (SELECT
+       |    CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       |    CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY GROUPING SETS ((lang, source), (lang), (source), ()))
+       |SELECT c.*, round(CAST(c.n_tokens AS DOUBLE) /
+       |    (SELECT n_tokens FROM card WHERE lang = 'ALL' AND source = 'ALL'), 6) AS token_share
+       |FROM card c""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(expr(Tokenize.sparkTrim)).cast("long").as("toks"))
+    val card = t.groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"),
+        grouping(col("lang")).as("gl"), grouping(col("source")).as("gs"))
+      .select(
+        when(col("gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        when(col("gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("n_chars"), col("n_tokens"))
+    val total = card.filter(col("lang") === "ALL" && col("source") === "ALL")
+      .select(col("n_tokens").as("tot"))
+    card.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
-    rangeSplit, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives)
+    rangeSplit, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
+    embedDimStats, lenBuckets, datasetCard)
 }

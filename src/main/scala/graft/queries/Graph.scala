@@ -153,5 +153,51 @@ object Graph {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes)
+  /** TRIANGLE COUNT over the co-supply graph: nodes = nations,
+    * undirected edge {u,v} iff suppliers from u and v ever ship on the
+    * same order. Triangle counting is the clustering-coefficient /
+    * community-density primitive of distributed graph analytics.
+    *
+    * Scale shape: all the data-volume work is the edge derivation —
+    * a key join to supplier (AQE-sized) and a DISTINCT-collapsed self
+    * equi-join on the order key whose per-order fan-out is bounded by
+    * the basket size. Triangles are then counted on the COLLAPSED
+    * edge list with the standard ordered-orientation scheme (store
+    * each edge once as u<v, join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c) so
+    * every triangle is counted exactly once and the wedge join never
+    * explodes along the high-degree direction; at billion-edge scale
+    * the same query orients by degree instead of id, which is a
+    * one-line change in the edge projection. */
+  val triangles: QueryDef = QueryDef(
+    "q_graph_triangles",
+    """WITH sn AS (SELECT DISTINCT l_orderkey AS ok, s_nationkey AS n
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |e AS (SELECT DISTINCT a.n AS u, b.n AS v
+      |  FROM sn a JOIN sn b ON a.ok = b.ok AND a.n < b.n),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT CAST((SELECT COUNT(*) FROM (SELECT u AS x FROM e UNION SELECT v FROM e)) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
+    val sn = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n")).distinct()
+    val e = sn.as("a").join(sn.withColumnRenamed("n", "n2").as("b"),
+        col("a.ok") === col("b.ok") && col("a.n") < col("b.n2"))
+      .select(col("a.n").as("u"), col("n2").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = e.as("e1")
+      .join(e.select(col("u").as("u2"), col("v").as("v2")).as("e2"), col("e1.v") === col("u2"))
+      .join(e.select(col("u").as("u3"), col("v").as("v3")).as("e3"),
+        col("u3") === col("e1.u") && col("v3") === col("v2"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("v2").as("c"))
+    val nodes = e.select(col("u").as("x")).union(e.select(col("v").as("x"))).distinct()
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles)
 }

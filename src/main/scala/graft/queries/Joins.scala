@@ -433,9 +433,57 @@ object Joins {
         col("bal").cast("double").as("bal_at_order"))
   }
 
+  /** AS-OF join WITH A STALENESS TOLERANCE — the feature-store lookup
+    * contract: each order takes the latest event from the same user AT
+    * OR BEFORE the order date but NO OLDER THAN 7 days, else NULL (a
+    * stale feature must not silently leak in).
+    *
+    * The tolerance is also what makes the join SCALE-SAFE: unlike the
+    * unbounded as-of ([[joinAsof]], a true range join), a bounded
+    * lookback rewrites to a pure EQUI-join on (user, day-bucket) with
+    * the order side fanning out its 8 candidate day buckets (bounded
+    * ×8, map-side) — hash-partitionable, AQE-sized, no range-join
+    * fallback anywhere. Per-order winner = max (ts, event_id) struct
+    * (partial agg before the final), then a left join back to keep
+    * tolerance-miss orders. */
+  val joinAsofTolerance: QueryDef = QueryDef(
+    "q_join_asof_tolerance",
+    """WITH e AS (SELECT event_id, user_id, ts,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS db FROM events),
+      |probes AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - j AS pb
+      |  FROM orders, range(0, 8) t(j)),
+      |cand AS (SELECT p.o_orderkey, e.ts, e.event_id
+      |  FROM probes p JOIN e
+      |    ON e.user_id = p.o_custkey AND e.db = p.pb
+      |   AND e.ts <= p.o_orderdate
+      |   AND e.ts > p.o_orderdate - INTERVAL '7 days'),
+      |best AS (SELECT o_orderkey, max({'ts': ts, 'eid': event_id}) AS b
+      |  FROM cand GROUP BY o_orderkey)
+      |SELECT o.o_orderkey, (b.b).ts AS asof_ts, (b.b).eid AS asof_event
+      |FROM orders o LEFT JOIN best b ON o.o_orderkey = b.o_orderkey""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("db"))
+    val probes = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        explode(expr("sequence(0, 7)")).as("j"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long") - col("j")).as("pb"))
+    val best = probes.join(e,
+        col("user_id") === col("o_custkey") && col("db") === col("pb")
+          && col("ts") <= col("o_orderdate")
+          && col("ts") > col("o_orderdate") - expr("INTERVAL 7 days"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("b"))
+    Tables.orders(s, dir).select(col("o_orderkey"))
+      .join(best, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("b.ts").as("asof_ts"), col("b.event_id").as("asof_event"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
     joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe, bloomPrune,
-    joinIntervalBucketed, joinScd2)
+    joinIntervalBucketed, joinScd2, joinAsofTolerance)
 }

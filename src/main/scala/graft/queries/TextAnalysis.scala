@@ -479,6 +479,164 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k=5-token shingle,
+    * slide a w=4 window over the hash sequence and keep each window's
+    * minimum. The selected set is guaranteed to share a fingerprint
+    * with any other document that has a common run of ≥ w+k-1 = 8
+    * tokens, at ~2/(w+1) the density of full shingling — the standard
+    * local-fingerprint scheme for plagiarism / boilerplate detection
+    * where storing every shingle hash is too much.
+    *
+    * Per doc we emit the fingerprint count and an order-insensitive
+    * digest of the selected set (md5 of the sorted distinct hashes) —
+    * the value a dedup index would store.
+    *
+    * Scale shape: entirely map-only (one codegen'd pass building
+    * per-doc arrays bounded by doc length; no explode, no shuffle
+    * except the final write). Ties inside a window keep the (unique)
+    * min hash VALUE, so the selected SET is tie-stable even though
+    * classic winnowing's positional tie-break (rightmost) is not
+    * needed for a set-valued output.
+    *
+    * Determinism: hashes are md5 hex strings (lexicographic min is
+    * byte-stable across engines); docs with < 8 trimmed tokens (< 1
+    * full window) emit 0 fingerprints and a NULL digest — also guards
+    * Spark's sequence(a, b) which STEPS BACKWARD when a > b (DuckDB's
+    * generate_series yields [] — a silent divergence otherwise). */
+  val winnowing: QueryDef = QueryDef(
+    "q_text_winnowing",
+    s"""WITH toks AS (SELECT doc_id, ${Tokenize.duckTrim} AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(ws) - 4),
+       |      i -> md5(array_to_string(ws[i:i+4], ' '))) AS grams
+       |  FROM toks WHERE len(ws) >= 8),
+       |sel AS (SELECT doc_id, len(grams) AS n_grams,
+       |    list_sort(list_distinct(list_transform(
+       |      generate_series(1, len(grams) - 3),
+       |      j -> list_min(grams[j:j+3])))) AS fp
+       |  FROM g)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(len(s.fp), 0) AS BIGINT) AS n_fp,
+       |  CASE WHEN s.doc_id IS NOT NULL
+       |       THEN md5(array_to_string(s.fp, ',')) END AS fp_sig
+       |FROM toks t LEFT JOIN sel s ON t.doc_id = s.doc_id""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(Tokenize.sparkTrim).as("ws"))
+    val sel = toks.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(ws) - 4), i -> md5(array_join(slice(ws, i, 5), ' ')))").as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), expr(
+        "array_sort(array_distinct(transform(sequence(1, size(grams) - 3), j -> array_min(slice(grams, j, 4)))))").as("fp"))
+    toks.select(col("doc_id"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0)).cast("long").as("n_grams"),
+        coalesce(size(col("fp")), lit(0)).cast("long").as("n_fp"),
+        when(col("fp").isNotNull, md5(array_join(col("fp"), ","))).as("fp_sig"))
+  }
+
+  /** BM25 ranking (Robertson/Spärck Jones, k1=1.2 b=0.75) — the
+    * retrieval-grade relevance scorer behind every lexical search /
+    * RAG-hybrid stack, over a self-derived query: the corpus's 5 most
+    * document-frequent tokens of length ≥ 4 (deterministic at any SF,
+    * unlike literal terms). Emits the top-20 documents.
+    *
+    * Scale shape: corpus stats (N, avgdl) are a one-row aggregate;
+    * the 5-term query table and the df counts broadcast; tf is a
+    * partial+final hash-agg over the exploded token stream (the only
+    * data-volume pass); top-20 is TakeOrderedAndProject. Nothing
+    * shuffles more than (doc × matched-term) rows.
+    *
+    * Determinism: idf = ln(...) is libm → rounded 6 dp; each
+    * per-term contribution rounded 6 dp and summed as DECIMAL(20,6)
+    * (order-insensitive); avgdl = exact-int sum ÷ count in one double
+    * division; ranking order (score DESC, doc_id) is total. */
+  val bm25: QueryDef = QueryDef(
+    "q_text_bm25",
+    s"""WITH toks AS (SELECT doc_id, ${Tokenize.duckTrim} AS ws FROM documents),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+       |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+       |terms AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex
+       |  WHERE length(tok) >= 4 GROUP BY tok ORDER BY df DESC, tok LIMIT 5),
+       |ti AS (SELECT tok, round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+       |  FROM terms, stats),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex
+       |  JOIN ti USING (tok) GROUP BY 1, 2),
+       |c AS (SELECT f.doc_id,
+       |    CAST(round(ti.idf * f.tf * 2.2 /
+       |      (f.tf + 1.2 * (1 - 0.75 + 0.75 * len(t.ws) / avgdl)), 6) AS DECIMAL(20,6)) AS contrib
+       |  FROM tf f JOIN ti USING (tok) JOIN toks t ON f.doc_id = t.doc_id, stats)
+       |SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(Tokenize.sparkTrim).as("ws"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      expr("CAST(SUM(size(ws)) AS DOUBLE) / COUNT(*)").as("avgdl"))
+    val ex = toks.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val terms = ex.filter(length(col("tok")) >= 4)
+      .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(5)
+    val ti = terms.crossJoin(broadcast(stats))
+      .select(col("tok"), expr("round(ln((n - df + 0.5) / (df + 0.5) + 1), 6)").as("idf"))
+    val tf = ex.join(broadcast(ti), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"), col("idf"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(toks.select(col("doc_id"), size(col("ws")).as("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("doc_id"), expr(
+        "CAST(round(idf * tf * 2.2D / (tf + 1.2D * (1D - 0.75D + 0.75D * dl / avgdl)), 6) AS DECIMAL(20,6))").as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(SUM(contrib) AS DOUBLE)").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  /** TOKENIZER VOCABULARY COVERAGE: out-of-vocabulary rate per
+    * language against the corpus's own top-1000-token vocabulary —
+    * the tokenizer-eval / fertility probe run before committing a
+    * vocab to a training run (a lang with a high OOV rate will
+    * shatter into bytes and waste context length).
+    *
+    * Scale shape: vocab = TakeOrderedAndProject over the token-count
+    * agg (top-1000, tie-stable by token); the OOV classification is
+    * a BROADCAST left-anti join on the exploded stream; per-lang
+    * rates aggregate exact integer counts (one final division — no
+    * order-sensitive double sums). */
+  val oovRate: QueryDef = QueryDef(
+    "q_text_oov",
+    s"""WITH toks AS (SELECT doc_id, lang, ${Tokenize.duckTrim} AS ws FROM documents),
+       |ex AS (SELECT lang, unnest(ws) AS tok FROM toks),
+       |vocab AS (SELECT tok, COUNT(*) AS cnt FROM ex
+       |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000),
+       |tot AS (SELECT lang, COUNT(*) AS n_tokens FROM ex GROUP BY lang),
+       |oov AS (SELECT lang, COUNT(*) AS n_oov FROM ex
+       |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY lang),
+       |d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+       |SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+       |  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+       |  round(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tokens, 6) + 0.0 AS oov_rate
+       |FROM d JOIN tot t ON d.lang = t.lang
+       |LEFT JOIN oov o ON d.lang = o.lang""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(Tokenize.sparkTrim).as("ws"))
+    val ex = toks.select(col("lang"), explode(col("ws")).as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(1000).select(col("tok"))
+    val tot = ex.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+    val oov = ex.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_oov"))
+    val d = Tables.documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    d.join(tot, Seq("lang")).join(oov, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        expr("round(CAST(coalesce(n_oov, 0) AS DOUBLE) / n_tokens, 6) + 0.0D").as("oov_rate"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
-    editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs)
+    editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
+    bm25, oovRate)
 }
