@@ -225,7 +225,35 @@ object PlanAudit {
       "q_join_scd2" -> Seq("Join", "!NestedLoop", "!DimHint"),
       // compaction planning runs on the bounded manifest: one agg,
       // one year-partitioned window, no join
-      "q_compact_plan" -> Seq("HashAggregate", "Window", "!Join"))
+      "q_compact_plan" -> Seq("HashAggregate", "Window", "!Join"),
+      // round 6c: retrieval/mining/whitening wave.
+      // basket mining: DISTINCT-collapsed self EQUI-join on the order
+      // key (bounded basket fan-out) + TakeOrdered top-20 — an
+      // all-pairs part join or a global sort is the scale bug
+      "q_basket_pairs" -> Seq("TakeOrderedAndProject", "HashAggregate", "!NestedLoop"),
+      // winnowing is one map-only array pass: no explode, no shuffle
+      "q_text_winnowing" -> Seq("Project", "!Generate"),
+      // BM25: the 5-term idf table and corpus stats broadcast; tf is
+      // a hash-agg on the exploded stream; top-20 is TakeOrdered
+      "q_text_bm25" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"),
+      // OOV: vocab = TakeOrdered top-1000, classification = broadcast
+      // anti join — a shuffled anti join of the token stream is the
+      // scale bug
+      "q_text_oov" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin", "LeftAnti"),
+      // tolerance as-of: the day-bucket rewrite must give an EQUI hash
+      // join (range residual only) — a range/loop join over per-user
+      // histories is exactly what the bucketing removes
+      // (struct-max winner aggregates via SortAggregate — struct has
+      // no mutable hash buffer — but still partial+final, map-side first)
+      "q_join_asof_tolerance" -> Seq("Generate", "SortAggregate", "!NestedLoop"),
+      // embedding dim stats: bounded posexplode + |dims|-group agg
+      "q_embed_dim_stats" -> Seq("Generate", "HashAggregate", "!Join"),
+      // PQ encode: the 16-row codebook broadcasts (the only loop join
+      // is against that constant-size table); two hash-aggs on vec_id
+      "q_vec_pq_codes" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin"),
+      // triangles: ordered-orientation wedge joins over the COLLAPSED
+      // persisted edge list; supplier join stays hint-free
+      "q_graph_triangles" -> Seq("InMemoryTableScan", "HashAggregate", "!DimHint"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -260,5 +260,66 @@ object Similarity {
         expr("round(CAST(SUM(CAST(round(cos_sim, 6) AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0").as("mean_cos"))
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep)
+  /** PRODUCT QUANTIZATION encode (Jégou/Douze/Schmid PQ — the
+    * compression behind IVF-PQ billion-vector indexes): split the
+    * 64-d embedding into 8 contiguous 8-d subspaces, quantize each to
+    * the nearest of 16 codebook centers, emit the 8-symbol code (8×4
+    * bits — a 16-byte float subvector becomes half a byte) plus the
+    * reconstruction error. Codebook = the subvectors of the 16
+    * lowest-id vectors (a deterministic stand-in for the k-means
+    * codebook [[kmeansStep]] trains).
+    *
+    * Scale shape: the codebook (16 full rows) BROADCASTS; encoding is
+    * a bounded ×16 map-side fan-out (crossJoin against the broadcast
+    * table) followed by two hash-aggs keyed on the vector id —
+    * nothing joins data-to-data, identical to how FAISS shards PQ
+    * encode across workers.
+    *
+    * Determinism: per-subspace squared distances are sequential folds
+    * (aggregate ≙ list_reduce, explicit (a-b)*(a-b) — no pow())
+    * rounded to 6 dp BEFORE the argmin, so ties break on the center
+    * index identically in both engines; the error sum is
+    * DECIMAL(20,6)-exact over the 8 rounded subspace minima. */
+  val pqCodes: QueryDef = QueryDef(
+    "q_vec_pq_codes",
+    """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |pairs AS (SELECT e.vec_id, cb.c, e.embedding AS ve, cb.ce,
+      |    unnest(generate_series(0, 7)) AS j
+      |  FROM embeddings e CROSS JOIN cb),
+      |d AS (SELECT vec_id, c, j,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |      i -> (CAST(ve[j*8+i] AS DOUBLE) - CAST(ce[j*8+i] AS DOUBLE))
+      |         * (CAST(ve[j*8+i] AS DOUBLE) - CAST(ce[j*8+i] AS DOUBLE))),
+      |      (x, y) -> x + y), 6) AS rd2
+      |  FROM pairs),
+      |w AS (SELECT vec_id, j, min({'d': rd2, 'c': c}) AS b FROM d GROUP BY 1, 2)
+      |SELECT vec_id,
+      |  array_to_string(list_transform(list_sort(list({'j': j, 'c': (b).c})),
+      |    x -> CAST(x.c AS VARCHAR)), '-') AS code,
+      |  round(sqrt(CAST(SUM(CAST((b).d AS DECIMAL(20,6))) AS DOUBLE)), 6) AS err
+      |FROM w GROUP BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cb = emb.orderBy(col("vec_id")).limit(16)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("c"),
+        col("embedding").as("ce"))
+    val d = emb.select(col("vec_id"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("c"),
+        posexplode(expr(
+          """transform(sequence(0, 7), j -> round(aggregate(sequence(1, 8), 0D,
+            |  (acc, i) -> acc + (CAST(element_at(ve, j*8+i) AS DOUBLE) - CAST(element_at(ce, j*8+i) AS DOUBLE))
+            |                  * (CAST(element_at(ve, j*8+i) AS DOUBLE) - CAST(element_at(ce, j*8+i) AS DOUBLE))), 6))""".stripMargin))
+          .as(Seq("j", "rd2")))
+    val w = d.groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
+    w.groupBy(col("vec_id"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(j, b.c AS c))), x -> CAST(x.c AS STRING))"), "-").as("code"),
+        expr("round(sqrt(CAST(SUM(CAST(b.d AS DECIMAL(20,6))) AS DOUBLE)), 6)").as("err"))
+      .select(col("vec_id"), col("code"), col("err"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
+    pqCodes)
 }
