@@ -253,7 +253,14 @@ object PlanAudit {
       "q_vec_pq_codes" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin"),
       // triangles: ordered-orientation wedge joins over the COLLAPSED
       // persisted edge list; supplier join stays hint-free
-      "q_graph_triangles" -> Seq("InMemoryTableScan", "HashAggregate", "!DimHint"))
+      "q_graph_triangles" -> Seq("InMemoryTableScan", "HashAggregate", "!DimHint"),
+      // PSI drift: one-row min/max + totals broadcast back; the 10-row
+      // PSI window never sees data; no sort-merge anywhere
+      "q_dq_drift_psi" -> Seq("HashAggregate", "Window", "!SortMergeJoin"),
+      // IVF-PQ: candidate selection and LUT scoring are EQUI joins
+      // (the inverted index), ADC is a hash-agg, top-5 folds below
+      // the shuffle — the only loop joins are vs broadcast constants
+      "q_sim_ivfpq" -> Seq("BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

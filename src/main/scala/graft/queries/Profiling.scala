@@ -302,6 +302,60 @@ object Profiling {
     mi.crossJoin(hx).crossJoin(hy)
   }
 
+  /** POPULATION STABILITY INDEX drift monitor: bucket the order-value
+    * distribution of an earlier period (< 1995) against the later one
+    * into 10 equi-width bins over the GLOBAL min/max and compute each
+    * bin's smoothed PSI term plus the total — the standard
+    * feature/label drift gate between training snapshots (PSI > 0.2 ≙
+    * retrain).
+    *
+    * Scale shape: global min/max is a one-row aggregate broadcast
+    * back; bucketing is map-only integer math; each period collapses
+    * to ≤10 rows before the tiny join; the 10-row window that totals
+    * the PSI never sees data. Laplace-smoothed shares ((n+0.5)/(N+5))
+    * keep empty bins finite.
+    *
+    * Determinism: shares are single double divisions; ln is libm →
+    * rounded 6 dp before the product, term rounded 6 dp and summed as
+    * DECIMAL(20,6) (order-insensitive); `+ 0.0` guards the near-zero
+    * rounded terms. */
+  val driftPsi: QueryDef = QueryDef(
+    "q_dq_drift_psi",
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |b AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN 0 ELSE 1 END AS period,
+      |    CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS bucket
+      |  FROM orders, mm),
+      |g AS (SELECT bucket,
+      |    CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb FROM g),
+      |p AS (SELECT bucket, n_a, n_b,
+      |    (n_a + 0.5) / (ta + 5) AS pa, (n_b + 0.5) / (tb + 5) AS pb FROM g, t),
+      |terms AS (SELECT bucket, n_a, n_b,
+      |    round((pa - pb) * round(ln(pa / pb), 6), 6) + 0.0 AS psi_term FROM p)
+      |SELECT bucket, n_a, n_b, psi_term,
+      |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) OVER () AS DOUBLE), 6) + 0.0 AS psi_total
+      |FROM terms""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val mm = orders.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val g = orders.crossJoin(broadcast(mm))
+      .select(
+        when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), 0).otherwise(1).as("period"),
+        expr("CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0D))) AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("n_b"))
+    val t = g.agg(expr("CAST(SUM(n_a) AS DOUBLE)").as("ta"), expr("CAST(SUM(n_b) AS DOUBLE)").as("tb"))
+    g.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        expr("(n_a + 0.5) / (ta + 5)").as("pa"), expr("(n_b + 0.5) / (tb + 5)").as("pb"))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        expr("round((pa - pb) * round(ln(pa / pb), 6), 6) + 0.0D").as("psi_term"))
+      .withColumn("psi_total",
+        expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) OVER () AS DOUBLE), 6) + 0.0D"))
+  }
+
   val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers,
-    dqReferential, skewReport, tableChecksum, mutualInfo)
+    dqReferential, skewReport, tableChecksum, mutualInfo, driftPsi)
 }

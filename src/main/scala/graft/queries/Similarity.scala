@@ -320,6 +320,116 @@ object Similarity {
       .select(col("vec_id"), col("code"), col("err"))
   }
 
+  /** IVF-PQ ADC SEARCH — the complete billion-scale ANN query path
+    * (FAISS IndexIVFPQ): vectors are assigned to 8 coarse lists
+    * (nearest full-d centroid), PQ-encoded ([[pqCodes]] subspace
+    * scheme), and a query (a) probes its nprobe=2 nearest lists and
+    * (b) scores candidates by Asymmetric Distance Computation — the
+    * per-query 8×16 lookup table of subspace distances summed along
+    * each candidate's code — returning the top-5 per query. Coarse
+    * centroids / codebook are the deterministic lowest-id stand-ins
+    * for the k-means artifacts ([[kmeansStep]] is the trainer).
+    *
+    * Scale shape: EVERYTHING that touches the data volume is
+    * map-side against broadcast constants — the 8-row coarse table,
+    * 16-row codebook, 3-row query set, and 3×8×16 LUT all broadcast;
+    * candidate selection is an equi-join on the list id (the inverted
+    * index — only probed lists are read); ADC scoring joins codes to
+    * the LUT on (j, code) and hash-aggregates 8 rows per candidate;
+    * top-5 folds below the shuffle as a WindowGroupLimit. No
+    * full-scan per query, no all-pairs anything.
+    *
+    * Determinism: every distance is a 6-dp-rounded sequential fold;
+    * argmins tie-break on the index; ADC sums are DECIMAL(20,6);
+    * ranking (adc, vec_id) is total. */
+  val ivfPqSearch: QueryDef = {
+    def duckD(n: Int, a: String, b: String, off: String = "0"): String =
+      s"""round(list_reduce(list_transform(generate_series(1, $n),
+         |      i -> (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))
+         |         * (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))),
+         |      (x, y) -> x + y), 6)""".stripMargin
+    def sparkD(n: Int, a: String, b: String, off: String = "0"): String =
+      s"""round(aggregate(sequence(1, $n), 0D,
+         |  (acc, i) -> acc + (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))
+         |                  * (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))), 6)""".stripMargin
+    QueryDef(
+      "q_sim_ivfpq",
+      s"""WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |ad AS (SELECT vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
+         |  FROM embeddings CROSS JOIN co),
+         |assign AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list FROM ad GROUP BY vec_id),
+         |pairs AS (SELECT e.vec_id, cb.c, e.embedding AS ve, cb.ce,
+         |    unnest(generate_series(0, 7)) AS j FROM embeddings e CROSS JOIN cb),
+         |pd AS (SELECT vec_id, c, j, ${duckD(8, "ve", "ce", "j*8")} AS rd2 FROM pairs),
+         |codes AS (SELECT vec_id, j, (min({'d': rd2, 'c': c})).c AS cj FROM pd GROUP BY vec_id, j),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+         |qd AS (SELECT q_id, k, ${duckD(64, "qe", "ke")} AS rd2 FROM q CROSS JOIN co),
+         |probes AS (SELECT q_id, k AS list FROM (SELECT q_id, k,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn FROM qd) WHERE rn <= 2),
+         |lp AS (SELECT q.q_id, cb.c, q.qe, cb.ce,
+         |    unnest(generate_series(0, 7)) AS j FROM q CROSS JOIN cb),
+         |lut AS (SELECT q_id, c, j, ${duckD(8, "qe", "ce", "j*8")} AS lut_d2 FROM lp),
+         |cand AS (SELECT a.vec_id, p.q_id FROM assign a JOIN probes p ON a.list = p.list),
+         |adc AS (SELECT cn.q_id, cn.vec_id,
+         |    round(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6) AS adc
+         |  FROM cand cn JOIN codes cd ON cn.vec_id = cd.vec_id
+         |  JOIN lut l ON l.q_id = cn.q_id AND l.j = cd.j AND l.c = cd.cj
+         |  GROUP BY 1, 2)
+         |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc
+         |FROM (SELECT q_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
+         |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      def headN(n: Int, idc: String, vc: String) =
+        emb.orderBy(col("vec_id")).limit(n)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+            col("embedding").as(vc))
+      val cb = headN(16, "c", "ce")
+      val co = headN(8, "k", "ke")
+      val assign = emb.crossJoin(broadcast(co))
+        .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
+        .select(col("vec_id"), col("b.c").as("list"))
+      val codes = emb.select(col("vec_id"), col("embedding").as("ve"))
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("c"),
+          posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "ve", "ce", "j*8")})"""))
+            .as(Seq("j", "rd2")))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
+        .select(col("vec_id"), col("j"), col("b.c").as("cj"))
+      val q = emb.orderBy(col("vec_id")).limit(3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val probes = q.crossJoin(broadcast(co))
+        .select(col("q_id"), col("k"), expr(sparkD(64, "qe", "ke")).as("rd2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("k"))))
+        .filter(col("rn") <= 2).select(col("q_id"), col("k").as("list"))
+      val lut = q.crossJoin(broadcast(cb))
+        .select(col("q_id"), col("c"),
+          posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "qe", "ce", "j*8")})"""))
+            .as(Seq("j", "lut_d2")))
+      // re-aliased LUT avoids ambiguous refs in the 3-way join below
+      val lutA = lut.select(col("q_id").as("lq"), col("c").as("lc"), col("j").as("lj"), col("lut_d2"))
+      val adc2 = assign.join(broadcast(probes), Seq("list"))
+        .select(col("vec_id"), col("q_id"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(lutA),
+          col("lq") === col("q_id") && col("lj") === col("j") && col("lc") === col("cj"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(expr("round(CAST(SUM(CAST(lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6)").as("adc"))
+      adc2.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
-    pqCodes)
+    pqCodes, ivfPqSearch)
 }

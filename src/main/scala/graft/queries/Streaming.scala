@@ -562,9 +562,109 @@ object Streaming {
     }
   }
 
+  /** STREAMING INCREMENTAL VIEW MAINTENANCE — the streaming twin of
+    * [[SetOps.ivmAgg]] and the engine-side form of the reference's
+    * whole job (an incrementally maintained sink,
+    * `/root/reference/writer/writer.go:127-142`): a per-key (sum,
+    * count) aggregate over orders is kept current by folding a CDC
+    * change feed into a persisted state table one micro-batch at a
+    * time via `foreachBatch`, never re-reading the base table.
+    *
+    * Mechanics: the change feed (one row per inserted/updated/deleted
+    * order, with its signed DECIMAL price delta) is split into 4
+    * mtime-ordered files; `maxFilesPerTrigger=1` makes each file a
+    * micro-batch. Every batch hash-aggregates its own delta, full-outer
+    * joins the (tiny, per-key) state generation and writes the next
+    * generation — the merge is commutative and associative, so
+    * at-least-once file replay or reordered batches cannot corrupt the
+    * result. Zero-count keys are dropped (their DECIMAL sums are
+    * exactly 0, so absence ≡ zero state).
+    *
+    * Scale shape: state is hash-partitioned by the group key and sized
+    * by |keys|, not |orders|; each micro-batch touches only its delta
+    * plus the state table. The oracle recomputes the view from the
+    * current snapshot — equality proves maintenance ≡ recomputation. */
+  val streamIvm: QueryDef = QueryDef(
+    "q_stream_ivm",
+    """WITH curr AS (SELECT o_custkey,
+      |  CAST(round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END, 6) AS DECIMAL(20,6)) AS p
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT o_custkey, CAST(CAST(SUM(p) AS DECIMAL(20,6)) AS DOUBLE) AS sum_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM curr GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      def snap(pred: String, priced: Boolean) = {
+        val price =
+          if (priced) "CAST(round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1D ELSE o_totalprice END, 6) AS DECIMAL(20,6))"
+          else "CAST(round(o_totalprice, 6) AS DECIMAL(20,6))"
+        Tables.orders(s, dir).filter(pred)
+          .select(col("o_orderkey"), col("o_custkey"), expr(price).as("p"))
+      }
+      val prev = snap("o_orderkey % 7 <> 0", priced = false)
+      val curr = snap("o_orderkey % 5 <> 0", priced = true)
+
+      val stateRoot = scratch("sivm_state")
+      @volatile var cur = s"$stateRoot/gen_init"
+      prev.groupBy(col("o_custkey"))
+        .agg(expr("CAST(SUM(p) AS DECIMAL(20,6))").as("sum_raw"),
+          count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").parquet(cur)
+
+      // CDC feed: one row per changed order, signed contribution delta
+      val delta = prev.select(col("o_orderkey").as("pk"), col("o_custkey").as("pck"), col("p").as("pp"))
+        .join(curr.select(col("o_orderkey").as("ck"), col("o_custkey").as("cck"), col("p").as("cp")),
+          col("pk") === col("ck"), "full")
+        .filter("pk IS NULL OR ck IS NULL OR pp <> cp")
+        .select(coalesce(col("ck"), col("pk")).as("okey"),
+          coalesce(col("cck"), col("pck")).as("o_custkey"),
+          expr("CAST(coalesce(cp, CAST(0 AS DECIMAL(20,6))) - coalesce(pp, CAST(0 AS DECIMAL(20,6))) AS DECIMAL(20,6))").as("dp"),
+          expr("CAST(CASE WHEN pk IS NULL THEN 1 WHEN ck IS NULL THEN -1 ELSE 0 END AS BIGINT)").as("dc"))
+      val srcDir = new java.io.File(scratch("sivm_src"))
+      srcDir.mkdirs()
+      for (i <- 0 until 4) {
+        val tmp = scratch(s"sivm_tmp_$i")
+        delta.filter(pmod(col("okey"), lit(4)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dstF = new java.io.File(srcDir, f"delta_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dstF.toPath)
+        dstF.setLastModified(1700000000000L + i * 60000L)
+      }
+
+      val q = s.readStream
+        .schema("okey BIGINT, o_custkey BIGINT, dp DECIMAL(20,6), dc BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val st = s.read.parquet(cur)
+          val d = batch.groupBy(col("o_custkey"))
+            .agg(expr("CAST(SUM(dp) AS DECIMAL(20,6))").as("ds"), sum(col("dc")).as("dn"))
+          val next = s"$stateRoot/gen_$id"
+          st.join(d, Seq("o_custkey"), "full")
+            .select(col("o_custkey"),
+              expr("CAST(coalesce(sum_raw, CAST(0 AS DECIMAL(20,6))) + coalesce(ds, CAST(0 AS DECIMAL(20,6))) AS DECIMAL(20,6))").as("sum_raw"),
+              (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"))
+            .filter(col("n_orders") > 0)
+            .write.mode("overwrite").parquet(next)
+          cur = next
+          ()
+        }
+        .option("checkpointLocation", scratch("sivm_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      s.read.parquet(cur)
+        .select(col("o_custkey"),
+          expr("CAST(CAST(sum_raw AS DECIMAL(20,6)) AS DOUBLE)").as("sum_price"),
+          col("n_orders"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
-    streamAppendFinal, streamJoinOuter)
+    streamAppendFinal, streamJoinOuter, streamIvm)
 }
