@@ -199,5 +199,50 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles)
+  /** COMMON-NEIGHBOR JACCARD node similarity (the classic
+    * link-prediction / entity-resolution score) over the co-supply
+    * graph of [[triangles]]: for every nation pair sharing ≥1
+    * neighbor, J(a,b) = |N(a)∩N(b)| / (deg(a)+deg(b)−|N∩|).
+    *
+    * Scale shape: after the one data-volume edge-derivation pass, the
+    * intersection is the standard wedge equi-join on the shared
+    * neighbor over the symmetrized adjacency (co-partitioned by the
+    * neighbor key); degrees are a |V|-row aggregate joined back —
+    * broadcast-sized at any graph where degrees fit a table. At
+    * billion-edge scale the wedge join is degree-capped first; the
+    * shape is unchanged. */
+  val jaccardNodes: QueryDef = QueryDef(
+    "q_graph_jaccard",
+    """WITH sn AS (SELECT DISTINCT l_orderkey AS ok, s_nationkey AS n
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |e AS (SELECT DISTINCT a.n AS u, b.n AS v
+      |  FROM sn a JOIN sn b ON a.ok = b.ok AND a.n < b.n),
+      |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+      |com AS (SELECT x.u AS a, y.u AS b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+      |  GROUP BY 1, 2)
+      |SELECT a, b, c AS n_common,
+      |  round(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+      |FROM com JOIN deg da ON da.u = a JOIN deg db ON db.u = b""".stripMargin) { (s, dir) =>
+    val sn = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n")).distinct()
+    val e = sn.as("a").join(sn.withColumnRenamed("n", "n2").as("b"),
+        col("a.ok") === col("b.ok") && col("a.n") < col("b.n2"))
+      .select(col("a.n").as("u"), col("n2").as("v")).distinct()
+    val adj = e.union(e.select(col("v"), col("u")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val com = adj.select(col("u").as("a"), col("v").as("nb"))
+      .join(adj.select(col("u").as("b"), col("v").as("nb2")),
+        col("nb") === col("nb2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    com.join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("c").as("n_common"),
+        round(col("c").cast("double") / (col("da") + col("db") - col("c")), 6).as("jaccard"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles, jaccardNodes)
 }

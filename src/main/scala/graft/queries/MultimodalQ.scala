@@ -51,5 +51,85 @@ object MultimodalQ {
       .select(col("doc_id"), col("frame_no"), col("frame_md5"))
   }
 
-  val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames)
+  /** PERCEPTUAL AVERAGE-HASH (aHash) over the REAL image lane: decode
+    * each image doc's BMP through the actual codec path, form the
+    * luminance grid (one code unit per pixel), "resize" to 8×8 by
+    * integer block-averaging the complete-row region, and emit one
+    * bit per block (block mean > global mean) as a 64-char bit
+    * string — the near-duplicate-image signature every multimodal
+    * dedup pipeline computes at ingest (pairing then reuses the
+    * [[Dedup]] Hamming blocking).
+    *
+    * All comparisons are CROSS-MULTIPLIED INTEGERS (blockSum·N >
+    * totalSum·blockCells) — no floating point anywhere, so the JVM
+    * decode side and the oracle (which re-derives the grid from the
+    * source text, proving the decode) agree bit-for-bit. Images
+    * shorter than 8 complete pixel rows emit a NULL hash. Scale
+    * shape: mapPartitions decode (Catalyst cannot parse containers) +
+    * per-doc constant work — embarrassingly parallel, no shuffle. */
+  val mmPhash: QueryDef = QueryDef(
+    "q_multimodal_phash",
+    """WITH img AS (SELECT doc_id, text, length(text) // 64 AS hf
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |c1 AS (SELECT doc_id, text, hf, unnest(generate_series(0, hf - 1)) AS r
+      |  FROM img WHERE hf >= 8),
+      |cells AS (SELECT doc_id, text, hf, r, unnest(generate_series(0, 63)) AS p FROM c1),
+      |v AS (SELECT doc_id, hf, (r * 8) // hf AS by, p // 8 AS bx,
+      |    CAST(ord(substr(text, r * 64 + p + 1, 1)) AS BIGINT) AS val FROM cells),
+      |blocks AS (SELECT doc_id, hf, by, bx,
+      |    CAST(SUM(val) AS BIGINT) AS bs, CAST(COUNT(*) AS BIGINT) AS bc
+      |  FROM v GROUP BY 1, 2, 3, 4),
+      |tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts, CAST(SUM(bc) AS BIGINT) AS tc
+      |  FROM blocks GROUP BY 1),
+      |h AS (SELECT b.doc_id,
+      |    string_agg(CASE WHEN b.bs * t.tc > t.ts * b.bc THEN '1' ELSE '0' END,
+      |               '' ORDER BY b.by, b.bx) AS phash
+      |  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1)
+      |SELECT i.doc_id, CAST(i.hf AS BIGINT) AS h_rows, h.phash
+      |FROM img i LEFT JOIN h ON i.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Multimodal.mediaTable(s, dir)
+      .filter(col("kind") === "image")
+      .as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val pixRows = graft.multimodal.Codecs.decodeBmp(r.media)
+          val full = pixRows.takeWhile(_.length == 64)
+          val hf = full.length.toLong
+          if (hf < 8) (r.doc_id, hf, None: Option[String])
+          else {
+            val bs = Array.ofDim[Long](8, 8)
+            val bc = Array.ofDim[Long](8, 8)
+            var ts = 0L
+            var ri = 0
+            while (ri < hf) {
+              val by = (ri * 8 / hf).toInt
+              val row = full(ri)
+              var p = 0
+              while (p < 64) {
+                val v = row.charAt(p).toLong
+                bs(by)(p / 8) += v; bc(by)(p / 8) += 1; ts += v
+                p += 1
+              }
+              ri += 1
+            }
+            val tc = hf * 64
+            val sb = new StringBuilder(64)
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                sb.append(if (bs(by)(bx) * tc > ts * bc(by)(bx)) '1' else '0')
+                bx += 1
+              }
+              by += 1
+            }
+            (r.doc_id, hf, Some(sb.toString): Option[String])
+          }
+        }
+      }
+      .toDF("doc_id", "h_rows", "phash")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash)
 }

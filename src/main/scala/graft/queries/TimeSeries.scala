@@ -382,7 +382,60 @@ object TimeSeries {
         expr("CASE WHEN var > 0 AND abs(dev / sqrt(var)) > 3 THEN TRUE ELSE FALSE END").as("is_anomaly"))
   }
 
+  /** SCD-2 HISTORY BUILD — the other half of [[Joins.joinScd2]] (which
+    * CONSUMES a version history): derive the slowly-changing-dimension
+    * table itself from a change log. Each customer's order stream is
+    * an attribute feed (the order priority standing in for a changing
+    * profile attribute); consecutive same-value runs collapse into one
+    * version row with [valid_from, valid_to) and an is_current flag —
+    * the standard warehouse history derivation (run-collapse +
+    * interval stitching).
+    *
+    * Scale shape: two customer-partitioned windows (change flag via
+    * lag, run id via running sum — the gaps-islands trick) + one
+    * hash-agg + one lead window over the COLLAPSED run table; all
+    * partition-local, single key shuffle reused by every stage. Ties
+    * on (date) are broken by the order key so run boundaries are
+    * engine-invariant. */
+  val scd2Build: QueryDef = QueryDef(
+    "q_scd2_build",
+    """WITH ch AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |runs AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM ch),
+      |v AS (SELECT o_custkey, run_id, o_orderpriority AS attr,
+      |    min(o_orderdate) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM runs GROUP BY 1, 2, 3)
+      |SELECT o_custkey, CAST(run_id AS BIGINT) AS version, attr, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+      |  (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) IS NULL) AS is_current,
+      |  n_rows
+      |FROM v""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("chg",
+        when(not(lag(col("o_orderpriority"), 1).over(w) <=> col("o_orderpriority")), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val v = runs.groupBy(col("o_custkey"), col("run_id"), col("o_orderpriority").as("attr"))
+      .agg(min(col("o_orderdate")).as("valid_from"), count(lit(1)).as("n_rows"))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+    v.select(col("o_custkey"), col("run_id").cast("long").as("version"), col("attr"),
+        col("valid_from"),
+        lead(col("valid_from"), 1).over(wv).as("valid_to"),
+        lead(col("valid_from"), 1).over(wv).isNull.as("is_current"),
+        col("n_rows"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
     gapsIslands, retentionCohort, eventTransitions, autocorr, timeInterpolate,
-    rollingZscore)
+    rollingZscore, scd2Build)
 }
