@@ -260,7 +260,20 @@ object PlanAudit {
       // IVF-PQ: candidate selection and LUT scoring are EQUI joins
       // (the inverted index), ADC is a hash-agg, top-5 folds below
       // the shuffle — the only loop joins are vs broadcast constants
-      "q_sim_ivfpq" -> Seq("BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"))
+      "q_sim_ivfpq" -> Seq("BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"),
+      // SCD-2 build: customer-partitioned windows + one agg, no join
+      "q_scd2_build" -> Seq("Window", "HashAggregate", "!Join"),
+      // node Jaccard: wedge equi-join over the persisted collapsed
+      // adjacency; supplier join stays hint-free
+      "q_graph_jaccard" -> Seq("InMemoryTableScan", "HashAggregate", "!DimHint"),
+      // quantile-histogram rollup: data binned once map-side; all
+      // windows/aggs run on the |days|x20 sketch table
+      "q_sketch_quantile" -> Seq("Window", "HashAggregate", "!SortMergeJoin"),
+      // power iteration: map-only dot + bounded posexplode + 64-group
+      // agg — no join anywhere
+      "q_embed_power_iter" -> Seq("Generate", "HashAggregate", "!Join"),
+      // perceptual hash: decode in mapPartitions, zero shuffles
+      "q_multimodal_phash" -> Seq("MapPartitions", "!Exchange"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.WeightedMean
@@ -466,9 +467,60 @@ object Aggregations {
       .limit(20)
   }
 
+  /** MERGEABLE QUANTILE-HISTOGRAM ROLLUP — the third sketch family's
+    * re-aggregation property ([[aggSketchRollup]] = count-distinct,
+    * [[aggCountMin]] = frequency, this = quantiles): per-DAY 20-bin
+    * equi-width histograms over a fixed global price domain are merged
+    * to WEEKLY by pure bin-count addition — raw data is touched once;
+    * the weekly median estimate comes from the merged counts with a
+    * provable ±binwidth error, checked against the exact weekly median
+    * (the [[aggApproxPct]] exact+bound oracle pattern).
+    *
+    * Scale shape: global min/max is a one-row broadcast; binning is
+    * map-only; the sketch table is |days|×20 rows and every downstream
+    * stage runs on it, never on lineitem. Weeks are integer
+    * day-number/7 buckets (no engine-specific week-truncation). */
+  val sketchQuantile: QueryDef = QueryDef(
+    "q_sketch_quantile",
+    """SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 6) AS exact_median,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val mm = li.agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+    val binned = li.crossJoin(broadcast(mm))
+      .select(
+        (datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")).as("day"),
+        expr("CAST(least(19, floor((l_extendedprice - mn) / ((mx - mn) / 20.0D))) AS BIGINT)").as("bin"))
+      .withColumn("week", expr("CAST(floor(day / 7.0D) AS BIGINT)"))
+    // per-day sketches (the stored artifact), merged weekly by addition
+    val daily = binned.groupBy(col("week"), col("day"), col("bin")).agg(count(lit(1)).as("c"))
+    val weekly = daily.groupBy(col("week"), col("bin")).agg(sum(col("c")).as("c"))
+    val wcum = Window.partitionBy(col("week")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("week"))
+    val est = weekly
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+      .groupBy(col("week"))
+      .agg(min(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("mbin"))
+    val exact = li
+      .select((datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")).as("day"),
+        col("l_extendedprice"))
+      .withColumn("week", expr("CAST(floor(day / 7.0D) AS BIGINT)"))
+      .groupBy(col("week"))
+      .agg(expr("round(percentile(l_extendedprice, 0.5D), 6)").as("exact_median"))
+    est.join(exact, Seq("week")).crossJoin(broadcast(mm))
+      .select(col("week"), col("n"), col("exact_median"),
+        (abs(expr("mn + (mbin + 0.5D) * ((mx - mn) / 20.0D)") - col("exact_median"))
+          <= expr("(mx - mn) / 20.0D")).as("within_bound"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
     aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
-    aggCountMin, aggSketchRollup, aggSketchOverlap, basketPairs)
+    aggCountMin, aggSketchRollup, aggSketchOverlap, basketPairs, sketchQuantile)
 }

@@ -567,8 +567,51 @@ object Curation {
         round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
   }
 
+  /** ONE POWER-ITERATION STEP toward the top principal component —
+    * the distributed-PCA primitive (y = Σ_v v·(vᵀx₀) for the fixed
+    * unit start vector x₀ = (1/8,…,1/8)): per-vector dot product,
+    * then a per-dimension contribution sum. Iterating this (with the
+    * normalized y as the next x) converges to PC1; one step is
+    * oracle-expressible and already exhibits the full data-parallel
+    * shape.
+    *
+    * Scale shape: the dot product is a map-only sequential fold; the
+    * contribution sum is a bounded ×dim posexplode into a |dims|-group
+    * hash-agg — identical profile to [[embedDimStats]]; the 64-row
+    * normalization window never sees data.
+    *
+    * Determinism: dot rounded 6 dp; per-dim contributions rounded
+    * 6 dp and DECIMAL(20,6)-summed; ‖y‖ uses exact decimal squares;
+    * final components rounded 6 dp with `+ 0.0`. */
+  val powerIter: QueryDef = QueryDef(
+    "q_embed_power_iter",
+    """WITH dots AS (SELECT vec_id, embedding,
+      |    round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.125), (x, y) -> x + y), 6) AS dt
+      |  FROM embeddings),
+      |c1 AS (SELECT vec_id, embedding, dt,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM dots),
+      |contrib AS (SELECT i - 1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * dt, 6) AS DECIMAL(20,6)) AS c FROM c1),
+      |y AS (SELECT CAST(dim AS INT) AS dim, CAST(SUM(c) AS DECIMAL(20,6)) AS yr
+      |  FROM contrib GROUP BY dim)
+      |SELECT dim, CAST(yr AS DOUBLE) AS y,
+      |  round(CAST(yr AS DOUBLE) / sqrt(CAST(SUM(yr * yr) OVER () AS DOUBLE)), 6) + 0.0 AS y_unit
+      |FROM y""".stripMargin) { (s, dir) =>
+    val dots = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("round(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * 0.125D), 6)").as("dt"))
+    val y = dots
+      .select(col("dt"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("int").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * dt, 6) AS DECIMAL(20,6))").as("c"))
+      .groupBy(col("dim"))
+      .agg(expr("CAST(SUM(c) AS DECIMAL(20,6))").as("yr"))
+    y.select(col("dim"), col("yr").cast("double").as("y"),
+      expr("round(CAST(yr AS DOUBLE) / sqrt(CAST(SUM(yr * yr) OVER () AS DOUBLE)), 6) + 0.0D").as("y_unit"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
-    embedDimStats, lenBuckets, datasetCard)
+    embedDimStats, lenBuckets, datasetCard, powerIter)
 }
