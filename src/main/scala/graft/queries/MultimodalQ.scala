@@ -63,28 +63,38 @@ object MultimodalQ {
     * All comparisons are CROSS-MULTIPLIED INTEGERS (blockSum·N >
     * totalSum·blockCells) — no floating point anywhere, so the JVM
     * decode side and the oracle (which re-derives the grid from the
-    * source text, proving the decode) agree bit-for-bit. Images
-    * shorter than 8 complete pixel rows emit a NULL hash. Scale
-    * shape: mapPartitions decode (Catalyst cannot parse containers) +
-    * per-doc constant work — embarrassingly parallel, no shuffle. */
+    * source text, proving the decode) agree bit-for-bit. Images with
+    * fewer than 8 complete rows map into a SUBSET of the 8 row-blocks
+    * ((r·8)/H skips bins); the untouched blocks contribute a
+    * deterministic '0' bit (0·N > S·0 is false in both engines), so
+    * any image with ≥1 complete row hashes; empty images emit NULL.
+    * Scale shape: mapPartitions decode (Catalyst cannot parse
+    * containers) + per-doc constant work — embarrassingly parallel,
+    * no shuffle. */
   val mmPhash: QueryDef = QueryDef(
     "q_multimodal_phash",
     """WITH img AS (SELECT doc_id, text, length(text) // 64 AS hf
       |  FROM documents WHERE doc_id % 3 = 0),
       |c1 AS (SELECT doc_id, text, hf, unnest(generate_series(0, hf - 1)) AS r
-      |  FROM img WHERE hf >= 8),
+      |  FROM img WHERE hf >= 1),
       |cells AS (SELECT doc_id, text, hf, r, unnest(generate_series(0, 63)) AS p FROM c1),
       |v AS (SELECT doc_id, hf, (r * 8) // hf AS by, p // 8 AS bx,
       |    CAST(ord(substr(text, r * 64 + p + 1, 1)) AS BIGINT) AS val FROM cells),
-      |blocks AS (SELECT doc_id, hf, by, bx,
+      |blocks AS (SELECT doc_id, by, bx,
       |    CAST(SUM(val) AS BIGINT) AS bs, CAST(COUNT(*) AS BIGINT) AS bc
-      |  FROM v GROUP BY 1, 2, 3, 4),
+      |  FROM v GROUP BY 1, 2, 3),
       |tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts, CAST(SUM(bc) AS BIGINT) AS tc
       |  FROM blocks GROUP BY 1),
-      |h AS (SELECT b.doc_id,
-      |    string_agg(CASE WHEN b.bs * t.tc > t.ts * b.bc THEN '1' ELSE '0' END,
-      |               '' ORDER BY b.by, b.bx) AS phash
-      |  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1)
+      |spine AS (SELECT i.doc_id, b.by, x.bx
+      |  FROM (SELECT doc_id FROM img WHERE hf >= 1) i
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS by) b
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bx) x),
+      |h AS (SELECT sp.doc_id,
+      |    string_agg(CASE WHEN coalesce(bl.bs, 0) * t.tc > t.ts * coalesce(bl.bc, 0)
+      |               THEN '1' ELSE '0' END, '' ORDER BY sp.by, sp.bx) AS phash
+      |  FROM spine sp
+      |  LEFT JOIN blocks bl ON bl.doc_id = sp.doc_id AND bl.by = sp.by AND bl.bx = sp.bx
+      |  JOIN tot t ON t.doc_id = sp.doc_id GROUP BY 1)
       |SELECT i.doc_id, CAST(i.hf AS BIGINT) AS h_rows, h.phash
       |FROM img i LEFT JOIN h ON i.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -96,7 +106,7 @@ object MultimodalQ {
           val pixRows = graft.multimodal.Codecs.decodeBmp(r.media)
           val full = pixRows.takeWhile(_.length == 64)
           val hf = full.length.toLong
-          if (hf < 8) (r.doc_id, hf, None: Option[String])
+          if (hf < 1) (r.doc_id, hf, None: Option[String])
           else {
             val bs = Array.ofDim[Long](8, 8)
             val bc = Array.ofDim[Long](8, 8)
