@@ -273,7 +273,13 @@ object PlanAudit {
       // agg — no join anywhere
       "q_embed_power_iter" -> Seq("Generate", "HashAggregate", "!Join"),
       // perceptual hash: decode in mapPartitions, zero shuffles
-      "q_multimodal_phash" -> Seq("MapPartitions", "!Exchange"))
+      "q_multimodal_phash" -> Seq("MapPartitions", "!Exchange"),
+      // nearest as-of: same day-bucket equi rewrite as the tolerance
+      // variant — Generate fan-out, struct-min winner, no loop join
+      "q_join_asof_nearest" -> Seq("Generate", "SortAggregate", "!NestedLoop"),
+      // export lane: the read-back check is one commutative hash-agg
+      // over the text scan — no join, no sort
+      "q_export_jsonl" -> Seq("HashAggregate", "!Join", "!Sort"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -481,9 +481,55 @@ object Joins {
       .select(col("o_orderkey"), col("b.ts").as("asof_ts"), col("b.event_id").as("asof_event"))
   }
 
+  /** NEAREST-NEIGHBOR as-of join (both directions): each order takes
+    * the same-user event with the smallest |Δt| within ±3 days — the
+    * sensor-alignment / "closest reading" variant of the as-of family
+    * ([[joinAsof]] = backward-only, [[joinAsofTolerance]] = backward
+    * + staleness cap). Same scale rewrite: the bounded window becomes
+    * a ×7 day-bucket EQUI-join; the winner is the min (|Δt|, ts,
+    * event_id) struct so time-distance ties break identically in both
+    * engines. Orders with nothing in the window emit NULLs. */
+  val joinAsofNearest: QueryDef = QueryDef(
+    "q_join_asof_nearest",
+    """WITH e AS (SELECT event_id, user_id, ts,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS db FROM events),
+      |probes AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + j AS pb
+      |  FROM orders, range(-3, 4) t(j)),
+      |cand AS (SELECT p.o_orderkey, e.ts, e.event_id,
+      |    abs(epoch_us(e.ts) - epoch_us(p.o_orderdate)) AS adt
+      |  FROM probes p JOIN e
+      |    ON e.user_id = p.o_custkey AND e.db = p.pb
+      |   AND e.ts >= p.o_orderdate - INTERVAL '3 days'
+      |   AND e.ts <= p.o_orderdate + INTERVAL '3 days'),
+      |best AS (SELECT o_orderkey, min({'adt': adt, 'ts': ts, 'eid': event_id}) AS b
+      |  FROM cand GROUP BY o_orderkey)
+      |SELECT o.o_orderkey, (b.b).ts AS near_ts, (b.b).eid AS near_event
+      |FROM orders o LEFT JOIN best b ON o.o_orderkey = b.o_orderkey""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("db"))
+    val probes = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        explode(expr("sequence(-3, 3)")).as("j"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long") + col("j")).as("pb"))
+    val best = probes.join(e,
+        col("user_id") === col("o_custkey") && col("db") === col("pb")
+          && col("ts") >= col("o_orderdate") - expr("INTERVAL 3 days")
+          && col("ts") <= col("o_orderdate") + expr("INTERVAL 3 days"))
+      .select(col("o_orderkey"), col("ts"), col("event_id"),
+        abs(unix_micros(col("ts")) - unix_micros(col("o_orderdate").cast("timestamp"))).as("adt"))
+      .groupBy(col("o_orderkey"))
+      .agg(min(struct(col("adt"), col("ts"), col("event_id"))).as("b"))
+    Tables.orders(s, dir).select(col("o_orderkey"))
+      .join(best, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("b.ts").as("near_ts"), col("b.event_id").as("near_event"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
     joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe, bloomPrune,
-    joinIntervalBucketed, joinScd2, joinAsofTolerance)
+    joinIntervalBucketed, joinScd2, joinAsofTolerance, joinAsofNearest)
 }

@@ -351,7 +351,48 @@ object Sources {
         expr("CAST(before_me DIV 500000 AS BIGINT)").as("compact_group"))
   }
 
+  /** TRAINING-EXPORT LANE: the deduped corpus leaves the engine as
+    * split-partitioned gzip JSONL — the trainer-facing wire format.
+    * Lines are built by explicit concatenation (text payload hex'd —
+    * newline-free and unchunked in both engines, unlike base64, which
+    * Spark emits MIME-chunked with embedded newlines that would split
+    * text records — so no engine-specific JSON escaping can drift), written with
+    * `partitionBy(split)` + gzip, read BACK through the text source
+    * (partition discovery + transparent gunzip), and summarized per
+    * split with the order-insensitive md5-prefix DECIMAL checksum of
+    * [[Profiling.tableChecksum]] — the oracle rebuilds the identical
+    * lines from the source table, so a formatting, compression, or
+    * partition-routing bug hash-mismatches.
+    *
+    * Scale shape: split assignment and line building are map-only;
+    * the write is hash-partition parallel within each split dir; the
+    * read-back check is a commutative fold (no sort, no collect). */
+  val exportJsonl: QueryDef = QueryDef(
+    "q_export_jsonl",
+    """WITH l AS (SELECT
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+      |         THEN 'train' ELSE 'val' END AS split,
+      |    '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang ||
+      |      '","text_hex":"' || hex(encode(text)) || '"}' AS value
+      |  FROM documents)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(CAST('0x' || substr(md5(value), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+      |FROM l GROUP BY split""".stripMargin) { (s, dir) =>
+    val path = scratch("export_jsonl")
+    Tables.documents(s, dir)
+      .select(
+        expr("CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'd' THEN 'train' ELSE 'val' END").as("split"),
+        expr("""concat('{"doc_id":', CAST(doc_id AS STRING), ',"lang":"', lang,
+               |       '","text_hex":"', hex(CAST(text AS BINARY)), '"}')""".stripMargin).as("value"))
+      .write.partitionBy("split").mode("overwrite")
+      .option("compression", "gzip").text(path)
+    s.read.text(path)
+      .groupBy(col("split").cast("string").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(SUM(CAST(conv(substr(md5(value), 1, 12), 16, 10) AS DECIMAL(38,0))) AS STRING)").as("checksum"))
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
-    schemaEvolution, catalogTable, compactPlan)
+    schemaEvolution, catalogTable, compactPlan, exportJsonl)
 }
