@@ -228,11 +228,14 @@ object Graph {
     val sn = Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n")).distinct()
+    // persist the COLLAPSED edge list: the union below and the wedge
+    // join each reference it twice, and without the pin every branch
+    // re-runs the order-key self-join (the data-volume pass)
     val e = sn.as("a").join(sn.withColumnRenamed("n", "n2").as("b"),
         col("a.ok") === col("b.ok") && col("a.n") < col("b.n2"))
       .select(col("a.n").as("u"), col("n2").as("v")).distinct()
-    val adj = e.union(e.select(col("v"), col("u")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.union(e.select(col("v"), col("u")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val com = adj.select(col("u").as("a"), col("v").as("nb"))
       .join(adj.select(col("u").as("b"), col("v").as("nb2")),
