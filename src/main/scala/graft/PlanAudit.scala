@@ -279,7 +279,10 @@ object PlanAudit {
       "q_join_asof_nearest" -> Seq("Generate", "SortAggregate", "!NestedLoop"),
       // export lane: the read-back check is one commutative hash-agg
       // over the text scan — no join, no sort
-      "q_export_jsonl" -> Seq("HashAggregate", "!Join", "!Sort"))
+      "q_export_jsonl" -> Seq("HashAggregate", "!Join", "!Sort"),
+      // bitmap distinct: two hash-aggs with map-side partial bit_or —
+      // and NO Expand (the two-phase distinct rewrite this replaces)
+      "q_agg_bitmap_distinct" -> Seq("HashAggregate", "partial_", "!Expand", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -518,9 +518,38 @@ object Aggregations {
           <= expr("(mx - mn) / 20.0D")).as("within_bound"))
   }
 
+  /** BITMAP-INDEX exact distinct (the ClickHouse groupBitmap /
+    * roaring-bitmap pattern): distinct users per event day via
+    * per-(day, id/64) 64-bit words OR-folded map-side, then a
+    * popcount sum — exact COUNT(DISTINCT) without ever shuffling raw
+    * ids (only word-keyed 8-byte bitmaps move), and the words are
+    * mergeable across days/partitions like any sketch. The oracle
+    * computes plain COUNT(DISTINCT): equality proves the bitmap path.
+    *
+    * Scale shape: partial bit_or is map-side (ids collapse into words
+    * before the exchange); the shuffle carries |days|×|id-space/64|
+    * words max; popcount+sum is a second tiny agg. Dense id spaces
+    * are the sweet spot — sparse ids would use real roaring chunks,
+    * same plan shape. */
+  val bitmapDistinct: QueryDef = QueryDef(
+    "q_agg_bitmap_distinct",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        expr("user_id DIV 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("mask"))
+      .groupBy(col("day"), col("word"))
+      .agg(expr("bit_or(mask)").as("bitmap"))
+      .groupBy(col("day"))
+      .agg(expr("CAST(SUM(bit_count(bitmap)) AS BIGINT)").as("n_users"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
     aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
-    aggCountMin, aggSketchRollup, aggSketchOverlap, basketPairs, sketchQuantile)
+    aggCountMin, aggSketchRollup, aggSketchOverlap, basketPairs, sketchQuantile,
+    bitmapDistinct)
 }

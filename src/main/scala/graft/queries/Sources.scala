@@ -392,7 +392,61 @@ object Sources {
         expr("CAST(SUM(CAST(conv(substr(md5(value), 1, 12), 16, 10) AS DECIMAL(38,0))) AS STRING)").as("checksum"))
   }
 
+  /** STORAGE-CODEC AUDIT: the same order snapshot written as parquet
+    * under snappy, zstd, and gzip, each read back and summarized with
+    * the order-insensitive md5-prefix DECIMAL checksum — identical
+    * checksums across codecs (and vs the source-derived oracle) prove
+    * every compression lane is lossless. Picking a codec per table
+    * (hot = snappy/zstd, cold = gzip) is a routine 100 TB layout
+    * decision; this is the verification pass behind it. Map-only
+    * writes, one commutative fold per read-back. */
+  val codecAudit: QueryDef = {
+    val canon = "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS STRING))"
+    val duckCanon = canon.replace("AS STRING", "AS VARCHAR")
+    QueryDef(
+      "q_codec_audit",
+      s"""SELECT codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(CAST('0x' || substr(md5($duckCanon), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         |FROM orders, (SELECT unnest(['snappy', 'zstd', 'gzip']) AS codec)
+         |GROUP BY codec""".stripMargin) { (s, dir) =>
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val perCodec = Seq("snappy", "zstd", "gzip").map { codec =>
+        val path = scratch(s"codec_audit_$codec")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        s.read.parquet(path)
+          .select(lit(codec).as("codec"),
+            expr(s"CAST(conv(substr(md5($canon), 1, 12), 16, 10) AS DECIMAL(38,0))").as("h"))
+      }
+      perCodec.reduce(_ unionByName _)
+        .groupBy(col("codec"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(SUM(h) AS STRING)").as("checksum"))
+    }
+  }
+
+  /** CBO STATISTICS LANE: `ANALYZE TABLE … COMPUTE STATISTICS` over a
+    * catalog-registered snapshot, with the row count read back from
+    * the catalog metadata (what the cost-based optimizer joins/orders
+    * by at 100 TB — stale or missing stats are a classic cause of a
+    * wrong join order). The oracle recounts the source; equality
+    * proves the stats pipeline records the truth. */
+  val analyzeStats: QueryDef = QueryDef(
+    "q_analyze_stats",
+    "SELECT 'graft_stats_orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS row_count FROM orders") { (s, dir) =>
+    import s.implicits._
+    val tbl = "graft_stats_orders"
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").saveAsTable(tbl)
+    s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    val rc = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .stats.flatMap(_.rowCount).map(_.toLong)
+      .getOrElse(sys.error(s"no rowCount statistic recorded for $tbl"))
+    Seq((tbl, rc)).toDF("tbl", "row_count")
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
-    schemaEvolution, catalogTable, compactPlan, exportJsonl)
+    schemaEvolution, catalogTable, compactPlan, exportJsonl, codecAudit, analyzeStats)
 }
