@@ -282,7 +282,12 @@ object PlanAudit {
       "q_export_jsonl" -> Seq("HashAggregate", "!Join", "!Sort"),
       // bitmap distinct: two hash-aggs with map-side partial bit_or —
       // and NO Expand (the two-phase distinct rewrite this replaces)
-      "q_agg_bitmap_distinct" -> Seq("HashAggregate", "partial_", "!Expand", "!Join"))
+      "q_agg_bitmap_distinct" -> Seq("HashAggregate", "partial_", "!Expand", "!Join"),
+      // association rules: bounded self equi-join + TakeOrdered; the
+      // only loop join is the one-row basket-count broadcast
+      "q_basket_rules" -> Seq("TakeOrderedAndProject", "HashAggregate", "BroadcastHashJoin"),
+      // audio features: decode in mapPartitions, zero shuffles
+      "q_multimodal_audio" -> Seq("MapPartitions", "!Exchange"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -546,10 +546,54 @@ object Aggregations {
       .agg(expr("CAST(SUM(bit_count(bitmap)) AS BIGINT)").as("n_users"))
   }
 
+  /** ASSOCIATION RULES over [[basketPairs]]' co-occurrence counts:
+    * for the top pairs, confidence(a→b) = P(b|a) and lift =
+    * P(ab)/(P(a)·P(b)) — the second half of market-basket mining
+    * (support alone ranks popularity; lift separates genuine affinity
+    * from two independently-popular items).
+    *
+    * Scale shape: same bounded self equi-join as basketPairs for pair
+    * support; single-item supports are one hash-agg joined back (AQE
+    * sizes it — at |parts| rows it broadcasts); the basket count is a
+    * one-row broadcast. Probabilities are exact-integer ratios in one
+    * double division each, 6-dp rounded. */
+  val basketRules: QueryDef = QueryDef(
+    "q_basket_rules",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n FROM b),
+      |item AS (SELECT pk, COUNT(*) AS s FROM b GROUP BY pk),
+      |pair AS (SELECT a.pk AS p1, c.pk AS p2, COUNT(*) AS s12
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p1, p2, CAST(s12 AS BIGINT) AS support,
+      |  round(CAST(s12 AS DOUBLE) / i1.s, 6) AS confidence,
+      |  round(CAST(s12 AS DOUBLE) * n / (i1.s * i2.s), 6) AS lift
+      |FROM pair JOIN item i1 ON i1.pk = p1 JOIN item i2 ON i2.pk = p2, nb
+      |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin) { (s, dir) =>
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = b.agg(countDistinct(col("ok")).cast("double").as("n"))
+    val item = b.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+    val pair = b.as("a").join(b.withColumnRenamed("pk", "pk2").as("c"),
+        col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk2"))
+      .groupBy(col("a.pk").as("p1"), col("pk2").as("p2"))
+      .agg(count(lit(1)).as("s12"))
+      .filter(col("s12") >= 3)
+    pair
+      .join(item.select(col("pk").as("p1"), col("s").as("s1")), Seq("p1"))
+      .join(item.select(col("pk").as("p2"), col("s").as("s2")), Seq("p2"))
+      .crossJoin(broadcast(nb))
+      .select(col("p1"), col("p2"), col("s12").as("support"),
+        expr("round(CAST(s12 AS DOUBLE) / s1, 6)").as("confidence"),
+        expr("round(CAST(s12 AS DOUBLE) * n / (s1 * s2), 6)").as("lift"))
+      .orderBy(col("support").desc, col("p1"), col("p2")).limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     aggDistinct, aggApprox, aggRollup, aggCube, aggGroupingSets,
     aggCollect, aggMaxBy, aggFiltered, aggWeightedUdaf, aggMedian, aggBool,
     aggHistogram, aggDistinct2, aggTopKUdaf, aggApproxPct, aggMode, aggListAgg,
     aggCountMin, aggSketchRollup, aggSketchOverlap, basketPairs, sketchQuantile,
-    bitmapDistinct)
+    bitmapDistinct, basketRules)
 }

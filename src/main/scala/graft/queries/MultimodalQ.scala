@@ -141,5 +141,47 @@ object MultimodalQ {
       .toDF("doc_id", "h_rows", "phash")
   }
 
-  val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash)
+  /** AUDIO BLOCK FEATURES through the REAL WAV decode path: per
+    * 64-sample PCM block, the sample count, total energy (Σ sample²)
+    * and peak amplitude — the block-level energy profile a
+    * speech/music curation pipeline computes for silence trimming and
+    * clipping detection. Samples are the decoded 16-bit code units,
+    * all features pure-integer, and the oracle re-derives them from
+    * the source text's char codes — a chunk-walk, endianness, or
+    * block-boundary bug in the PCM codec hash-mismatches.
+    * mapPartitions decode + per-block constant work; no shuffle. */
+  val mmAudioFeatures: QueryDef = QueryDef(
+    "q_multimodal_audio",
+    """WITH a AS (SELECT doc_id, text,
+      |    CAST(ceil(CAST(length(text) AS DOUBLE) / 64.0) AS BIGINT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |blk AS (SELECT doc_id, substr(text, CAST(k * 64 + 1 AS INT), 64) AS bs, k
+      |  FROM a, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) t),
+      |cells AS (SELECT doc_id, k, bs, unnest(generate_series(1, length(bs))) AS i FROM blk),
+      |v AS (SELECT doc_id, k, CAST(ord(substr(bs, i, 1)) AS BIGINT) AS c FROM cells)
+      |SELECT doc_id, CAST(k AS INT) AS block_no, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(c * c) AS BIGINT) AS energy, CAST(max(c) AS INT) AS peak
+      |FROM v GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Multimodal.mediaTable(s, dir)
+      .filter(col("kind") === "audio")
+      .as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val frames = graft.multimodal.Codecs.decodeFrames("audio", r.media)
+          frames.iterator.zipWithIndex.map { case (f, k) =>
+            var e = 0L; var mx = 0
+            f.foreach { ch =>
+              val c = ch.toInt
+              e += c.toLong * c
+              if (c > mx) mx = c
+            }
+            (r.doc_id, k, f.length.toLong, e, mx)
+          }
+        }
+      }
+      .toDF("doc_id", "block_no", "n_samples", "energy", "peak")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash, mmAudioFeatures)
 }
