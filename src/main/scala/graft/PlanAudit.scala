@@ -287,7 +287,10 @@ object PlanAudit {
       // only loop join is the one-row basket-count broadcast
       "q_basket_rules" -> Seq("TakeOrderedAndProject", "HashAggregate", "BroadcastHashJoin"),
       // audio features: decode in mapPartitions, zero shuffles
-      "q_multimodal_audio" -> Seq("MapPartitions", "!Exchange"))
+      "q_multimodal_audio" -> Seq("MapPartitions", "!Exchange"),
+      // forecast backtest: all post-rollup work on the |days| series;
+      // the season lookup is an EQUI join on the date key
+      "q_time_forecast_naive" -> Seq("HashAggregate", "partial_", "!NestedLoop"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

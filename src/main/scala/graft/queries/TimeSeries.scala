@@ -435,7 +435,42 @@ object TimeSeries {
         col("n_rows"))
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the mandatory baseline every
+    * demand/capacity forecast is judged against: predict each day's
+    * revenue with the value from exactly 7 days earlier (an equi
+    * self-join on the date key, not a row-offset lag, so calendar gaps
+    * can't shift the season) and report per-weekday MAE and bias. A
+    * model that can't beat this table isn't a model.
+    *
+    * Scale shape: the data pass is the daily rollup (partial+final);
+    * everything after runs on the |days| series — self-join on the
+    * day key, 7-group agg. DECIMAL-exact errors, one final division. */
+  val forecastBaseline: QueryDef = QueryDef(
+    "q_time_forecast_naive",
+    """WITH d AS (SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+      |    CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0, 2) AS DECIMAL(10,2)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT a.day, a.rev, b.rev AS fc
+      |  FROM d a JOIN d b ON b.day = a.day - INTERVAL '7 days'),
+      |e AS (SELECT isodow(day) - 1 AS dow, rev - fc AS err FROM j)
+      |SELECT CAST(dow AS INT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  round(CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mae,
+      |  round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) + 0.0 AS bias
+      |FROM e GROUP BY dow""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(date_trunc('day', l_shipdate) AS DATE)").as("day"))
+      .agg(expr("CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0D, 2) AS DECIMAL(10,2))").as("rev"))
+    val j = d.as("a").join(
+        d.select(col("day").as("fday"), col("rev").as("fc")),
+        col("fday") === expr("a.day - INTERVAL 7 days"))
+    j.select(expr("weekday(a.day)").as("dow"), (col("a.rev") - col("fc")).as("err"))
+      .groupBy(col("dow").cast("int").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("round(CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("mae"),
+        expr("round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("bias"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
     gapsIslands, retentionCohort, eventTransitions, autocorr, timeInterpolate,
-    rollingZscore, scd2Build)
+    rollingZscore, scd2Build, forecastBaseline)
 }
