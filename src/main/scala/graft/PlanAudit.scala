@@ -290,7 +290,12 @@ object PlanAudit {
       "q_multimodal_audio" -> Seq("MapPartitions", "!Exchange"),
       // forecast backtest: all post-rollup work on the |days| series;
       // the season lookup is an EQUI join on the date key
-      "q_time_forecast_naive" -> Seq("HashAggregate", "partial_", "!NestedLoop"))
+      "q_time_forecast_naive" -> Seq("HashAggregate", "partial_", "!NestedLoop"),
+      // pattern matching: transcripts reuse one partitioning
+      // (window + ordered listagg), patterns broadcast
+      "q_win_pattern_match" -> Seq("Window", "ObjectHashAggregate", "BroadcastNestedLoopJoin"),
+      // readability is one map-only projection pass
+      "q_text_readability" -> Seq("Project", "!Exchange", "!Join"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

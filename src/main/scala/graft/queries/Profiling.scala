@@ -356,6 +356,47 @@ object Profiling {
         expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) OVER () AS DOUBLE), 6) + 0.0D"))
   }
 
+  /** SCHEMA-CONTRACT GATE (the Deequ/Great-Expectations "assert the
+    * table still looks like the table" check): the ACTUAL Spark-read
+    * schema of the key tables is compared column-by-column against
+    * the declared contract; any drift flips `ok` to false and the
+    * oracle (which expects all-TRUE) goes red. Timestamp columns are
+    * contract-satisfied by ANY timestamp flavor — the driver
+    * regenerates testdata between rounds and has already flipped
+    * NANOS↔NTZ (the r5 events incident); the contract pins the
+    * logical type without re-breaking on that physical churn.
+    * Metadata-only: no data is read. */
+  val schemaContract: QueryDef = {
+    val contract = Seq(
+      ("documents", "doc_id", "bigint"), ("documents", "text", "string"),
+      ("documents", "lang", "string"), ("documents", "source", "string"),
+      ("documents", "n_chars", "bigint"),
+      ("embeddings", "vec_id", "bigint"), ("embeddings", "embedding", "array<float>"),
+      ("orders", "o_orderkey", "bigint"), ("orders", "o_custkey", "bigint"),
+      ("orders", "o_totalprice", "double"), ("orders", "o_orderdate", "timestamp"),
+      ("lineitem", "l_orderkey", "bigint"), ("lineitem", "l_extendedprice", "double"))
+    val oracleRows = contract.map { case (t, c, ty) =>
+      s"('$t', '$c', '$ty', TRUE)"
+    }.mkString(",\n      |  ")
+    QueryDef(
+      "q_dq_schema_contract",
+      s"""SELECT * FROM (VALUES
+         |  $oracleRows) AS t(tbl, col_name, expected_type, ok)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def norm(dt: String): String =
+        if (dt.startsWith("timestamp")) "timestamp" else dt
+      val actual: Map[(String, String), String] = Seq(
+        "documents" -> Tables.documents(s, dir), "embeddings" -> Tables.embeddings(s, dir),
+        "orders" -> Tables.orders(s, dir), "lineitem" -> Tables.lineitem(s, dir))
+        .flatMap { case (t, df) =>
+          df.schema.fields.map(f => (t, f.name) -> norm(f.dataType.simpleString))
+        }.toMap
+      contract.map { case (t, c, ty) =>
+        (t, c, ty, actual.get((t, c)).contains(ty))
+      }.toDF("tbl", "col_name", "expected_type", "ok")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(profileStats, kAnonymity, dqRules, madOutliers,
-    dqReferential, skewReport, tableChecksum, mutualInfo, driftPsi)
+    dqReferential, skewReport, tableChecksum, mutualInfo, driftPsi, schemaContract)
 }

@@ -436,8 +436,12 @@ object Sources {
     "SELECT 'graft_stats_orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS row_count FROM orders") { (s, dir) =>
     import s.implicits._
     val tbl = "graft_stats_orders"
-    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .write.mode("overwrite").saveAsTable(tbl)
+    // external table at a per-process scratch path: a MANAGED table
+    // would pin the shared spark-warehouse dir, and the next process's
+    // CREATE fails on the leftover non-empty location
+    graft.sources.CatalogSurface.saveTable(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+      tbl, scratch("stats_orders"))
     s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
     val rc = s.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))

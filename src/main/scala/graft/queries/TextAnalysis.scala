@@ -636,7 +636,38 @@ object TextAnalysis {
         expr("round(CAST(coalesce(n_oov, 0) AS DOUBLE) / n_tokens, 6) + 0.0D").as("oov_rate"))
   }
 
+  /** READABILITY SCORING (Flesch reading-ease with a vowel-group
+    * syllable proxy — the standard corpus-filtering heuristic when no
+    * dictionary is available): words from the shared tokenizer,
+    * sentences from terminal punctuation, syllables ≈ runs of vowels.
+    * All three counts are exact integers; the score is one fixed
+    * arithmetic expression rounded to 6 dp. Map-only, no shuffle —
+    * at 100 TB this rides the same single text pass as the other
+    * quality signals. */
+  val readability: QueryDef = QueryDef(
+    "q_text_readability",
+    s"""SELECT doc_id,
+       |  CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_words,
+       |  CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS n_sentences,
+       |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS BIGINT) AS n_syllables,
+       |  round(206.835
+       |    - 1.015 * (CAST(len(${Tokenize.duckTrim}) AS DOUBLE)
+       |               / greatest(len(regexp_extract_all(text, '[.!?]')), 1))
+       |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS DOUBLE)
+       |              / len(${Tokenize.duckTrim})), 6) + 0.0 AS flesch
+       |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr(Tokenize.sparkTrim)).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)")), lit(1)).cast("long").as("n_sentences"),
+        greatest(size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")), lit(1)).cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        expr("""round(206.835D
+               |  - 1.015D * (CAST(n_words AS DOUBLE) / n_sentences)
+               |  - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words), 6) + 0.0D""".stripMargin))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
-    bm25, oovRate)
+    bm25, oovRate, readability)
 }

@@ -352,7 +352,61 @@ object Windows {
         expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)").as("transcript"))
   }
 
+  /** SEQUENCE-PATTERN MATCHING over session transcripts — the
+    * MATCH_RECOGNIZE-lite funnel surface: the [[eventTranscript]]
+    * sessions are tested against a small pattern table (conversion
+    * funnel, single-event bounce, repeat purchase) and each pattern
+    * reports its session match rate. The regexes stay in the
+    * Java∩RE2 common dialect so both engines agree.
+    *
+    * Scale shape: transcripts build exactly as in [[eventTranscript]]
+    * (one partitioning reused end-to-end); the pattern table is a
+    * broadcast constant (bounded ×|patterns| fan-out); match flags
+    * hash-agg per pattern. */
+  val patternMatch: QueryDef = QueryDef(
+    "q_win_pattern_match",
+    """WITH b AS (SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, event_id, event_type,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM b),
+      |t AS (SELECT user_id, sess_no,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+      |  FROM s GROUP BY user_id, sess_no),
+      |p(pattern_name, pat) AS (VALUES
+      |  ('funnel_view_cart_purchase', 'view.*cart.*purchase'),
+      |  ('bounce_single_event', '^[^>]*$'),
+      |  ('repeat_purchase', 'purchase.*purchase'))
+      |SELECT pattern_name, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN regexp_matches(transcript, pat) THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |  round(CAST(SUM(CASE WHEN regexp_matches(transcript, pat) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS match_rate
+      |FROM t, p GROUP BY pattern_name""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = Tables.events(s, dir)
+      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 28800000000L, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(wSum).cast("long"))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)").as("transcript"))
+    val p = Seq(
+      ("funnel_view_cart_purchase", "view.*cart.*purchase"),
+      ("bounce_single_event", "^[^>]*$"),
+      ("repeat_purchase", "purchase.*purchase")).toDF("pattern_name", "pat")
+    t.crossJoin(broadcast(p))
+      .select(col("pattern_name"),
+        when(expr("transcript RLIKE pat"), 1L).otherwise(0L).as("m"))
+      .groupBy(col("pattern_name"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("m")).as("n_match"),
+        expr("round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("match_rate"))
+  }
+
   val defs: Seq[QueryDef] = Seq(winRank, winLagLead, winFrames, winTopK, winRank2, funnel,
     winRangeInterval, winFillForward, eventSessionize, skyline, paretoShare,
-    eventTranscript)
+    eventTranscript, patternMatch)
 }
