@@ -295,7 +295,15 @@ object PlanAudit {
       // (window + ordered listagg), patterns broadcast
       "q_win_pattern_match" -> Seq("Window", "ObjectHashAggregate", "BroadcastNestedLoopJoin"),
       // readability is one map-only projection pass
-      "q_text_readability" -> Seq("Project", "!Exchange", "!Join"))
+      "q_text_readability" -> Seq("Project", "!Exchange", "!Join"),
+      // video scenes: mapPartitions decode + ONE doc-partitioned lag
+      // window — no join
+      "q_multimodal_scenes" -> Seq("MapPartitions", "Window", "!Join"),
+      // snapshot GC: manifest anti-join + hash-aggs, metadata-sized
+      "q_snapshot_gc" -> Seq("LeftAnti", "HashAggregate", "!NestedLoop"),
+      // BPE round 2: both rounds on the DISTINCT word table, winner
+      // broadcast, top-20 TakeOrdered
+      "q_text_bpe_merge2" -> Seq("TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -183,5 +183,63 @@ object MultimodalQ {
       .toDF("doc_id", "block_no", "n_samples", "energy", "peak")
   }
 
-  val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash, mmAudioFeatures)
+  /** VIDEO SCENE-CHANGE DETECTION through the REAL P6 frame-stream
+    * decode — completing the three modality feature paths (image →
+    * [[mmPhash]], audio → [[mmAudioFeatures]], video → this): per
+    * frame, pixel count and brightness sum; a frame is flagged as a
+    * scene cut when its mean brightness jumps by more than 8 code
+    * units vs the previous frame. The comparison is CROSS-MULTIPLIED
+    * integers (|sum_f·n_prev − sum_prev·n_f| > 8·n_f·n_prev), so the
+    * decode side and the text-derived oracle agree exactly — the
+    * frame-sampling primitive a video curation pipeline runs before
+    * expensive per-scene models.
+    *
+    * Scale shape: mapPartitions decode (no shuffle), then ONE
+    * doc-partitioned lag window over the per-frame rows. */
+  val mmVideoScenes: QueryDef = QueryDef(
+    "q_multimodal_scenes",
+    """WITH v AS (SELECT doc_id, text,
+      |    CAST(ceil(CAST(length(text) AS DOUBLE) / 64.0) AS BIGINT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |blk AS (SELECT doc_id, substr(text, CAST(k * 64 + 1 AS INT), 64) AS bs, k
+      |  FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) t),
+      |cells AS (SELECT doc_id, k, bs, unnest(generate_series(1, length(bs))) AS i FROM blk),
+      |f AS (SELECT doc_id, k, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |    CAST(SUM(ord(substr(bs, i, 1))) AS BIGINT) AS pix_sum
+      |  FROM cells GROUP BY 1, 2),
+      |lagd AS (SELECT doc_id, k, n_pixels, pix_sum,
+      |    lag(n_pixels) OVER w AS pn, lag(pix_sum) OVER w AS ps
+      |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY k))
+      |SELECT doc_id, CAST(k AS INT) AS frame_no, n_pixels, pix_sum,
+      |  CASE WHEN pn IS NULL THEN FALSE
+      |       ELSE abs(pix_sum * pn - ps * n_pixels) > 8 * n_pixels * pn END AS scene_cut
+      |FROM lagd""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val f = Multimodal.mediaTable(s, dir)
+      .filter(col("kind") === "video")
+      .as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val frames = graft.multimodal.Codecs.decodeFrames("video", r.media)
+          frames.iterator.zipWithIndex.map { case (fr, k) =>
+            var sum = 0L
+            fr.foreach(ch => sum += ch.toLong)
+            (r.doc_id, k, fr.length.toLong, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "n_pixels", "pix_sum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    f.withColumn("pn", lag(col("n_pixels"), 1).over(w))
+      .withColumn("ps", lag(col("pix_sum"), 1).over(w))
+      .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+        col("n_pixels"), col("pix_sum"),
+        when(col("pn").isNull, lit(false))
+          .otherwise(abs(col("pix_sum") * col("pn") - col("ps") * col("n_pixels"))
+            > lit(8) * col("n_pixels") * col("pn")).as("scene_cut"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash, mmAudioFeatures,
+    mmVideoScenes)
 }

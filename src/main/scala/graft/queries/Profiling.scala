@@ -303,7 +303,7 @@ object Profiling {
   }
 
   /** POPULATION STABILITY INDEX drift monitor: bucket the order-value
-    * distribution of an earlier period (< 1995) against the later one
+    * distribution of an earlier period (< 1998) against the later one
     * into 10 equi-width bins over the GLOBAL min/max and compute each
     * bin's smoothed PSI term plus the total — the standard
     * feature/label drift gate between training snapshots (PSI > 0.2 ≙
@@ -322,7 +322,7 @@ object Profiling {
   val driftPsi: QueryDef = QueryDef(
     "q_dq_drift_psi",
     """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
-      |b AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN 0 ELSE 1 END AS period,
+      |b AS (SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 0 ELSE 1 END AS period,
       |    CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS bucket
       |  FROM orders, mm),
       |g AS (SELECT bucket,
@@ -341,7 +341,7 @@ object Profiling {
     val mm = orders.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
     val g = orders.crossJoin(broadcast(mm))
       .select(
-        when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), 0).otherwise(1).as("period"),
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 0).otherwise(1).as("period"),
         expr("CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0D))) AS BIGINT)").as("bucket"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("n_a"),

@@ -450,7 +450,40 @@ object Sources {
     Seq((tbl, rc)).toDF("tbl", "row_count")
   }
 
+  /** SNAPSHOT-RETENTION GC PLANNING — the VACUUM/expire-snapshots
+    * planner: snapshot 1 references one file per order month; snapshot
+    * 2 (the retained one) compacted every pre-1999 year into a yearly
+    * file, dropping those month files. Files safe to delete = the
+    * expired manifest ANTI-JOIN the retained manifest — reported per
+    * year with reclaimable bytes (100 B/row estimate). Like
+    * [[compactPlan]], this plans on MANIFESTS (bounded by partition
+    * count), never data rows; the anti join is the whole algorithm.
+    * The second half — physically unlinking — is plain file I/O. */
+  val snapshotGc: QueryDef = QueryDef(
+    "q_snapshot_gc",
+    """WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |    CAST(month(o_orderdate) AS INT) AS mo, COUNT(*) AS n_rows
+      |  FROM orders GROUP BY 1, 2),
+      |f1 AS (SELECT y, mo, 100 * n_rows AS bytes FROM m),
+      |f2 AS (SELECT y, mo, 100 * n_rows AS bytes FROM m WHERE y >= 1999),
+      |del AS (SELECT f1.* FROM f1 WHERE NOT EXISTS (
+      |  SELECT 1 FROM f2 WHERE f2.y = f1.y AND f2.mo = f1.mo))
+      |SELECT y AS year, CAST(COUNT(*) AS BIGINT) AS n_delete_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS reclaim_bytes
+      |FROM del GROUP BY y""".stripMargin) { (s, dir) =>
+    val m = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("y"), col("mo"), (lit(100L) * col("n_rows")).as("bytes"))
+    val retained = m.filter(col("y") >= 1999).select(col("y"), col("mo"))
+    m.join(retained, Seq("y", "mo"), "left_anti")
+      .groupBy(col("y").as("year"))
+      .agg(count(lit(1)).as("n_delete_files"), sum(col("bytes")).as("reclaim_bytes"))
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
-    schemaEvolution, catalogTable, compactPlan, exportJsonl, codecAudit, analyzeStats)
+    schemaEvolution, catalogTable, compactPlan, exportJsonl, codecAudit, analyzeStats,
+    snapshotGc)
 }

@@ -662,9 +662,58 @@ object Streaming {
     }
   }
 
+  /** PER-MICRO-BATCH THROUGHPUT METRICS — the streaming observability
+    * surface (≙ the reference's stats logging, `writer/writer.go`
+    * periodic stat flush): each micro-batch's row count is captured in
+    * `foreachBatch` and emitted as a queryable table, the feed every
+    * lag/throughput dashboard and autoscaler reads. The 4-file
+    * mtime-pinned source makes batch boundaries deterministic
+    * (file i = batch i under maxFilesPerTrigger=1), so the oracle can
+    * state exactly what each batch carried.
+    *
+    * Scale shape: metrics are one counter per batch — O(batches), not
+    * O(rows); the count itself is the batch's own partial+final agg. */
+  val streamBatchMetrics: QueryDef = QueryDef(
+    "q_stream_batch_metrics",
+    """SELECT CAST(event_id % 4 AS BIGINT) AS batch_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    withShufflePartitions(s, 8) {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val srcDir = new java.io.File(scratch("sbm_src"))
+      srcDir.mkdirs()
+      for (i <- 0 until 4) {
+        val tmp = scratch(s"sbm_tmp_$i")
+        ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dstF = new java.io.File(srcDir, f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dstF.toPath)
+        dstF.setLastModified(1700000000000L + i * 60000L)
+      }
+      val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          metrics.add((id, batch.count()))
+          ()
+        }
+        .option("checkpointLocation", scratch("sbm_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      metrics.asScala.toSeq.toDF("batch_id", "n_rows")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
-    streamAppendFinal, streamJoinOuter, streamIvm)
+    streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics)
 }

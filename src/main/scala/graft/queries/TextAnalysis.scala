@@ -667,7 +667,62 @@ object TextAnalysis {
                |  - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words), 6) + 0.0D""".stripMargin))
   }
 
+  /** BPE SECOND MERGE ITERATION — proves the [[bpePairs]] trainer
+    * actually ITERATES: the round-1 winning pair is applied to every
+    * vocabulary word (symbols joined by the 0x1F unit separator;
+    * `replace` is left-to-right non-overlapping in both engines, the
+    * BPE application rule), then adjacent SYMBOL pairs are recounted
+    * and the round-2 top-20 emitted. Two merge rounds exhibit the
+    * full training loop shape; further rounds repeat the same plan.
+    *
+    * Scale shape: both rounds run on the DISTINCT word table
+    * (vocabulary-sized); the winning pair is a 1-row broadcast; the
+    * corpus is touched exactly once for word counts. */
+  val bpeMerge2: QueryDef = QueryDef(
+    "q_text_bpe_merge2",
+    s"""WITH toks AS (SELECT unnest(${Tokenize.duckTrim}) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS c FROM toks WHERE length(w) >= 2 GROUP BY w),
+       |e1 AS (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc),
+       |pc AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(c) AS n FROM e1 GROUP BY 1),
+       |mp AS (SELECT pair AS mp FROM pc ORDER BY n DESC, pair LIMIT 1),
+       |r AS (SELECT c, string_split(
+       |    replace(rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)),
+       |            substr(mp, 1, 1) || chr(31) || substr(mp, 2, 1), mp),
+       |    chr(31)) AS syms
+       |  FROM wc, mp),
+       |e2 AS (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+       |  FROM r WHERE len(syms) >= 2),
+       |p2 AS (SELECT syms[i] || '+' || syms[i+1] AS pair, c FROM e2)
+       |SELECT pair, CAST(SUM(c) AS BIGINT) AS n, (SELECT mp FROM mp) AS merged
+       |FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    val wc = Tables.documents(s, dir)
+      .select(explode(expr(Tokenize.sparkTrim)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val mp = wc
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair").as("mp"))
+    val r = wc.crossJoin(broadcast(mp))
+      .select(col("c"), col("mp"), expr(
+        """split(
+          |  replace(
+          |    substring(regexp_replace(w, '(.)', concat('$1', char(31))), 1, 2 * length(w) - 1),
+          |    concat(substring(mp, 1, 1), char(31), substring(mp, 2, 1)),
+          |    mp),
+          |  char(31))""".stripMargin).as("syms"))
+    r.filter(size(col("syms")) >= 2)
+      .select(col("c"), col("mp"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> concat(element_at(syms, i), '+', element_at(syms, i + 1)))")).as("pair"))
+      .groupBy(col("pair"), col("mp").as("merged"))
+      .agg(sum(col("c")).as("n"))
+      .select(col("pair"), col("n"), col("merged"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
-    bm25, oovRate, readability)
+    bm25, oovRate, readability, bpeMerge2)
 }
