@@ -303,7 +303,11 @@ object PlanAudit {
       "q_snapshot_gc" -> Seq("LeftAnti", "HashAggregate", "!NestedLoop"),
       // BPE round 2: both rounds on the DISTINCT word table, winner
       // broadcast, top-20 TakeOrdered
-      "q_text_bpe_merge2" -> Seq("TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin"))
+      "q_text_bpe_merge2" -> Seq("TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin"),
+      // NOT IN with a nullable probe key must plan as the specialized
+      // single-column null-aware anti join (the trailing `true` is
+      // BroadcastHashJoinExec's isNullAwareAntiJoin flag), never a loop
+      "q_join_null_aware_anti" -> Seq("LeftAnti, BuildRight, true", "!NestedLoop"))
 
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

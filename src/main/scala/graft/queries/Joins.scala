@@ -527,9 +527,41 @@ object Joins {
       .select(col("o_orderkey"), col("b.ts").as("near_ts"), col("b.event_id").as("near_event"))
   }
 
+  /** NULL-AWARE ANTI JOIN — `NOT IN (subquery)` with a NULLABLE probe
+    * key, the three-valued-logic case that separates NOT IN from NOT
+    * EXISTS: a NULL probe key can never satisfy `NOT IN` (NULL <> x is
+    * unknown), so every 50th order (key nulled) must vanish from the
+    * result in BOTH engines. Spark plans this as the specialized
+    * null-aware anti join ([[joinAnti]] covers the plain NOT EXISTS
+    * decorrelation); the build side is the filtered customer set,
+    * size-driven broadcast — correct at every SF because NOT IN's
+    * semantics force a broadcast-style plan anyway and the filtered
+    * dim is the small side. */
+  val joinNullAwareAnti: QueryDef = QueryDef(
+    "q_join_null_aware_anti",
+    """WITH probe AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END AS ck
+      |  FROM orders)
+      |SELECT o_orderkey, ck
+      |FROM probe
+      |WHERE ck NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin) { (s, dir) =>
+    val probe = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 50 === 0, lit(null)).otherwise(col("o_custkey")).as("ck"))
+    val neg = Tables.customer(s, dir).filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    // the exact Catalyst NOT-IN pattern — Or(EqualTo, IsNull(EqualTo))
+    // — so ExtractSingleColumnNullAwareAntiJoin plans the specialized
+    // null-aware BroadcastHashJoin instead of a loop join
+    probe.join(neg,
+        col("ck") === col("c_custkey") || isnull(col("ck") === col("c_custkey")),
+        "left_anti")
+      .select(col("o_orderkey"), col("ck"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinBroadcastStar, joinLeft, joinRight, joinFull,
     joinSemi, joinAnti, joinRange, joinAsof, joinCross, joinSelf,
     joinShuffle, joinSkewSalted, joinBucketed, joinNullSafe, bloomPrune,
-    joinIntervalBucketed, joinScd2, joinAsofTolerance, joinAsofNearest)
+    joinIntervalBucketed, joinScd2, joinAsofTolerance, joinAsofNearest,
+    joinNullAwareAnti)
 }
