@@ -14,9 +14,26 @@ import org.apache.spark.sql.SparkSession
   * by CPU-steal windows (documented in CLAUDE.md; BENCH_r04's worst
   * entry was 52x its true cost). Entries whose first sample exceeds
   * 1.5 s are run a second time and the min reported — stalls only
-  * inflate, so the faster sample is always the honest one.
+  * inflate, so the faster sample is always the honest one. Min-of-2
+  * cannot cap a steal window wide enough to cover BOTH samples
+  * (r6: q7_volume_shipping s1=11.2/s2=8.6 vs true 0.94), so a
+  * committed `bench_history.json` of per-query clean minima arms a
+  * THIRD sample whenever min-of-2 still exceeds 3x the recorded
+  * floor. Floors only ever ratchet DOWN (steal strictly adds time,
+  * so every observed sample is an upper bound on true cost), and
+  * Bench rewrites the merged history after each run.
   */
 object Bench {
+
+  /** Per-query clean minima from prior uncontended runs; absent file
+    * (or a query's first appearance) simply disarms the third sample. */
+  private def loadHistory(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get("bench_history.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else "\"([^\"]+)\":([0-9.]+)".r
+      .findAllMatchIn(java.nio.file.Files.readString(p))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   /** Representative subset printed on the stdout line (one per operator
     * family + the TPC-H shapes + the historically slowest queries). */
@@ -41,6 +58,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val history = loadHistory()
     // JIT/codegen warmup so the first measured query isn't charged
     // for JVM compilation of the whole scan/agg stack, and one-time
     // corpus materialization so pipeline queries measure the pipeline.
@@ -67,23 +85,45 @@ object Bench {
       val (dt1, ok1) = once()
       val rerun = ok1 && dt1 > 1.5
       val (dt2, ok2) = if (rerun) once() else (dt1, ok1)
-      val dt = if (ok2) math.min(dt1, dt2) else dt1
-      val stalled = rerun && ok2 &&
-        math.max(dt1, dt2) >= 3 * dt && math.max(dt1, dt2) - dt >= 2
-      (name, dt, ok1, dt1, dt2, stalled)
+      var dt = if (ok2) math.min(dt1, dt2) else dt1
+      // Double-sample steal guard: if min-of-2 is still >3x the
+      // committed clean floor, both samples sat in one steal window —
+      // take a third. (0.5 s absolute slack avoids arming on noise
+      // around sub-second floors.)
+      val floor = history.get(name)
+      val third = ok2 && floor.exists(f => dt > 3 * f && dt - f > 0.5)
+      val dt3 = if (third) {
+        val (d3, o3) = once()
+        if (o3) dt = math.min(dt, d3)
+        Some(d3)
+      } else None
+      val samples = Seq(dt1, dt2) ++ dt3
+      val stalled = (rerun || third) && ok2 &&
+        samples.max >= 3 * dt && samples.max - dt >= 2
+      (name, dt, ok1, dt1, dt2, dt3, stalled)
     }
     // crashed queries are excluded from the headline total (their
     // time-to-failure would otherwise masquerade as a fast success)
-    val total = results.collect { case (_, dt, true, _, _, _) => dt }.sum
-    val failed = results.collect { case (n, _, false, _, _, _) => n }
+    val total = results.collect { case (_, dt, true, _, _, _, _) => dt }.sum
+    val failed = results.collect { case (n, _, false, _, _, _, _) => n }
     val detail = results
-      .map { case (n, dt, ok, dt1, dt2, stalled) =>
-        s""""$n":{"sec":${fmt(dt)},"ok":$ok,"s1":${fmt(dt1)},"s2":${fmt(dt2)},"stalled":$stalled}""" }
+      .map { case (n, dt, ok, dt1, dt2, dt3, stalled) =>
+        val s3 = dt3.map(d => s""","s3":${fmt(d)}""").getOrElse("")
+        s""""$n":{"sec":${fmt(dt)},"ok":$ok,"s1":${fmt(dt1)},"s2":${fmt(dt2)}$s3,"stalled":$stalled}""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    // Ratchet the floor history down with this run's observations.
+    val merged = (history.keySet ++ results.collect { case (n, _, true, _, _, _, _) => n })
+      .toSeq.sorted.map { n =>
+        val obs = results.collectFirst { case (`n`, d, true, _, _, _, _) => d }
+        val f = (history.get(n).toSeq ++ obs.toSeq).min
+        s""""$n":${fmt(f)}"""
+      }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_history.json"), merged + "\n")
     val qs = results
-      .collect { case (n, dt, _, _, _, _) if headline.contains(n) => s""""$n":${fmt(dt)}""" }
+      .collect { case (n, dt, _, _, _, _, _) if headline.contains(n) => s""""$n":${fmt(dt)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")

@@ -309,6 +309,8 @@ object PlanAudit {
       // BroadcastHashJoinExec's isNullAwareAntiJoin flag), never a loop
       "q_join_null_aware_anti" -> Seq("LeftAnti, BuildRight, true", "!NestedLoop"))
 
+    val misses = scala.collection.mutable.ArrayBuffer.empty[String]
+    var nOk = 0
     audit.foreach { case (name, expects) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute THIS queryExecution (count() would plan separately),
@@ -335,9 +337,16 @@ object PlanAudit {
             !(plan.contains(e.drop(1)) || executed.contains(e.drop(1)))
           else plan.contains(e) || executed.contains(e)
         println(s"  [${if (hit) "OK" else "MISS"}] $e")
+        if (hit) nOk += 1 else misses += s"$name: $e"
       }
       if (args.length > 1) println(plan)
     }
     spark.stop()
+    // Hard gate: a plan regression must fail the build, not scroll by.
+    println(s"\n[planaudit] $nOk OK, ${misses.size} MISS")
+    if (misses.nonEmpty) {
+      misses.foreach(m => println(s"[planaudit] MISS $m"))
+      sys.exit(1)
+    }
   }
 }

@@ -473,8 +473,13 @@ object Aggregations {
     * equi-width histograms over a fixed global price domain are merged
     * to WEEKLY by pure bin-count addition — raw data is touched once;
     * the weekly median estimate comes from the merged counts with a
-    * provable ±binwidth error, checked against the exact weekly median
-    * (the [[aggApproxPct]] exact+bound oracle pattern).
+    * provable ±binwidth error, checked against the exact weekly LOWER
+    * median (rank ⌈n/2⌉ — percentile_disc semantics). The lower median
+    * is used because it provably lies inside the estimated bin for
+    * every n (an interpolated even-n median midpoints two values that
+    * can straddle distant bins in a sparse week); the oracle recomputes
+    * the histogram, the bin pick, and the bound from scratch — nothing
+    * is hardcoded.
     *
     * Scale shape: global min/max is a one-row broadcast; binning is
     * map-only; the sketch table is |days|×20 rows and every downstream
@@ -482,11 +487,21 @@ object Aggregations {
     * day-number/7 buckets (no engine-specific week-truncation). */
   val sketchQuantile: QueryDef = QueryDef(
     "q_sketch_quantile",
-    """SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week,
-      |  CAST(COUNT(*) AS BIGINT) AS n,
-      |  round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 6) AS exact_median,
-      |  TRUE AS within_bound
-      |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+    """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+      |b AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+      |        l_extendedprice AS v FROM lineitem),
+      |w AS (SELECT CAST(floor(day / 7.0) AS BIGINT) AS week, v,
+      |        CAST(least(19, floor((v - mn) / ((mx - mn) / 20.0))) AS BIGINT) AS bin FROM b, mm),
+      |weekly AS (SELECT week, bin, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |est AS (SELECT week, min(n) AS n, min(CASE WHEN 2 * cum >= n THEN bin END) AS mbin FROM
+      |  (SELECT week, bin, SUM(c) OVER (PARTITION BY week ORDER BY bin) AS cum,
+      |     SUM(c) OVER (PARTITION BY week) AS n FROM weekly) GROUP BY week),
+      |ex AS (SELECT week, min(v) AS lm FROM
+      |  (SELECT week, v, row_number() OVER (PARTITION BY week ORDER BY v) AS rn,
+      |     COUNT(*) OVER (PARTITION BY week) AS cnt FROM w) WHERE 2 * rn >= cnt GROUP BY week)
+      |SELECT e.week AS week, CAST(e.n AS BIGINT) AS n, round(x.lm, 6) AS exact_median,
+      |  (abs(mn + (mbin + 0.5) * ((mx - mn) / 20.0) - x.lm) <= (mx - mn) / 20.0) AS within_bound
+      |FROM est e JOIN ex x ON e.week = x.week, mm""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val mm = li.agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
     val binned = li.crossJoin(broadcast(mm))
@@ -506,12 +521,17 @@ object Aggregations {
       .groupBy(col("week"))
       .agg(min(col("n")).as("n"),
         min(when(col("cum") * 2 >= col("n"), col("bin"))).as("mbin"))
+    // lower median = value at rank ceil(n/2): the first row (by value)
+    // whose 2*row_number reaches the group count — always inside mbin
     val exact = li
       .select((datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")).as("day"),
-        col("l_extendedprice"))
+        col("l_extendedprice").as("v"))
       .withColumn("week", expr("CAST(floor(day / 7.0D) AS BIGINT)"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("week")).orderBy(col("v"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("week"))))
+      .filter(col("rn") * 2 >= col("cnt"))
       .groupBy(col("week"))
-      .agg(expr("round(percentile(l_extendedprice, 0.5D), 6)").as("exact_median"))
+      .agg(expr("round(min(v), 6)").as("exact_median"))
     est.join(exact, Seq("week")).crossJoin(broadcast(mm))
       .select(col("week"), col("n"), col("exact_median"),
         (abs(expr("mn + (mbin + 0.5D) * ((mx - mn) / 20.0D)") - col("exact_median"))

@@ -575,10 +575,14 @@ object Streaming {
     * mtime-ordered files; `maxFilesPerTrigger=1` makes each file a
     * micro-batch. Every batch hash-aggregates its own delta, full-outer
     * joins the (tiny, per-key) state generation and writes the next
-    * generation — the merge is commutative and associative, so
-    * at-least-once file replay or reordered batches cannot corrupt the
-    * result. Zero-count keys are dropped (their DECIMAL sums are
-    * exactly 0, so absence ≡ zero state).
+    * generation. The merge alone is commutative but NOT idempotent (a
+    * replayed batch would re-apply its delta), so replay safety comes
+    * from generations being keyed by batch id: if `gen_$id` already
+    * exists with a `_SUCCESS` marker, the replayed batch adopts it
+    * instead of re-folding — Spark's micro-batch ids are stable across
+    * restarts, making the fold effectively exactly-once. Zero-count
+    * keys are dropped (their DECIMAL sums are exactly 0, so absence ≡
+    * zero state).
     *
     * Scale shape: state is hash-partitioned by the group key and sized
     * by |keys|, not |orders|; each micro-batch touches only its delta
@@ -638,17 +642,24 @@ object Streaming {
         .parquet(srcDir.getPath)
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val st = s.read.parquet(cur)
-          val d = batch.groupBy(col("o_custkey"))
-            .agg(expr("CAST(SUM(dp) AS DECIMAL(20,6))").as("ds"), sum(col("dc")).as("dn"))
           val next = s"$stateRoot/gen_$id"
-          st.join(d, Seq("o_custkey"), "full")
-            .select(col("o_custkey"),
-              expr("CAST(coalesce(sum_raw, CAST(0 AS DECIMAL(20,6))) + coalesce(ds, CAST(0 AS DECIMAL(20,6))) AS DECIMAL(20,6))").as("sum_raw"),
-              (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"))
-            .filter(col("n_orders") > 0)
-            .write.mode("overwrite").parquet(next)
-          cur = next
+          // Idempotence guard: a replayed batch id finds its completed
+          // generation on disk (mode overwrite only leaves _SUCCESS
+          // after a full write) and adopts it instead of re-folding.
+          if (new java.io.File(next, "_SUCCESS").exists()) {
+            cur = next
+          } else {
+            val st = s.read.parquet(cur)
+            val d = batch.groupBy(col("o_custkey"))
+              .agg(expr("CAST(SUM(dp) AS DECIMAL(20,6))").as("ds"), sum(col("dc")).as("dn"))
+            st.join(d, Seq("o_custkey"), "full")
+              .select(col("o_custkey"),
+                expr("CAST(coalesce(sum_raw, CAST(0 AS DECIMAL(20,6))) + coalesce(ds, CAST(0 AS DECIMAL(20,6))) AS DECIMAL(20,6))").as("sum_raw"),
+                (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"))
+              .filter(col("n_orders") > 0)
+              .write.mode("overwrite").parquet(next)
+            cur = next
+          }
           ()
         }
         .option("checkpointLocation", scratch("sivm_ckpt"))

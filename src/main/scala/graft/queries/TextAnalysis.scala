@@ -654,7 +654,7 @@ object TextAnalysis {
        |    - 1.015 * (CAST(len(${Tokenize.duckTrim}) AS DOUBLE)
        |               / greatest(len(regexp_extract_all(text, '[.!?]')), 1))
        |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) AS DOUBLE)
-       |              / len(${Tokenize.duckTrim})), 6) + 0.0 AS flesch
+       |              / greatest(len(${Tokenize.duckTrim}), 1)), 6) + 0.0 AS flesch
        |FROM documents""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -664,7 +664,7 @@ object TextAnalysis {
       .withColumn("flesch",
         expr("""round(206.835D
                |  - 1.015D * (CAST(n_words AS DOUBLE) / n_sentences)
-               |  - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words), 6) + 0.0D""".stripMargin))
+               |  - 84.6D * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1L)), 6) + 0.0D""".stripMargin))
   }
 
   /** BPE SECOND MERGE ITERATION — proves the [[bpePairs]] trainer
