@@ -722,7 +722,118 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** BPE VOCABULARY INDUCTION, FULL N-MERGE TRAINER — generalizes
+    * [[bpePairs]] (merge 1) and [[bpeMerge2]] (merge 2) into the real
+    * training loop: 10 merge rounds, each picking the globally most
+    * frequent adjacent symbol pair (ties by pair string — a total
+    * order) and rewriting every vocabulary word, emitting the merge
+    * table (rank, pair, merged, weighted count, vocab size) that a
+    * BPE tokenizer would ship. vocab_size = base alphabet + rank
+    * (each merge adds exactly one symbol — the BPE vocab accounting).
+    *
+    * Scale shape: the corpus is touched EXACTLY once (the word-count
+    * agg, checkpointed via eager localCheckpoint); every merge round
+    * is then ONE vocab-sized job — a recompute chain of r-1 LITERAL
+    * `replace` calls (the winners are driver scalars, so merge
+    * application is codegen'd map work with no join at all) feeding
+    * the pair hash-agg and a TakeOrdered top-1. Recompute-over-
+    * checkpoint beats re-checkpointing here: lineage depth is bounded
+    * by N=10 cheap string ops on a vocabulary-sized table, and no
+    * superseded generation ever needs releasing — only the single
+    * corpus checkpoint, unpersisted before returning (the result is a
+    * 10-row literal table). Symbols are chr(31)-joined ([[bpeMerge2]]'s
+    * convention); `replace` is left-to-right non-overlapping in both
+    * engines — the BPE application rule. The DuckDB oracle re-derives
+    * all 10 rounds from the source text as an unrolled chain of
+    * MATERIALIZED CTEs (inlining would be exponential: each state
+    * feeds both the next pair count and the next rewrite). */
+  private val bpeSep: String = 31.toChar.toString
+
+  private val bpeVocabOracle: String = {
+    val N = 10
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS MATERIALIZED (
+      |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS syms, COUNT(*) AS c
+      |  FROM (SELECT unnest(${Tokenize.duckTrim}) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |base AS (SELECT COUNT(DISTINCT ch) AS nb FROM
+      |  (SELECT unnest(string_split(syms, chr(31))) AS ch FROM wc) WHERE ch <> ''),
+      |s0 AS MATERIALIZED (SELECT syms, c FROM wc)""".stripMargin
+    for (r <- 1 to N) {
+      sb ++= s""",
+        |p$r AS (SELECT L[i] || chr(31) || L[i+1] AS pair, c FROM
+        |  (SELECT string_split(syms, chr(31)) AS L, c FROM s${r - 1}
+        |   WHERE len(string_split(syms, chr(31))) >= 2),
+        |  unnest(generate_series(1, len(L) - 1)) AS u(i)),
+        |w$r AS MATERIALIZED (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM p$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |s$r AS MATERIALIZED (SELECT replace(syms, pair, replace(pair, chr(31), '')) AS syms, c
+        |  FROM s${r - 1}, w$r)""".stripMargin
+    }
+    val finals = (1 to N).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, replace(pair, chr(31), '+') AS pair,
+         |  replace(pair, chr(31), '') AS merged, n, CAST(nb + $r AS BIGINT) AS vocab_size
+         |FROM w$r, base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb ++= s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
+    sb.toString
+  }
+
+  val bpeVocab: QueryDef = QueryDef("q_text_bpe_vocab", bpeVocabOracle) { (s, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val N = 10
+    val wc = Tables.documents(s, dir)
+      .select(explode(expr(Tokenize.sparkTrim)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(expr(
+        "substring(regexp_replace(w, '(.)', concat('$1', char(31))), 1, 2 * length(w) - 1)").as("syms"),
+        col("c"))
+      .localCheckpoint(true)
+    val nBase = wc
+      .select(explode(split(col("syms"), bpeSep)).as("ch"))
+      .filter(col("ch") =!= "")
+      .agg(countDistinct(col("ch")).as("nb")).head.getLong(0)
+    var merges = List.empty[Row]
+    var state = wc
+    var stop = false
+    for (r <- 1 to N if !stop) {
+      val win = state
+        .filter(expr("size(split(syms, char(31))) >= 2"))
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(split(syms, char(31))) - 1),
+            |  i -> concat(element_at(split(syms, char(31)), i), char(31),
+            |              element_at(split(syms, char(31)), i + 1)))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (win.isEmpty) stop = true
+      else {
+        val pair = win(0).getString(0)
+        val n = win(0).getLong(1)
+        val merged = pair.replace(bpeSep, "")
+        merges ::= Row(r.toLong, pair.replace(bpeSep, "+"), merged, n, nBase + r)
+        // literal rewrite — no join, stays in whole-stage codegen
+        state = state.select(
+          call_function("replace", col("syms"), lit(pair), lit(merged)).as("syms"), col("c"))
+      }
+    }
+    // the result is a literal table; release the corpus checkpoint now
+    wc.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    val schema = StructType(Seq(
+      StructField("rank", LongType), StructField("pair", StringType),
+      StructField("merged", StringType), StructField("n", LongType),
+      StructField("vocab_size", LongType)))
+    s.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(merges.reverse).asJava), schema)
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
-    bm25, oovRate, readability, bpeMerge2)
+    bm25, oovRate, readability, bpeMerge2, bpeVocab)
 }
