@@ -549,6 +549,59 @@ object Dedup {
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
+  /** INCREMENTAL DEDUP AGAINST A MATERIALIZED SIGNATURE STORE — the
+    * production nightly shape [[dedupIncremental]]'s scale note
+    * promises: the existing corpus's band table is PERSISTED as an
+    * external catalog table ([[graft.sources.CatalogSurface.saveTable]],
+    * parquet at a per-process scratch location), and the nightly query
+    * reads the stored bands for the old side — only the NEW batch's
+    * signatures are computed from text. At 100 TB the store is
+    * append-only (each night's accepted batch appends its bands), so
+    * nightly signature cost is O(new batch), not O(corpus); the band
+    * equi-join, bucket cap and exact-Jaccard verify are identical to
+    * [[dedupIncremental]], whose oracle this query shares — equality
+    * proves the store round-trip preserves the dedup result exactly.
+    * IncrementalStoreSpec asserts the old side is a catalog-table scan
+    * (the store path appears in the plan; no old-side recomputation
+    * exists in it). */
+  val dedupIncrementalStore: QueryDef = QueryDef(
+    "q_dedup_incremental_store",
+    dedupIncremental.oracle.get) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 7),
+          |  s -> array_min(transform(ws,
+          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+    // ---- store build (in production: last night's append, not a rebuild)
+    graft.sources.CatalogSurface.saveTable(
+      bandsOf(w.filter(col("doc_id") % 10 =!= 0)),
+      "graft_band_store", Scratch.path("band_store"))
+    // ---- nightly query: stored old bands + fresh new-batch bands
+    val stored = s.table("graft_band_store")
+    val newBands = bandsOf(w.filter(col("doc_id") % 10 === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = stored.union(newBands).groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val cand = newBands.select(col("doc_id").as("new_id"), col("bk"))
+      .join(stored.select(col("doc_id").as("old_id"), col("bk").as("bk2")),
+        col("bk") === col("bk2"))
+      .join(sized, Seq("bk"), "left_semi")
+      .select(col("new_id"), col("old_id")).distinct()
+    cand
+      .join(w.select(col("doc_id").as("new_id"), col("ws").as("w1")), Seq("new_id"))
+      .join(w.select(col("doc_id").as("old_id"), col("ws").as("w2")), Seq("old_id"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   /** DIDACTIC BASELINE — not the scale path. n-gram (word-set) Jaccard
     * near-dup pairs with coarse (lang, source) blocking: the candidate
     * join is quadratic WITHIN a block, so at 100 TB a popular
@@ -729,5 +782,5 @@ object Dedup {
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
-    dedupChunks, datasetClean)
+    dedupIncrementalStore, dedupChunks, datasetClean)
 }
