@@ -450,6 +450,87 @@ object Sources {
     Seq((tbl, rc)).toDF("tbl", "row_count")
   }
 
+  /** COLUMN-LEVEL CBO STATISTICS — the second half of the stats lane
+    * ([[analyzeStats]] covers row count): `ANALYZE TABLE … FOR
+    * COLUMNS` over the catalog snapshot, with ndv / null-count /
+    * min / max / max-len read back from catalog metadata. These are
+    * what actually drive join reordering and broadcast decisions at
+    * 100 TB — a missing ndv turns the CBO's selectivity math into
+    * guesses. The oracle recounts everything from source: equality
+    * proves the recorded stats are the truth.
+    *
+    * Determinism note: Spark's column ndv is HyperLogLog++
+    * (approximate), so the OUTPUT carries catalog ndv only for the
+    * low-cardinality string columns, where the HLL linear-counting
+    * regime is deterministically exact (3 and 5 values in 2^14
+    * registers); the high-cardinality key's approximate ndv is
+    * asserted INSIDE the query (within 10% of the exact recount,
+    * `require` — a violation fails the gate) but kept out of the
+    * hashed row. min/max/null-count/max-len are exact by
+    * construction. */
+  val analyzeColStats: QueryDef = QueryDef(
+    "q_analyze_col_stats",
+    """SELECT 'o_orderkey' AS col_name,
+      |  CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS null_count,
+      |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+      |  CAST(max(o_orderkey) AS VARCHAR) AS max_val,
+      |  CAST(NULL AS BIGINT) AS ndv, CAST(NULL AS BIGINT) AS max_len
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', CAST(COUNT(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+      |  NULL, NULL, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+      |  CAST(max(length(o_orderpriority)) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', CAST(COUNT(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+      |  NULL, NULL, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+      |  CAST(max(length(o_orderstatus)) AS BIGINT)
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val tbl = "graft_colstats_orders"
+    graft.sources.CatalogSurface.saveTable(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority")),
+      tbl, scratch("colstats_orders"))
+    s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus, o_orderpriority")
+    val cs = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .stats.getOrElse(sys.error(s"no stats recorded for $tbl")).colStats
+    def st(c: String) = cs.getOrElse(c, sys.error(s"no column stats for $c"))
+    // approximate-ndv sanity gate on the high-cardinality key: the HLL
+    // estimate must sit within 10% of the exact recount
+    val exactKeyNdv = s.table(tbl).agg(countDistinct(col("o_orderkey"))).head.getLong(0)
+    val keyNdv = st("o_orderkey").distinctCount
+      .getOrElse(sys.error("no ndv for o_orderkey")).toLong
+    require(math.abs(keyNdv - exactKeyNdv) <= 0.1 * exactKeyNdv,
+      s"HLL ndv $keyNdv vs exact $exactKeyNdv drifted beyond 10%")
+    def nulls(c: String): Long =
+      st(c).nullCount.getOrElse(sys.error(s"no nullCount for $c")).toLong
+    def lng(v: Option[Any], what: String): java.lang.Long = v match {
+      case Some(x: BigInt) => Long.box(x.toLong)
+      case Some(x: Long) => Long.box(x)
+      case _ => sys.error(s"missing $what")
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row("o_orderkey", nulls("o_orderkey"),
+        st("o_orderkey").min.getOrElse(sys.error("no min")),
+        st("o_orderkey").max.getOrElse(sys.error("no max")),
+        null, null),
+      Row("o_orderpriority", nulls("o_orderpriority"), null, null,
+        lng(st("o_orderpriority").distinctCount, "priority ndv"),
+        lng(st("o_orderpriority").maxLen, "priority maxLen")),
+      Row("o_orderstatus", nulls("o_orderstatus"), null, null,
+        lng(st("o_orderstatus").distinctCount, "status ndv"),
+        lng(st("o_orderstatus").maxLen, "status maxLen")))
+    val schema = StructType(Seq(
+      StructField("col_name", StringType), StructField("null_count", LongType),
+      StructField("min_val", StringType), StructField("max_val", StringType),
+      StructField("ndv", LongType), StructField("max_len", LongType)))
+    s.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** SNAPSHOT-RETENTION GC PLANNING — the VACUUM/expire-snapshots
     * planner: snapshot 1 references one file per order month; snapshot
     * 2 (the retained one) compacted every pre-1999 year into a yearly
@@ -485,5 +566,5 @@ object Sources {
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
     schemaEvolution, catalogTable, compactPlan, exportJsonl, codecAudit, analyzeStats,
-    snapshotGc)
+    analyzeColStats, snapshotGc)
 }
