@@ -274,6 +274,11 @@ object PlanAudit {
       "q_embed_power_iter" -> Seq("Generate", "HashAggregate", "!Join"),
       // perceptual hash: decode in mapPartitions, zero shuffles
       "q_multimodal_phash" -> Seq("MapPartitions", "!Exchange"),
+      // image near-dup: the returned cluster assembly is a window over
+      // the checkpointed labels — no loop join anywhere (the candidate
+      // stage is the same bucketed equi-join shape as the audited
+      // q_dedup_hamming_multiprobe)
+      "q_multimodal_neardup" -> Seq("Window", "!NestedLoop", "!CartesianProduct"),
       // nearest as-of: same day-bucket equi rewrite as the tolerance
       // variant — Generate fan-out, struct-min winner, no loop join
       "q_join_asof_nearest" -> Seq("Generate", "SortAggregate", "!NestedLoop"),

@@ -187,6 +187,72 @@ object Dedup {
     lshVerifiedPairs(s, dir)._2
   }
 
+  /** THE components engine — min-label propagation with pointer
+    * doubling over an undirected pair table `(d1, d2)`, shared by
+    * [[dedupComponents]] (text near-dups) and
+    * [[MultimodalQ.mmNearDup]] (image phash near-dups). Returns
+    * `(node, lbl)` with lbl = the component's minimum node id.
+    *
+    * Each round is ONE job: the convergence scalar (SUM(lbl) — labels
+    * only ever decrease) rides the eager localCheckpoint through
+    * `observe()`, and the superseded label generation's RDD is
+    * unpersisted as soon as its successor materializes (at most two
+    * generations pinned; ComponentsLeakSpec pins the bound). The edge
+    * table is persisted pre-partitioned on the join key so only the
+    * (much smaller) label table moves each round. */
+  private[queries] def componentLabels(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(col("src"))
+      .persist(lvl)
+    var obsId = 0
+    def checkpointWithSum(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      obsId += 1
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_round_${System.identityHashCode(pairs)}_$obsId")
+      val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("lbl_sum"))
+        .localCheckpoint(true)
+      (ck, obs.get("lbl_sum").asInstanceOf[Long])
+    }
+    // A localCheckpointed Dataset's plan is a LogicalRDD over the
+    // pinned RDD; unpersisting that RDD is how a superseded generation
+    // is released (Dataset.unpersist only talks to the relation cache).
+    def release(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    var iter = 0
+    var done = false
+    while (!done && iter < 30) {
+      val viaNeighbor = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      // pointer doubling: every label is itself a node id in the label
+      // table, so node -> lbl -> lbl(lbl) is a total inner self-join
+      val viaPointer = labels
+        .join(labels.select(col("node").as("pn"), col("lbl").as("plbl")),
+          col("lbl") === col("pn"))
+        .select(col("node"), col("plbl").as("lbl"))
+      val (next, nextSum) = checkpointWithSum(
+        labels.union(viaNeighbor).union(viaPointer)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+      release(labels)
+      labels = next
+      done = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    require(done, s"label propagation did not converge within $iter rounds")
+    labels
+  }
+
   /** Near-dup CLUSTERING — connected components over the LSH-verified
     * pair graph, the step a production dedup pipeline runs after pair
     * finding: pairs only say "these two match"; keep/drop decisions
@@ -237,58 +303,8 @@ object Dedup {
        |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS is_keeper
        |FROM ranked""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (w, pairs) = lshVerifiedPairs(s, dir)
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(col("src"))
-      .persist(lvl)
-    // Checkpoint + convergence sum in ONE job: observe() attaches the
-    // SUM(lbl) metric to the plan, the eager localCheckpoint is the
-    // action that materializes it, and the Observation hands the scalar
-    // back without a second pass.
-    var obsId = 0
-    def checkpointWithSum(df: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, Long) = {
-      obsId += 1
-      val obs = new org.apache.spark.sql.Observation(s"cc_round_$obsId")
-      val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("lbl_sum"))
-        .localCheckpoint(true)
-      (ck, obs.get("lbl_sum").asInstanceOf[Long])
-    }
-    // A localCheckpointed Dataset's plan is a LogicalRDD over the
-    // pinned RDD; unpersisting that RDD is how a superseded generation
-    // is released (Dataset.unpersist only talks to the relation cache).
-    def release(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    var (labels, prevSum) = checkpointWithSum(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")))
-    var iter = 0
-    var done = false
-    while (!done && iter < 30) {
-      val viaNeighbor = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      // pointer doubling: every label is itself a node id in the label
-      // table, so node -> lbl -> lbl(lbl) is a total inner self-join
-      val viaPointer = labels
-        .join(labels.select(col("node").as("pn"), col("lbl").as("plbl")),
-          col("lbl") === col("pn"))
-        .select(col("node"), col("plbl").as("lbl"))
-      val (next, nextSum) = checkpointWithSum(
-        labels.union(viaNeighbor).union(viaPointer)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-      release(labels)
-      labels = next
-      done = nextSum == prevSum
-      prevSum = nextSum
-      iter += 1
-    }
-    require(done, s"label propagation did not converge within $iter rounds")
+    val labels = componentLabels(pairs)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
       .withColumn("cluster_size",

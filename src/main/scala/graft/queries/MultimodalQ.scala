@@ -240,6 +240,69 @@ object MultimodalQ {
             > lit(8) * col("n_pixels") * col("pn")).as("scene_cut"))
   }
 
+  /** IMAGE NEAR-DUP END-TO-END — the multimodal dedup story completed:
+    * [[mmPhash]]'s 64-bit aHash signatures are blocked with the
+    * 4-chunk pigeonhole multiprobe ([[Dedup]]'s SimHash scheme, here
+    * 4×16-bit chunks: any pair within Hamming ≤ 3 shares at least one
+    * identical chunk — 100% recall, pure equi-join candidates, never
+    * all-pairs), verified with the exact 64-bit Hamming distance, and
+    * clustered into duplicate groups by the shared
+    * [[Dedup.componentLabels]] pointer-doubling components engine.
+    * Output: every clustered image with its cluster id (= min doc_id)
+    * and cluster size. The oracle re-derives the hash from source
+    * text, re-blocks, and resolves components with a recursive
+    * min-label walk.
+    *
+    * Scale shape: decode+hash is the mapPartitions ingest pass;
+    * blocking explodes ×4 and equi-joins on (chunk, value); the
+    * exact distance runs only on DISTINCT candidates; the components
+    * loop is one job per round over the (tiny) matched-pair graph. */
+  val mmNearDup: QueryDef = QueryDef(
+    "q_multimodal_neardup",
+    s"""WITH RECURSIVE ph AS (
+       |  SELECT doc_id, phash FROM (${"\n"}${mmPhash.oracle.get}) t WHERE phash IS NOT NULL),
+       |pr AS (SELECT doc_id, phash, i,
+       |    substr(phash, CAST(i * 16 + 1 AS INT), 16) AS pv
+       |  FROM ph, range(0, 4) t(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    a.phash AS h1, b.phash AS h2
+       |  FROM pr a JOIN pr b ON a.i = b.i AND a.pv = b.pv AND a.doc_id < b.doc_id),
+       |prs AS (SELECT d1, d2 FROM cand
+       |  WHERE len(list_filter(range(1, 65),
+       |    j -> substr(h1, CAST(j AS INT), 1) != substr(h2, CAST(j AS INT), 1))) <= 3),
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM prs UNION ALL SELECT d2, d1 FROM prs),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM bi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM walk wk JOIN bi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM comp""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ph = mmPhash.fn(s, dir)
+      .filter(col("phash").isNotNull)
+      .select(col("doc_id"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ph.select(col("doc_id"), col("phash"), explode(expr(
+        "transform(sequence(0, 3), i -> struct(i AS i, substring(phash, i * 16 + 1, 16) AS pv))")).as("pr"))
+      .select(col("doc_id"), col("phash"), col("pr.i").as("i"), col("pr.pv").as("pv"))
+    val pairs = probes
+      .select(col("doc_id").as("d1"), col("phash").as("h1"), col("i"), col("pv"))
+      .join(probes.select(col("doc_id").as("d2"), col("phash").as("h2"),
+          col("i").as("i2"), col("pv").as("pv2")),
+        col("i") === col("i2") && col("pv") === col("pv2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), j -> substring(h1, j, 1) != substring(h2, j, 1)))"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"))
+    Dedup.componentLabels(pairs)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+  }
+
   val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash, mmAudioFeatures,
-    mmVideoScenes)
+    mmVideoScenes, mmNearDup)
 }
