@@ -722,9 +722,63 @@ object Streaming {
     }
   }
 
+  /** IDEMPOTENT MERGE-UPSERT STREAMING SINK — the exactly-once-ish
+    * alternative to the reference's at-least-once duplicate window
+    * (`writer/writer.go:240-247`): each micro-batch key-upserts the
+    * latest (event_id, value) per user into the pointered state chain
+    * of [[graft.pipeline.UpsertState]]. Because the merge REPLACES per
+    * key, a replayed batch rewrites an identical generation — replays
+    * CONVERGE with no generation-id guard (contrast q_stream_ivm's
+    * delta fold). StreamingSemanticsSpec crashes inside the confirm
+    * window and proves the replayed run's final table matches an
+    * uncrashed run exactly.
+    *
+    * The oracle states the upsert fixpoint: per user, the payload of
+    * max (batch, event_id) — batch order is replay order, so equality
+    * proves the streamed chain of merges lands on recompute-from-
+    * scratch. */
+  val streamIdempotent: QueryDef = QueryDef(
+    "q_stream_idempotent",
+    """WITH e AS (SELECT user_id, CAST(event_id % 4 AS BIGINT) AS b, event_id, value FROM events)
+      |SELECT user_id,
+      |  (max({'b': b, 'e': event_id, 'v': value})).e AS last_event_id,
+      |  (max({'b': b, 'e': event_id, 'v': value})).v AS last_value
+      |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val srcDir = new java.io.File(scratch("sidem_src"))
+      srcDir.mkdirs()
+      for (i <- 0 until 4) {
+        val tmp = scratch(s"sidem_tmp_$i")
+        ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dstF = new java.io.File(srcDir, f"b_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dstF.toPath)
+        dstF.setLastModified(1700000000000L + i * 60000L)
+      }
+      val stateRoot = scratch("sidem_state")
+      graft.pipeline.UpsertState.init(s, stateRoot)
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.pipeline.UpsertState.mergeBatch(s, stateRoot, batch, id)
+        }
+        .option("checkpointLocation", scratch("sidem_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(graft.pipeline.UpsertState.current(stateRoot))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
-    streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics)
+    streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
+    streamIdempotent)
 }

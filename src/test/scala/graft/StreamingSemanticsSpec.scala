@@ -147,4 +147,69 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(counts.values.count(_ == 2) == 2, s"expected one redelivered file: $counts")
     assert(counts.values.forall(c => c == 1 || c == 2), s"over-delivery: $counts")
   }
+
+  test("idempotent merge-upsert sink: a replayed batch converges to the uncrashed result") {
+    // The duplicate-window complement of the previous test: with the
+    // append sink the replayed batch leaves duplicates (at-least-once);
+    // with UpsertState's key-based MERGE the replayed batch rewrites an
+    // identical generation, so the final table matches a run that never
+    // crashed — the exactly-once-ish contract of q_stream_idempotent.
+    import graft.pipeline.UpsertState
+    import graft.queries.Scratch
+    val src = Scratch.fresh("idem_src")
+    // batch 0: users 1,2 — batch 1 updates user 2 and inserts user 3
+    val batches = Seq(
+      Seq((1L, 1L, 1.0), (2L, 2L, 2.0)),
+      Seq((3L, 2L, 22.0), (4L, 3L, 3.0)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Scratch.fresh(s"idem_tmp_$i")
+      spark.createDataFrame(rows).toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(root: String, ckpt: String, crashMarker: Option[java.io.File]): Unit = {
+      val q = spark.readStream.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          UpsertState.mergeBatch(spark, root, b, id)
+          merges.incrementAndGet()
+          // crash in the confirm window: sink write + pointer update
+          // SUCCEEDED, checkpoint commit did not
+          if (id == 1 && crashMarker.exists(_.createNewFile())) {
+            sys.error("crash post-merge, pre-checkpoint")
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val rootA = Scratch.fresh("idem_state_clean")
+    UpsertState.init(spark, rootA)
+    run(rootA, Scratch.fresh("idem_ckpt_clean"), None)
+
+    val rootB = Scratch.fresh("idem_state_crash")
+    UpsertState.init(spark, rootB)
+    val ckptB = Scratch.fresh("idem_ckpt_crash")
+    val marker = new java.io.File(Scratch.path("idem_crash_marker"))
+    marker.delete()
+    val before = merges.get()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(rootB, ckptB, Some(marker))
+    }
+    run(rootB, ckptB, Some(marker)) // restart: batch 1 REPLAYS into state that already has it
+    assert(merges.get() - before == 3, "batch 1 must have merged twice (2 batches + 1 replay)")
+
+    def snap(root: String) =
+      spark.read.parquet(UpsertState.current(root))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set((1L, 1L, 1.0), (2L, 3L, 22.0), (3L, 4L, 3.0))
+    assert(snap(rootA) == expected, s"clean run state: ${snap(rootA)}")
+    assert(snap(rootB) == expected, s"replayed run must converge: ${snap(rootB)}")
+  }
 }
