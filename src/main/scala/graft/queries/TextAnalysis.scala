@@ -779,10 +779,16 @@ object TextAnalysis {
     sb.toString
   }
 
-  val bpeVocab: QueryDef = QueryDef("q_text_bpe_vocab", bpeVocabOracle) { (s, dir) =>
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val N = 10
+  /** The trainer loop shared by [[bpeVocab]] and [[bpeEncode]]: the
+    * corpus is touched exactly once (word-count agg → eager
+    * localCheckpoint), then each of the N merge rounds is ONE
+    * vocab-sized job whose winner comes back as a driver scalar (so
+    * merge application is a literal codegen'd replace chain, no join).
+    * Returns (base alphabet size, merges in rank order as
+    * (sep-joined pair, merged symbol, weighted count)); the corpus
+    * checkpoint is released before returning. */
+  private def bpeTrainMerges(s: org.apache.spark.sql.SparkSession, dir: String, n: Int)
+      : (Long, List[(String, String, Long)]) = {
     val wc = Tables.documents(s, dir)
       .select(explode(expr(Tokenize.sparkTrim)).as("w"))
       .filter(length(col("w")) >= 2)
@@ -795,10 +801,10 @@ object TextAnalysis {
       .select(explode(split(col("syms"), bpeSep)).as("ch"))
       .filter(col("ch") =!= "")
       .agg(countDistinct(col("ch")).as("nb")).head.getLong(0)
-    var merges = List.empty[Row]
+    var merges = List.empty[(String, String, Long)]
     var state = wc
     var stop = false
-    for (r <- 1 to N if !stop) {
+    for (_ <- 1 to n if !stop) {
       val win = state
         .filter(expr("size(split(syms, char(31))) >= 2"))
         .select(col("c"), explode(expr(
@@ -811,29 +817,109 @@ object TextAnalysis {
       if (win.isEmpty) stop = true
       else {
         val pair = win(0).getString(0)
-        val n = win(0).getLong(1)
         val merged = pair.replace(bpeSep, "")
-        merges ::= Row(r.toLong, pair.replace(bpeSep, "+"), merged, n, nBase + r)
+        merges ::= ((pair, merged, win(0).getLong(1)))
         // literal rewrite — no join, stays in whole-stage codegen
         state = state.select(
           call_function("replace", col("syms"), lit(pair), lit(merged)).as("syms"), col("c"))
       }
     }
-    // the result is a literal table; release the corpus checkpoint now
     wc.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
+    }
+    (nBase, merges.reverse)
+  }
+
+  val bpeVocab: QueryDef = QueryDef("q_text_bpe_vocab", bpeVocabOracle) { (s, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (nBase, merges) = bpeTrainMerges(s, dir, 10)
+    val rows = merges.zipWithIndex.map { case ((pair, merged, n), i) =>
+      Row((i + 1).toLong, pair.replace(bpeSep, "+"), merged, n, nBase + i + 1)
     }
     val schema = StructType(Seq(
       StructField("rank", LongType), StructField("pair", StringType),
       StructField("merged", StringType), StructField("n", LongType),
       StructField("vocab_size", LongType)))
     s.createDataFrame(new java.util.ArrayList[Row](
-      scala.jdk.CollectionConverters.SeqHasAsJava(merges.reverse).asJava), schema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** BPE ENCODING — the second half of the tokenizer story
+    * ([[bpeVocab]] trains, this APPLIES): every distinct corpus word
+    * is segmented by replaying the 10 trained merges in rank order
+    * (literal left-to-right replaces — the BPE application rule), and
+    * each document reports its token/char/BPE-symbol counts and the
+    * chars-per-symbol compression ratio — the number a tokenizer
+    * budget (context-length planning, per-token pricing) is built on.
+    *
+    * Scale shape: training cost is [[bpeTrainMerges]] (corpus touched
+    * once); encoding runs on the DISTINCT word table (vocabulary-
+    * sized) as a codegen'd literal replace chain with NO join against
+    * anything corpus-sized; the per-doc rollup joins tokens to the
+    * tiny encode table on the word and hash-aggregates. The oracle
+    * re-trains and re-encodes from scratch (unrolled MATERIALIZED CTE
+    * chains for both the winner ladder and the dictionary rewrite). */
+  private val bpeEncodeOracle: String = {
+    val N = 10
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS MATERIALIZED (
+      |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS syms, COUNT(*) AS c
+      |  FROM (SELECT unnest(${Tokenize.duckTrim}) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |s0 AS MATERIALIZED (SELECT syms, c FROM wc),
+      |d0 AS MATERIALIZED (SELECT w,
+      |    rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS syms
+      |  FROM (SELECT DISTINCT unnest(${Tokenize.duckTrim}) AS w FROM documents))""".stripMargin
+    for (r <- 1 to N) {
+      sb ++= s""",
+        |p$r AS (SELECT L[i] || chr(31) || L[i+1] AS pair, c FROM
+        |  (SELECT string_split(syms, chr(31)) AS L, c FROM s${r - 1}
+        |   WHERE len(string_split(syms, chr(31))) >= 2),
+        |  unnest(generate_series(1, len(L) - 1)) AS u(i)),
+        |w$r AS MATERIALIZED (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM p$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |s$r AS MATERIALIZED (SELECT replace(syms, pair, replace(pair, chr(31), '')) AS syms, c
+        |  FROM s${r - 1}, w$r),
+        |d$r AS MATERIALIZED (SELECT w, replace(d.syms, pair, replace(pair, chr(31), '')) AS syms
+        |  FROM d${r - 1} d, w$r)""".stripMargin
+    }
+    sb ++= s"""
+      |,enc AS (SELECT w, len(string_split(syms, chr(31))) AS ns FROM d$N),
+      |tok AS (SELECT doc_id, unnest(${Tokenize.duckTrim}) AS w FROM documents),
+      |per AS (SELECT doc_id, t.w, e.ns FROM tok t JOIN enc e ON e.w = t.w)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(ns) AS BIGINT) AS n_bpe,
+      |  round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0 AS compression
+      |FROM per GROUP BY doc_id""".stripMargin
+    sb.toString
+  }
+
+  val bpeEncode: QueryDef = QueryDef("q_text_bpe_encode", bpeEncodeOracle) { (s, dir) =>
+    val (_, merges) = bpeTrainMerges(s, dir, 10)
+    var dict = Tables.documents(s, dir)
+      .select(explode(expr(Tokenize.sparkTrim)).as("w")).distinct()
+      .withColumn("syms", expr(
+        "substring(regexp_replace(w, '(.)', concat('$1', char(31))), 1, greatest(2 * length(w) - 1, 0))"))
+    for ((pair, merged, _) <- merges) {
+      dict = dict.withColumn("syms",
+        call_function("replace", col("syms"), lit(pair), lit(merged)))
+    }
+    val enc = dict.select(col("w"), size(split(col("syms"), bpeSep)).as("ns"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(Tokenize.sparkTrim)).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("ns")).as("n_bpe"),
+        expr("round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0D").as("compression"))
   }
 
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
-    bm25, oovRate, readability, bpeMerge2, bpeVocab)
+    bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode)
 }
