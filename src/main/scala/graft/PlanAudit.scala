@@ -309,6 +309,10 @@ object PlanAudit {
       // BPE round 2: both rounds on the DISTINCT word table, winner
       // broadcast, top-20 TakeOrdered
       "q_text_bpe_merge2" -> Seq("TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin"),
+      // BPE encode: vocab-sized encode table broadcast (size-chosen,
+      // unhinted) into the token rollup; the 10-merge replace chain is
+      // literal and codegen'd
+      "q_text_bpe_encode" -> Seq("BroadcastHashJoin", "partial_", "!SortMergeJoin"),
       // NOT IN with a nullable probe key must plan as the specialized
       // single-column null-aware anti join (the trailing `true` is
       // BroadcastHashJoinExec's isNullAwareAntiJoin flag), never a loop
