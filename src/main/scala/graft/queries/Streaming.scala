@@ -737,19 +737,18 @@ object Streaming {
     * max (batch, event_id) — batch order is replay order, so equality
     * proves the streamed chain of merges lands on recompute-from-
     * scratch. */
-  val streamIdempotent: QueryDef = QueryDef(
-    "q_stream_idempotent",
-    """WITH e AS (SELECT user_id, CAST(event_id % 4 AS BIGINT) AS b, event_id, value FROM events)
-      |SELECT user_id,
-      |  (max({'b': b, 'e': event_id, 'v': value})).e AS last_event_id,
-      |  (max({'b': b, 'e': event_id, 'v': value})).v AS last_value
-      |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
+  /** Run the 4-batch upsert stream over events (batch i = event_id mod
+    * 4, mtime-pinned) through [[graft.pipeline.UpsertState]]; returns
+    * the state root whose `gen_0..gen_3` chain the callers read
+    * ([[streamIdempotent]] the head, [[streamTimetravel]] historical
+    * generations). `tag` keeps the two queries' scratch dirs apart. */
+  private def runUpsertChain(s: SparkSession, dir: String, tag: String): String =
     withShufflePartitions(s, 8) {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
-      val srcDir = new java.io.File(scratch("sidem_src"))
+      val srcDir = new java.io.File(scratch(s"${tag}_src"))
       srcDir.mkdirs()
       for (i <- 0 until 4) {
-        val tmp = scratch(s"sidem_tmp_$i")
+        val tmp = scratch(s"${tag}_tmp_$i")
         ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1)
           .write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -758,7 +757,7 @@ object Streaming {
         java.nio.file.Files.move(part.toPath, dstF.toPath)
         dstF.setLastModified(1700000000000L + i * 60000L)
       }
-      val stateRoot = scratch("sidem_state")
+      val stateRoot = scratch(s"${tag}_state")
       graft.pipeline.UpsertState.init(s, stateRoot)
       val q = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
@@ -768,11 +767,48 @@ object Streaming {
         .foreachBatch { (batch: DataFrame, id: Long) =>
           graft.pipeline.UpsertState.mergeBatch(s, stateRoot, batch, id)
         }
-        .option("checkpointLocation", scratch("sidem_ckpt"))
+        .option("checkpointLocation", scratch(s"${tag}_ckpt"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(graft.pipeline.UpsertState.current(stateRoot))
+      stateRoot
     }
+
+  val streamIdempotent: QueryDef = QueryDef(
+    "q_stream_idempotent",
+    """WITH e AS (SELECT user_id, CAST(event_id % 4 AS BIGINT) AS b, event_id, value FROM events)
+      |SELECT user_id,
+      |  (max({'b': b, 'e': event_id, 'v': value})).e AS last_event_id,
+      |  (max({'b': b, 'e': event_id, 'v': value})).v AS last_value
+      |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val stateRoot = runUpsertChain(s, dir, "sidem")
+    s.read.parquet(graft.pipeline.UpsertState.current(stateRoot))
+  }
+
+  /** TIME-TRAVEL READ over the upsert sink's generation chain — the
+    * snapshot-isolation surface a lakehouse MERGE table provides:
+    * `gen_$k` IS the table as of batch k, so reading a historical
+    * generation is an as-of query with zero reconstruction work
+    * (contrast event-sourced stores that must refold the log). Emits
+    * the state as of batch 1 and batch 3; the oracle recomputes each
+    * snapshot's upsert fixpoint from the raw feed (b ≤ as_of) —
+    * equality proves every retained generation is exactly the table
+    * its batch id claims.
+    *
+    * Scale shape: each snapshot read is a plain parquet scan sized by
+    * |keys|; the as-of union is two scans, no join, no refold. */
+  val streamTimetravel: QueryDef = QueryDef(
+    "q_stream_timetravel",
+    """WITH e AS (SELECT user_id, CAST(event_id % 4 AS BIGINT) AS b, event_id, value FROM events),
+      |snap AS (SELECT a.as_of, user_id, max({'b': b, 'e': event_id, 'v': value}) AS m
+      |  FROM e, (SELECT unnest([1, 3]) AS as_of) a WHERE b <= a.as_of GROUP BY 1, 2)
+      |SELECT CAST(as_of AS BIGINT) AS as_of, user_id,
+      |  (m).e AS last_event_id, (m).v AS last_value
+      |FROM snap""".stripMargin) { (s, dir) =>
+    val stateRoot = runUpsertChain(s, dir, "stt")
+    Seq(1L, 3L).map { k =>
+      s.read.parquet(s"$stateRoot/gen_$k").withColumn("as_of", lit(k))
+    }.reduce(_ unionByName _)
+      .select(col("as_of"), col("user_id"), col("last_event_id"), col("last_value"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -780,5 +816,5 @@ object Streaming {
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
-    streamIdempotent)
+    streamIdempotent, streamTimetravel)
 }
