@@ -25,11 +25,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The SF the committed floor file was measured at. Floors from one
+    * scale are meaningless at another (a sf0.01 run would ratchet the
+    * sf0.1 floors down permanently and arm a wasteful third sample on
+    * nearly every subsequent sf0.1 query), so both loadHistory() and
+    * the ratchet write are skipped entirely when Bench runs at any
+    * other SF dir. */
+  private val historySf = "sf0.1"
+  private def historyApplies(sfDir: String): Boolean =
+    new java.io.File(sfDir).getName == historySf
+
   /** Per-query clean minima from prior uncontended runs; absent file
     * (or a query's first appearance) simply disarms the third sample. */
-  private def loadHistory(): Map[String, Double] = {
+  private def loadHistory(sfDir: String): Map[String, Double] = {
     val p = java.nio.file.Paths.get("bench_history.json")
-    if (!java.nio.file.Files.exists(p)) Map.empty
+    if (!historyApplies(sfDir) || !java.nio.file.Files.exists(p)) Map.empty
     else "\"([^\"]+)\":([0-9.]+)".r
       .findAllMatchIn(java.nio.file.Files.readString(p))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -58,7 +68,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val history = loadHistory()
+    val history = loadHistory(sfDir)
     // JIT/codegen warmup so the first measured query isn't charged
     // for JVM compilation of the whole scan/agg stack, and one-time
     // corpus materialization so pipeline queries measure the pipeline.
@@ -92,10 +102,12 @@ object Bench {
       // around sub-second floors.)
       val floor = history.get(name)
       val third = ok2 && floor.exists(f => dt > 3 * f && dt - f > 0.5)
+      // a FAILED third sample is a time-to-failure, not a measurement —
+      // it is excluded from min/detail/stall just like failed first
+      // samples are excluded from the headline total
       val dt3 = if (third) {
         val (d3, o3) = once()
-        if (o3) dt = math.min(dt, d3)
-        Some(d3)
+        if (o3) { dt = math.min(dt, d3); Some(d3) } else None
       } else None
       val samples = Seq(dt1, dt2) ++ dt3
       val stalled = (rerun || third) && ok2 &&
@@ -113,15 +125,18 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
-    // Ratchet the floor history down with this run's observations.
-    val merged = (history.keySet ++ results.collect { case (n, _, true, _, _, _, _) => n })
-      .toSeq.sorted.map { n =>
-        val obs = results.collectFirst { case (`n`, d, true, _, _, _, _) => d }
-        val f = (history.get(n).toSeq ++ obs.toSeq).min
-        s""""$n":${fmt(f)}"""
-      }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_history.json"), merged + "\n")
+    // Ratchet the floor history down with this run's observations —
+    // only at the floor file's own SF (see historyApplies).
+    if (historyApplies(sfDir)) {
+      val merged = (history.keySet ++ results.collect { case (n, _, true, _, _, _, _) => n })
+        .toSeq.sorted.map { n =>
+          val obs = results.collectFirst { case (`n`, d, true, _, _, _, _) => d }
+          val f = (history.get(n).toSeq ++ obs.toSeq).min
+          s""""$n":${fmt(f)}"""
+        }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.json"), merged + "\n")
+    }
     val qs = results
       .collect { case (n, dt, _, _, _, _, _) if headline.contains(n) => s""""$n":${fmt(dt)}""" }
       .mkString("{", ",", "}")

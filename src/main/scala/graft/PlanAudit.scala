@@ -187,8 +187,10 @@ object PlanAudit {
       "q_sql_scalar" -> Seq("HashAggregate", "!Join"),
       // multiprobe: probe table is a Generate (explode), candidates
       // come from the bucketed equi-join — an all-pairs loop here is
-      // exactly the scale bug multi-probing exists to avoid
-      "q_dedup_hamming_multiprobe" -> Seq("Generate", "HashAggregate", "!NestedLoop"),
+      // exactly the scale bug multi-probing exists to avoid; since
+      // round 8 the probe join runs on DISTINCT signatures only, so
+      // the collapse aggregate's partial_min must appear upstream
+      "q_dedup_hamming_multiprobe" -> Seq("Generate", "HashAggregate", "partial_min", "!NestedLoop"),
       // catalog lane: the read is a plain pruned scan of the saved
       // table — no residual shuffle or join from the registration
       "q_catalog_table" -> Seq("graft_cat_orders", "!Join", "!Exchange"),
@@ -277,8 +279,15 @@ object PlanAudit {
       // image near-dup: the returned cluster assembly is a window over
       // the checkpointed labels — no loop join anywhere (the candidate
       // stage is the same bucketed equi-join shape as the audited
-      // q_dedup_hamming_multiprobe)
+      // q_dedup_hamming_multiprobe; its pre-checkpoint plan is audited
+      // separately below as q_multimodal_neardup::edges)
       "q_multimodal_neardup" -> Seq("Window", "!NestedLoop", "!CartesianProduct"),
+      // the neardup CANDIDATE stage (before the components checkpoint
+      // truncates lineage): the distinct-hash collapse aggregate
+      // (partial_min) must feed the ×4 pigeonhole Generate + equi-join
+      // — an uncapped doc-row probe join goes quadratic in the hottest
+      // bucket (text-derived images share low-entropy phashes)
+      "q_multimodal_neardup::edges" -> Seq("partial_min", "Generate", "HashAggregate", "!NestedLoop", "!CartesianProduct"),
       // nearest as-of: same day-bucket equi rewrite as the tolerance
       // variant — Generate fan-out, struct-min winner, no loop join
       "q_join_asof_nearest" -> Seq("Generate", "SortAggregate", "!NestedLoop"),
@@ -318,10 +327,17 @@ object PlanAudit {
       // BroadcastHashJoinExec's isNullAwareAntiJoin flag), never a loop
       "q_join_null_aware_anti" -> Seq("LeftAnti, BuildRight, true", "!NestedLoop"))
 
+    // Internal stages: plan fragments that a checkpoint/lineage
+    // truncation hides from the registered query's final plan, audited
+    // under a "<query>::<stage>" name.
+    val internal: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q_multimodal_neardup::edges" ->
+        ((s, d) => graft.queries.MultimodalQ.neardupEdges(s, d)))
+
     val misses = scala.collection.mutable.ArrayBuffer.empty[String]
     var nOk = 0
     audit.foreach { case (name, expects) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = internal.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       // execute THIS queryExecution (count() would plan separately),
       // so AQE finalizes and codegen markers become real
       df.queryExecution.toRdd.count()

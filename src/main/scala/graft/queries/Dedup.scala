@@ -344,11 +344,87 @@ object Dedup {
       .select(col("doc_id"), expr(simhashSparkSql).as("simhash"))
   }
 
+  /** Shared engine for both Hamming lanes, with the DISTINCT-SIGNATURE
+    * COLLAPSE (round 8): exact duplicates (identical simhashes) are by
+    * far the common case, and they all land in the same probe buckets —
+    * an uncapped probe join over doc rows goes quadratic in the hottest
+    * bucket. Collapse first (`group by (lang, source, sh)` → one
+    * representative per distinct signature), run the probe equi-join on
+    * DISTINCT signatures only, then expand members back:
+    * identical-signature pairs are Hamming-0 BY CONSTRUCTION (emitted
+    * directly from the signature equi-self-join — their count is true
+    * output size, not blocking waste), and each qualifying
+    * distinct-signature pair fans out to its member doc pairs through
+    * two equi-joins. Recall is unchanged: the block/pigeonhole
+    * predicate is a function of the signatures alone.
+    *
+    * `chunks` = how many disjoint 4-bit chunks to probe on: 1 = the
+    * minimal prefix block ([[dedupHamming]]), 4 = the full pigeonhole
+    * guarantee ([[dedupHammingMultiprobe]]). */
+  private[graft] def hammingPairsCollapsed(
+      s: org.apache.spark.sql.SparkSession, dir: String, chunks: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pin the signature table: every consumer below would otherwise
+    // recompute the 16-bit vote aggregation over every word — at scale
+    // this is the materialized signature table between the map stage
+    // and the candidate join (same shape as the LSH band table)
+    val h = Tables.documents(s, dir)
+      .withColumn("mds", expr(md5WordsSparkSql))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(simhashSparkSql).as("sh"))
+      .persist(lvl)
+    val g = h.groupBy(col("lang"), col("source"), col("sh"))
+      .agg(min(col("doc_id")).as("rep"))
+      .persist(lvl)
+    val probes = g.select(col("rep"), col("lang"), col("source"), col("sh"),
+      explode(expr(s"transform(sequence(0, ${chunks - 1}), " +
+        "i -> struct(i AS i, substring(sh, i * 4 + 1, 4) AS pv))")).as("pr"))
+      .select(col("rep"), col("lang"), col("source"), col("sh"),
+        col("pr.i").as("i"), col("pr.pv").as("pv"))
+    // distinct-signature candidate pairs → verify the 16-bit distance
+    // ONCE per signature pair (not once per doc pair)
+    val gpairs = probes
+      .select(col("rep").as("r1"), col("lang"), col("source"),
+        col("sh").as("sh1"), col("i"), col("pv"))
+      .join(probes.select(col("rep").as("r2"), col("lang").as("lang2"),
+          col("source").as("source2"), col("sh").as("sh2"),
+          col("i").as("i2"), col("pv").as("pv2")),
+        col("lang") === col("lang2") && col("source") === col("source2")
+          && col("i") === col("i2") && col("pv") === col("pv2")
+          && col("r1") < col("r2"))
+      .select(col("lang"), col("source"), col("sh1"), col("sh2")).distinct()
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 16), j -> substring(sh1, j, 1) != substring(sh2, j, 1)))").cast("int"))
+      .filter(col("hamming") <= 3)
+    // expand each qualifying signature pair to its member doc pairs
+    val cross = gpairs
+      .join(h.select(col("doc_id").as("da"), col("lang"), col("source"),
+          col("sh").as("sh1")),
+        Seq("lang", "source", "sh1"))
+      .join(h.select(col("doc_id").as("db"), col("lang"), col("source"),
+          col("sh").as("sh2")),
+        Seq("lang", "source", "sh2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    // identical signatures: Hamming 0, every member pair (true output)
+    val intra = h.select(col("doc_id").as("da"), col("lang"), col("source"), col("sh"))
+      .join(h.select(col("doc_id").as("db"), col("lang").as("lang2"),
+          col("source").as("source2"), col("sh").as("sh2")),
+        col("lang") === col("lang2") && col("source") === col("source2")
+          && col("sh") === col("sh2") && col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"),
+        lit(0).cast("int").as("hamming"))
+    intra.union(cross)
+  }
+
   /** SimHash near-dup pairs by Hamming distance ≤ 3, candidates
     * blocked on (lang, source, 4-bit hash prefix) — the prefix block
     * is what keeps the pair space sub-quadratic at scale (single
     * probe kept as the minimal plan shape; [[dedupHammingMultiprobe]]
-    * closes the recall gap with all four pigeonhole chunks). */
+    * closes the recall gap with all four pigeonhole chunks). Probe
+    * join runs on DISTINCT signatures only
+    * ([[hammingPairsCollapsed]]). */
   val dedupHamming: QueryDef = QueryDef(
     "q_dedup_hamming",
     s"""WITH w AS (SELECT doc_id, lang, source, $duckWordsSql AS ws FROM documents),
@@ -362,26 +438,7 @@ object Dedup {
        | AND a.doc_id < b.doc_id
        |WHERE len(list_filter(range(1, 17),
        |    j -> substr(a.sh, CAST(j AS INT), 1) != substr(b.sh, CAST(j AS INT), 1))) <= 3""".stripMargin) { (s, dir) =>
-    // pin the signature table: both self-join sides would otherwise
-    // recompute the 16-bit vote aggregation over every word — at scale
-    // this is the materialized signature table between the map stage
-    // and the candidate join (same shape as the LSH band table)
-    val h = Tables.documents(s, dir)
-      .withColumn("mds", expr(md5WordsSparkSql))
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr(simhashSparkSql).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = h.select(col("doc_id").as("d1"), col("lang"), col("source"),
-      col("sh").as("sh1"), expr("substring(sh, 1, 4)").as("pfx"))
-    val b = h.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-      col("source").as("source2"), col("sh").as("sh2"),
-      expr("substring(sh, 1, 4)").as("pfx2"))
-    a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
-        && col("pfx") === col("pfx2") && col("d1") < col("d2"))
-      .withColumn("hamming", expr(
-        "size(filter(sequence(1, 16), j -> substring(sh1, j, 1) != substring(sh2, j, 1)))").cast("int"))
-      .filter(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("hamming"))
+    hammingPairsCollapsed(s, dir, chunks = 1)
   }
 
   /** MULTI-PROBE SimHash near-dup pairs — closes the recall gap
@@ -395,12 +452,14 @@ object Dedup {
     * table, deduped before the 16-bit distance is computed once per
     * candidate).
     *
-    * Scale shape: probe table = 4 rows/doc (map-only explode over the
-    * persisted signature table), candidates = equi-join on
+    * Scale shape: probe table = 4 rows per DISTINCT signature
+    * (map-only explode over the collapsed signature table —
+    * [[hammingPairsCollapsed]]), candidates = equi-join on
     * (lang, source, chunk_idx, chunk_val) — hash-partitioned, never
     * all-pairs; DISTINCT collapses the ≤4 duplicate hits per pair
-    * before the verify filter. This is the standard pigeonhole
-    * blocking from Manku et al.'s web-dedup SimHash design. */
+    * before the verify filter runs ONCE per signature pair. This is
+    * the standard pigeonhole blocking from Manku et al.'s web-dedup
+    * SimHash design. */
   val dedupHammingMultiprobe: QueryDef = QueryDef(
     "q_dedup_hamming_multiprobe",
     s"""WITH w AS (SELECT doc_id, lang, source, $duckWordsSql AS ws FROM documents),
@@ -420,30 +479,7 @@ object Dedup {
        |FROM cand
        |WHERE len(list_filter(range(1, 17),
        |    j -> substr(sh1, CAST(j AS INT), 1) != substr(sh2, CAST(j AS INT), 1))) <= 3""".stripMargin) { (s, dir) =>
-    val h = Tables.documents(s, dir)
-      .withColumn("mds", expr(md5WordsSparkSql))
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr(simhashSparkSql).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = h.select(col("doc_id"), col("lang"), col("source"), col("sh"),
-      explode(expr(
-        "transform(sequence(0, 3), i -> struct(i AS i, substring(sh, i * 4 + 1, 4) AS pv))")).as("pr"))
-      .select(col("doc_id"), col("lang"), col("source"), col("sh"),
-        col("pr.i").as("i"), col("pr.pv").as("pv"))
-    val a = probes.select(col("doc_id").as("d1"), col("lang"), col("source"),
-      col("sh").as("sh1"), col("i"), col("pv"))
-    val b = probes.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-      col("source").as("source2"), col("sh").as("sh2"),
-      col("i").as("i2"), col("pv").as("pv2"))
-    a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
-        && col("i") === col("i2") && col("pv") === col("pv2")
-        && col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2"))
-      .distinct()
-      .withColumn("hamming", expr(
-        "size(filter(sequence(1, 16), j -> substring(sh1, j, 1) != substring(sh2, j, 1)))").cast("int"))
-      .filter(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("hamming"))
+    hammingPairsCollapsed(s, dir, chunks = 4)
   }
 
   /** EXACT-SUBSTRING (n-gram span) DEDUP — the token-level half of the

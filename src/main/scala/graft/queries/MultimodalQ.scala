@@ -253,10 +253,18 @@ object MultimodalQ {
     * text, re-blocks, and resolves components with a recursive
     * min-label walk.
     *
-    * Scale shape: decode+hash is the mapPartitions ingest pass;
-    * blocking explodes ×4 and equi-joins on (chunk, value); the
-    * exact distance runs only on DISTINCT candidates; the components
-    * loop is one job per round over the (tiny) matched-pair graph. */
+    * Scale shape: decode+hash is the mapPartitions ingest pass; then
+    * the DISTINCT-HASH COLLAPSE (round 8) — text-derived images share
+    * low-entropy phashes, so exact duplicates dominate and an uncapped
+    * probe join over doc rows goes quadratic in the hottest bucket.
+    * Group by phash → one representative per DISTINCT hash; the ×4
+    * pigeonhole explode and the (chunk, value) equi-join run on
+    * distinct hashes only; identical-hash members rejoin as a
+    * member→representative Hamming-0 star (linear, recall-exact:
+    * identical hashes ARE Hamming-0 pairs), and the components loop
+    * stitches both edge sets — one job per round over the (tiny)
+    * matched-pair graph. Candidate-edge stage exposed as
+    * [[neardupEdges]] for the PlanAudit distinct-collapse assertion. */
   val mmNearDup: QueryDef = QueryDef(
     "q_multimodal_neardup",
     s"""WITH RECURSIVE ph AS (
@@ -280,16 +288,35 @@ object MultimodalQ {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM comp""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    Dedup.componentLabels(neardupEdges(s, dir))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+  }
+
+  /** Candidate edges for [[mmNearDup]] — the part of the plan BEFORE
+    * the components checkpoint truncates lineage, exposed so PlanAudit
+    * can assert the distinct-hash collapse aggregate (partial_min)
+    * feeds the pigeonhole probe join. */
+  private[graft] def neardupEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ph = mmPhash.fn(s, dir)
       .filter(col("phash").isNotNull)
       .select(col("doc_id"), col("phash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = ph.select(col("doc_id"), col("phash"), explode(expr(
+      .persist(lvl)
+    // DISTINCT-HASH COLLAPSE: one representative per distinct phash —
+    // the probe join below sees distinct-hash cardinality, never the
+    // (duplicate-dominated) doc cardinality
+    val grp = ph.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"))
+      .persist(lvl)
+    val probes = grp.select(col("rep"), col("phash"), explode(expr(
         "transform(sequence(0, 3), i -> struct(i AS i, substring(phash, i * 16 + 1, 16) AS pv))")).as("pr"))
-      .select(col("doc_id"), col("phash"), col("pr.i").as("i"), col("pr.pv").as("pv"))
-    val pairs = probes
-      .select(col("doc_id").as("d1"), col("phash").as("h1"), col("i"), col("pv"))
-      .join(probes.select(col("doc_id").as("d2"), col("phash").as("h2"),
+      .select(col("rep"), col("phash"), col("pr.i").as("i"), col("pr.pv").as("pv"))
+    val crossEdges = probes
+      .select(col("rep").as("d1"), col("phash").as("h1"), col("i"), col("pv"))
+      .join(probes.select(col("rep").as("d2"), col("phash").as("h2"),
           col("i").as("i2"), col("pv").as("pv2")),
         col("i") === col("i2") && col("pv") === col("pv2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
@@ -297,10 +324,13 @@ object MultimodalQ {
         "size(filter(sequence(1, 64), j -> substring(h1, j, 1) != substring(h2, j, 1)))"))
       .filter(col("hamming") <= 3)
       .select(col("d1"), col("d2"))
-    Dedup.componentLabels(pairs)
-      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+    // identical hashes are Hamming-0 pairs by construction: a linear
+    // member→representative star replaces the quadratic within-bucket
+    // pairing while keeping the exact same component structure
+    val dupEdges = ph.join(grp, Seq("phash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    crossEdges.union(dupEdges)
   }
 
   val defs: Seq[QueryDef] = Seq(mmFeatures, mmFrames, mmPhash, mmAudioFeatures,
