@@ -741,8 +741,13 @@ object Streaming {
     * 4, mtime-pinned) through [[graft.pipeline.UpsertState]]; returns
     * the state root whose `gen_0..gen_3` chain the callers read
     * ([[streamIdempotent]] the head, [[streamTimetravel]] historical
-    * generations). `tag` keeps the two queries' scratch dirs apart. */
-  private def runUpsertChain(s: SparkSession, dir: String, tag: String): String =
+    * generations). `tag` keeps the two queries' scratch dirs apart;
+    * `retain` applies [[graft.pipeline.UpsertState.pruneGenerations]]
+    * retention after every merge (the head-reading lane runs with a
+    * real retention window so the GC path is exercised end-to-end;
+    * the time-travel lane keeps the full chain it reads). */
+  private def runUpsertChain(s: SparkSession, dir: String, tag: String,
+      retain: Option[Int] = None): String =
     withShufflePartitions(s, 8) {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
       val srcDir = new java.io.File(scratch(s"${tag}_src"))
@@ -766,6 +771,8 @@ object Streaming {
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           graft.pipeline.UpsertState.mergeBatch(s, stateRoot, batch, id)
+          retain.foreach(k =>
+            graft.pipeline.UpsertState.pruneGenerations(s, stateRoot, k))
         }
         .option("checkpointLocation", scratch(s"${tag}_ckpt"))
         .trigger(Trigger.AvailableNow()).start()
@@ -780,7 +787,9 @@ object Streaming {
       |  (max({'b': b, 'e': event_id, 'v': value})).e AS last_event_id,
       |  (max({'b': b, 'e': event_id, 'v': value})).v AS last_value
       |FROM e GROUP BY user_id""".stripMargin) { (s, dir) =>
-    val stateRoot = runUpsertChain(s, dir, "sidem")
+    // retention window of 2: gens 0/1 (and gen_init) are GC'd during
+    // the run, proving the head read never depends on pruned history
+    val stateRoot = runUpsertChain(s, dir, "sidem", retain = Some(2))
     s.read.parquet(graft.pipeline.UpsertState.current(stateRoot))
   }
 
@@ -806,7 +815,8 @@ object Streaming {
       |FROM snap""".stripMargin) { (s, dir) =>
     val stateRoot = runUpsertChain(s, dir, "stt")
     Seq(1L, 3L).map { k =>
-      s.read.parquet(s"$stateRoot/gen_$k").withColumn("as_of", lit(k))
+      graft.pipeline.UpsertState.readGeneration(s, stateRoot, k)
+        .withColumn("as_of", lit(k))
     }.reduce(_ unionByName _)
       .select(col("as_of"), col("user_id"), col("last_event_id"), col("last_value"))
   }
