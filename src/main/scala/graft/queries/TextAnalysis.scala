@@ -742,12 +742,51 @@ object TextAnalysis {
     * superseded generation ever needs releasing — only the single
     * corpus checkpoint, unpersisted before returning (the result is a
     * 10-row literal table). Symbols are chr(31)-joined ([[bpeMerge2]]'s
-    * convention); `replace` is left-to-right non-overlapping in both
-    * engines — the BPE application rule. The DuckDB oracle re-derives
+    * convention); merge application is the symbol-boundary-anchored
+    * left-to-right fold of [[applyMergeAnchored]] in both engines —
+    * the exact BPE application rule. The DuckDB oracle re-derives
     * all 10 rounds from the source text as an unrolled chain of
     * MATERIALIZED CTEs (inlining would be exponential: each state
     * feeds both the next pair count and the next rewrite). */
   private val bpeSep: String = 31.toChar.toString
+
+  /** Apply one trained merge to a chr(31)-joined symbol string with
+    * EXACT BPE semantics (ADVICE r7): a bare string replace of
+    * "a␟b" also matches MID-SYMBOL (inside "xa␟b", symbols
+    * ['xa','b']), and even a boundary-anchored replace under-merges
+    * adjacent runs because each match consumes the separator the next
+    * occurrence needs. Instead fold left-to-right over the symbol
+    * ARRAY: merge when the accumulator's last symbol is `a` and the
+    * incoming one is `b` — exact leftmost-first non-overlapping
+    * application (a merged symbol equals a+b, never a alone, so a
+    * just-merged tail is never re-consumed). DuckDB twin:
+    * [[duckMergeApply]], a list_reduce over single-element lists —
+    * the accumulator is a pure LIST, so the struct-state list_reduce
+    * hazard (CLAUDE.md) does not apply. */
+  private def applyMergeAnchored(syms: org.apache.spark.sql.Column,
+      pair: String, merged: String): org.apache.spark.sql.Column = {
+    val Array(a, b) = pair.split(bpeSep, 2)
+    array_join(
+      aggregate(
+        split(syms, bpeSep),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && try_element_at(acc, lit(-1)) === lit(a)
+              && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(x)))),
+      bpeSep)
+  }
+
+  /** DuckDB twin of [[applyMergeAnchored]]; expects a 1-row `pair`
+    * column (the round winner, "a" || chr(31) || "b") in scope. */
+  private def duckMergeApply(symsExpr: String): String =
+    s"""array_to_string(
+       |      list_reduce(list_transform(string_split($symsExpr, chr(31)), x -> [x]),
+       |        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = split_part(pair, chr(31), 1)
+       |                          AND x[1] = split_part(pair, chr(31), 2)
+       |                    THEN list_slice(acc, 1, len(acc) - 1) || [replace(pair, chr(31), '')]
+       |                    ELSE acc || x END), chr(31))""".stripMargin
 
   private val bpeVocabOracle: String = {
     val N = 10
@@ -767,7 +806,7 @@ object TextAnalysis {
         |  unnest(generate_series(1, len(L) - 1)) AS u(i)),
         |w$r AS MATERIALIZED (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
         |  FROM p$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
-        |s$r AS MATERIALIZED (SELECT replace(syms, pair, replace(pair, chr(31), '')) AS syms, c
+        |s$r AS MATERIALIZED (SELECT ${duckMergeApply("syms")} AS syms, c
         |  FROM s${r - 1}, w$r)""".stripMargin
     }
     val finals = (1 to N).map { r =>
@@ -819,9 +858,10 @@ object TextAnalysis {
         val pair = win(0).getString(0)
         val merged = pair.replace(bpeSep, "")
         merges ::= ((pair, merged, win(0).getLong(1)))
-        // literal rewrite — no join, stays in whole-stage codegen
+        // literal rewrite — the winner is a driver scalar, so the
+        // boundary-anchored merge fold is map-only with no join
         state = state.select(
-          call_function("replace", col("syms"), lit(pair), lit(merged)).as("syms"), col("c"))
+          applyMergeAnchored(col("syms"), pair, merged).as("syms"), col("c"))
       }
     }
     wc.queryExecution.analyzed.collectLeaves().foreach {
@@ -850,7 +890,8 @@ object TextAnalysis {
   /** BPE ENCODING — the second half of the tokenizer story
     * ([[bpeVocab]] trains, this APPLIES): every distinct corpus word
     * is segmented by replaying the 10 trained merges in rank order
-    * (literal left-to-right replaces — the BPE application rule), and
+    * (the boundary-anchored left-to-right fold of
+    * [[applyMergeAnchored]] — the exact BPE application rule), and
     * each document reports its token/char/BPE-symbol counts and the
     * chars-per-symbol compression ratio — the number a tokenizer
     * budget (context-length planning, per-token pricing) is built on.
@@ -881,9 +922,9 @@ object TextAnalysis {
         |  unnest(generate_series(1, len(L) - 1)) AS u(i)),
         |w$r AS MATERIALIZED (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
         |  FROM p$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
-        |s$r AS MATERIALIZED (SELECT replace(syms, pair, replace(pair, chr(31), '')) AS syms, c
+        |s$r AS MATERIALIZED (SELECT ${duckMergeApply("syms")} AS syms, c
         |  FROM s${r - 1}, w$r),
-        |d$r AS MATERIALIZED (SELECT w, replace(d.syms, pair, replace(pair, chr(31), '')) AS syms
+        |d$r AS MATERIALIZED (SELECT w, ${duckMergeApply("d.syms")} AS syms
         |  FROM d${r - 1} d, w$r)""".stripMargin
     }
     sb ++= s"""
@@ -905,8 +946,7 @@ object TextAnalysis {
       .withColumn("syms", expr(
         "substring(regexp_replace(w, '(.)', concat('$1', char(31))), 1, greatest(2 * length(w) - 1, 0))"))
     for ((pair, merged, _) <- merges) {
-      dict = dict.withColumn("syms",
-        call_function("replace", col("syms"), lit(pair), lit(merged)))
+      dict = dict.withColumn("syms", applyMergeAnchored(col("syms"), pair, merged))
     }
     val enc = dict.select(col("w"), size(split(col("syms"), bpeSep)).as("ns"))
     Tables.documents(s, dir)
