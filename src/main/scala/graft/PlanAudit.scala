@@ -228,6 +228,9 @@ object PlanAudit {
       // compaction planning runs on the bounded manifest: one agg,
       // one year-partitioned window, no join
       "q_compact_plan" -> Seq("HashAggregate", "Window", "!Join"),
+      // compaction execution: the returned proof pass is a plain scan
+      // of the binned layout + one partial/final agg — no join, no sort
+      "q_compact_exec" -> Seq("HashAggregate", "partial_", "!Join", "!Sort"),
       // round 6c: retrieval/mining/whitening wave.
       // basket mining: DISTINCT-collapsed self EQUI-join on the order
       // key (bounded basket fan-out) + TakeOrdered top-20 — an
@@ -263,6 +266,12 @@ object PlanAudit {
       // (the inverted index), ADC is a hash-agg, top-5 folds below
       // the shuffle — the only loop joins are vs broadcast constants
       "q_sim_ivfpq" -> Seq("BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"),
+      // two-stage re-rank: stage 1 is the same broadcast-LUT ADC plan
+      // (its corpus-sized codes join may shuffle, as in q_sim_ivfpq);
+      // the exact stage must be the BROADCAST candidate equi-join into
+      // the embedding scan (never a second full-scan loop) with top-5
+      // folding below the shuffle
+      "q_sim_rerank" -> Seq("BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"),
       // SCD-2 build: customer-partitioned windows + one agg, no join
       "q_scd2_build" -> Seq("Window", "HashAggregate", "!Join"),
       // node Jaccard: wedge equi-join over the persisted collapsed

@@ -356,78 +356,95 @@ object Similarity {
        |  (acc, i) -> acc + (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))
        |                  * (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))), 6)""".stripMargin
 
+  /** The IVF-PQ ADC candidate-scoring CTE chain shared by the
+    * [[ivfPqSearch]] oracle and the [[simRerank]] oracle: everything
+    * up to the scored `adc(q_id, vec_id, adc)` table. */
+  private val duckAdcCtes: String =
+    s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |ad AS (SELECT vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
+       |  FROM embeddings CROSS JOIN co),
+       |assign AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list FROM ad GROUP BY vec_id),
+       |pairs AS (SELECT e.vec_id, cb.c, e.embedding AS ve, cb.ce,
+       |    unnest(generate_series(0, 7)) AS j FROM embeddings e CROSS JOIN cb),
+       |pd AS (SELECT vec_id, c, j, ${duckD(8, "ve", "ce", "j*8")} AS rd2 FROM pairs),
+       |codes AS (SELECT vec_id, j, (min({'d': rd2, 'c': c})).c AS cj FROM pd GROUP BY vec_id, j),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+       |qd AS (SELECT q_id, k, ${duckD(64, "qe", "ke")} AS rd2 FROM q CROSS JOIN co),
+       |probes AS (SELECT q_id, k AS list FROM (SELECT q_id, k,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn FROM qd) WHERE rn <= 2),
+       |lp AS (SELECT q.q_id, cb.c, q.qe, cb.ce,
+       |    unnest(generate_series(0, 7)) AS j FROM q CROSS JOIN cb),
+       |lut AS (SELECT q_id, c, j, ${duckD(8, "qe", "ce", "j*8")} AS lut_d2 FROM lp),
+       |cand AS (SELECT a.vec_id, p.q_id FROM assign a JOIN probes p ON a.list = p.list),
+       |adc AS (SELECT cn.q_id, cn.vec_id,
+       |    round(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6) AS adc
+       |  FROM cand cn JOIN codes cd ON cn.vec_id = cd.vec_id
+       |  JOIN lut l ON l.q_id = cn.q_id AND l.j = cd.j AND l.c = cd.cj
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The Spark twin of [[duckAdcCtes]]: returns the scored ADC
+    * candidate table `(q_id, vec_id, adc)` and the 3-row query set
+    * `(q_id, qe)`. All constant-size artifacts (coarse table,
+    * codebook, query set, LUT) broadcast; candidate selection is the
+    * inverted-index equi-join. */
+  private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def headN(n: Int, idc: String, vc: String) =
+      emb.orderBy(col("vec_id")).limit(n)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+          col("embedding").as(vc))
+    val cb = headN(16, "c", "ce")
+    val co = headN(8, "k", "ke")
+    val assign = emb.crossJoin(broadcast(co))
+      .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
+      .select(col("vec_id"), col("b.c").as("list"))
+    val codes = emb.select(col("vec_id"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("c"),
+        posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "ve", "ce", "j*8")})"""))
+          .as(Seq("j", "rd2")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
+      .select(col("vec_id"), col("j"), col("b.c").as("cj"))
+    val q = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val probes = q.crossJoin(broadcast(co))
+      .select(col("q_id"), col("k"), expr(sparkD(64, "qe", "ke")).as("rd2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("k"))))
+      .filter(col("rn") <= 2).select(col("q_id"), col("k").as("list"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("c"),
+        posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "qe", "ce", "j*8")})"""))
+          .as(Seq("j", "lut_d2")))
+    // re-aliased LUT avoids ambiguous refs in the 3-way join below
+    val lutA = lut.select(col("q_id").as("lq"), col("c").as("lc"), col("j").as("lj"), col("lut_d2"))
+    val adc2 = assign.join(broadcast(probes), Seq("list"))
+      .select(col("vec_id"), col("q_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lutA),
+        col("lq") === col("q_id") && col("lj") === col("j") && col("lc") === col("cj"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(expr("round(CAST(SUM(CAST(lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6)").as("adc"))
+    (adc2, q)
+  }
+
   val ivfPqSearch: QueryDef = {
     QueryDef(
       "q_sim_ivfpq",
-      s"""WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |ad AS (SELECT vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
-         |  FROM embeddings CROSS JOIN co),
-         |assign AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list FROM ad GROUP BY vec_id),
-         |pairs AS (SELECT e.vec_id, cb.c, e.embedding AS ve, cb.ce,
-         |    unnest(generate_series(0, 7)) AS j FROM embeddings e CROSS JOIN cb),
-         |pd AS (SELECT vec_id, c, j, ${duckD(8, "ve", "ce", "j*8")} AS rd2 FROM pairs),
-         |codes AS (SELECT vec_id, j, (min({'d': rd2, 'c': c})).c AS cj FROM pd GROUP BY vec_id, j),
-         |q AS (SELECT vec_id AS q_id, embedding AS qe
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
-         |qd AS (SELECT q_id, k, ${duckD(64, "qe", "ke")} AS rd2 FROM q CROSS JOIN co),
-         |probes AS (SELECT q_id, k AS list FROM (SELECT q_id, k,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn FROM qd) WHERE rn <= 2),
-         |lp AS (SELECT q.q_id, cb.c, q.qe, cb.ce,
-         |    unnest(generate_series(0, 7)) AS j FROM q CROSS JOIN cb),
-         |lut AS (SELECT q_id, c, j, ${duckD(8, "qe", "ce", "j*8")} AS lut_d2 FROM lp),
-         |cand AS (SELECT a.vec_id, p.q_id FROM assign a JOIN probes p ON a.list = p.list),
-         |adc AS (SELECT cn.q_id, cn.vec_id,
-         |    round(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6) AS adc
-         |  FROM cand cn JOIN codes cd ON cn.vec_id = cd.vec_id
-         |  JOIN lut l ON l.q_id = cn.q_id AND l.j = cd.j AND l.c = cd.cj
-         |  GROUP BY 1, 2)
+      s"""WITH $duckAdcCtes
          |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc
          |FROM (SELECT q_id, vec_id, adc,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
          |WHERE rn <= 5""".stripMargin) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      def headN(n: Int, idc: String, vc: String) =
-        emb.orderBy(col("vec_id")).limit(n)
-          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
-            col("embedding").as(vc))
-      val cb = headN(16, "c", "ce")
-      val co = headN(8, "k", "ke")
-      val assign = emb.crossJoin(broadcast(co))
-        .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
-        .select(col("vec_id"), col("b.c").as("list"))
-      val codes = emb.select(col("vec_id"), col("embedding").as("ve"))
-        .crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("c"),
-          posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "ve", "ce", "j*8")})"""))
-            .as(Seq("j", "rd2")))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
-        .select(col("vec_id"), col("j"), col("b.c").as("cj"))
-      val q = emb.orderBy(col("vec_id")).limit(3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val probes = q.crossJoin(broadcast(co))
-        .select(col("q_id"), col("k"), expr(sparkD(64, "qe", "ke")).as("rd2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("k"))))
-        .filter(col("rn") <= 2).select(col("q_id"), col("k").as("list"))
-      val lut = q.crossJoin(broadcast(cb))
-        .select(col("q_id"), col("c"),
-          posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "qe", "ce", "j*8")})"""))
-            .as(Seq("j", "lut_d2")))
-      // re-aliased LUT avoids ambiguous refs in the 3-way join below
-      val lutA = lut.select(col("q_id").as("lq"), col("c").as("lc"), col("j").as("lj"), col("lut_d2"))
-      val adc2 = assign.join(broadcast(probes), Seq("list"))
-        .select(col("vec_id"), col("q_id"))
-        .join(codes, Seq("vec_id"))
-        .join(broadcast(lutA),
-          col("lq") === col("q_id") && col("lj") === col("j") && col("lc") === col("cj"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(expr("round(CAST(SUM(CAST(lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6)").as("adc"))
+      val (adc2, _) = adcCandidates(s, dir)
       adc2.withColumn("rn", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
         .filter(col("rn") <= 5)
@@ -524,6 +541,80 @@ object Similarity {
       .union(overlap("lsh", alsh, elsh, "qid", 3))
   }
 
+  /** TWO-STAGE RE-RANK — the standard fix for the ADC quantization
+    * error [[simRecall]] documents (IVF-PQ recall@5 = 2/5 on these
+    * embeddings): stage 1 keeps the shipped IVF-PQ plan but takes the
+    * ADC top-50 per query; stage 2 re-scores ONLY those candidates
+    * with the exact 64-d distance and re-ranks to top-5. Output: per
+    * query, the exact-integer recall@5 of the raw ADC top-5 and of
+    * the re-ranked top-5 side by side — the improvement IS the
+    * deliverable (what re-ranking recovers is ADC misranking inside
+    * the probed lists; what it cannot recover is a true neighbor in
+    * an unprobed list, which is the nprobe knob's job).
+    *
+    * Scale shape: stage 1 is [[adcCandidates]] unchanged (broadcast
+    * LUT / coarse table / query set, inverted-index equi-join);
+    * stage 2 broadcasts the 150-row candidate set into ONE embedding
+    * equi-join — 50 exact distances per query regardless of corpus
+    * size, never a second full-scan rank. That O(candidates) exact
+    * stage is why every production IVF-PQ deployment ships exactly
+    * this two-stage shape. */
+  val simRerank: QueryDef = QueryDef(
+    "q_sim_rerank",
+    s"""WITH $duckAdcCtes,
+       |base AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= 5),
+       |r50 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= 50),
+       |rr AS (SELECT r.q_id, r.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |  FROM r50 r JOIN q ON q.q_id = r.q_id JOIN embeddings e ON e.vec_id = r.vec_id),
+       |rtop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM rr) WHERE rn <= 5),
+       |ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |  FROM q CROSS JOIN embeddings e),
+       |epq AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed) WHERE rn <= 5),
+       |hb AS (SELECT b.q_id, COUNT(*) AS n FROM base b
+       |  JOIN epq e ON b.q_id = e.q_id AND b.vec_id = e.vec_id GROUP BY 1),
+       |hr AS (SELECT r.q_id, COUNT(*) AS n FROM rtop r
+       |  JOIN epq e ON r.q_id = e.q_id AND r.vec_id = e.vec_id GROUP BY 1)
+       |SELECT qq.q_id, CAST(5 AS BIGINT) AS k,
+       |  CAST(coalesce(hb.n, 0) AS BIGINT) AS n_hit_adc,
+       |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_hit_rerank
+       |FROM (SELECT DISTINCT q_id FROM epq) qq
+       |LEFT JOIN hb ON hb.q_id = qq.q_id
+       |LEFT JOIN hr ON hr.q_id = qq.q_id""".stripMargin) { (s, dir) =>
+    val (adc2, q) = adcCandidates(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def topAdc(n: Int) = adc2.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= n).select(col("q_id"), col("vec_id"))
+    val base = topAdc(5)
+    val r50 = topAdc(50)
+    val rr = emb.join(broadcast(r50), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2"))
+    val rtop = rr.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    val epq = emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    // every overlap table is bounded by k×|queries| (constant, never
+    // SF-scaling) but window-derived so statless — broadcast explicitly
+    def hits(a: org.apache.spark.sql.DataFrame, as: String) =
+      a.join(broadcast(epq), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(as))
+    epq.select(col("q_id")).distinct()
+      .join(broadcast(hits(base, "nb")), Seq("q_id"), "left")
+      .join(broadcast(hits(rtop, "nr")), Seq("q_id"), "left")
+      .select(col("q_id"), lit(5L).as("k"),
+        coalesce(col("nb"), lit(0L)).as("n_hit_adc"),
+        coalesce(col("nr"), lit(0L)).as("n_hit_rerank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
-    pqCodes, ivfPqSearch, simRecall)
+    pqCodes, ivfPqSearch, simRecall, simRerank)
 }

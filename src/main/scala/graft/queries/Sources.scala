@@ -351,6 +351,81 @@ object Sources {
         expr("CAST(before_me DIV 500000 AS BIGINT)").as("compact_group"))
   }
 
+  /** SMALL-FILE COMPACTION EXECUTION — [[compactPlan]]'s second half,
+    * run end-to-end on a real layout: the 1995 order partition is
+    * first written as the pathological small-file layout (4 hash
+    * shards × 12 month dirs ≈ 48 files), the next-fit bin plan is
+    * computed from that layout's manifest (same window shape as
+    * q_compact_plan, 100 KB target), and each bin is REWRITTEN as
+    * exactly one file (repartition on the group key → partitioned
+    * write, so every group lands in a single task). The rewrite goes
+    * to a SEPARATE scratch dir — never a read-modify-write onto the
+    * layout being read (CLAUDE.md self-overwrite trap) — and the
+    * file-count reduction is require()-gated (a failed compaction
+    * fails the query, not just a metric). Output: per-bin row count +
+    * the order-insensitive md5-prefix DECIMAL checksum of
+    * [[Profiling.tableChecksum]] computed from the COMPACTED
+    * read-back; the oracle re-derives both from the source table, so
+    * a row lost/duplicated/mangled by the rewrite hash-mismatches.
+    *
+    * Scale shape: planning is manifest-sized; the rewrite is one
+    * shuffle keyed by compact_group (each 100 TB partition compacts
+    * independently and in parallel); the proof pass is the cheapest
+    * full-scan shape (map + zero-group partial/final agg per bin). */
+  val compactExec: QueryDef = {
+    val ordCanon = "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), CAST(CAST(o_orderdate AS DATE) AS VARCHAR))"
+    QueryDef(
+      "q_compact_exec",
+      s"""WITH o95 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m
+         |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+         |files AS (SELECT m, COUNT(*) * 100 AS est_bytes FROM o95 GROUP BY 1),
+         |w AS (SELECT m, coalesce(SUM(est_bytes) OVER (ORDER BY m
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_me FROM files),
+         |plan AS (SELECT m, CAST(before_me // 100000 AS BIGINT) AS compact_group FROM w),
+         |j AS (SELECT o95.*, compact_group FROM o95 JOIN plan USING (m))
+         |SELECT compact_group, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(CAST('0x' || substr(md5($ordCanon), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val small = scratch("compact_small")
+      val binned = scratch("compact_binned")
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .repartition(4, col("o_orderkey"))
+        .write.partitionBy("m").mode("overwrite").parquet(small)
+      val layout = s.read.parquet(small)
+      val planW = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val plan = layout.groupBy(col("m"))
+        .agg((count(lit(1)) * 100).as("est_bytes"))
+        .withColumn("before_me", coalesce(sum(col("est_bytes")).over(planW), lit(0L)))
+        .select(col("m"), expr("CAST(before_me DIV 100000 AS BIGINT)").as("compact_group"))
+      layout.join(broadcast(plan), Seq("m"))
+        .repartition(col("compact_group"))
+        .write.partitionBy("compact_group").mode("overwrite").parquet(binned)
+      def countParts(root: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory)
+            Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
+          else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) 1
+          else 0
+        walk(new java.io.File(root))
+      }
+      val (before, after) = (countParts(small), countParts(binned))
+      require(after < before,
+        s"compaction must reduce the file count: $before -> $after")
+      val canon = ordCanon.replace("AS VARCHAR", "AS STRING")
+      s.read.parquet(binned)
+        .groupBy(col("compact_group").cast("long").as("compact_group"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr(s"CAST(SUM(CAST(conv(substr(md5($canon), 1, 12), 16, 10) AS DECIMAL(38,0))) AS STRING)").as("checksum"))
+    }
+  }
+
   /** TRAINING-EXPORT LANE: the deduped corpus leaves the engine as
     * split-partitioned gzip JSONL — the trainer-facing wire format.
     * Lines are built by explicit concatenation (text payload hex'd —
@@ -565,6 +640,6 @@ object Sources {
 
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
-    schemaEvolution, catalogTable, compactPlan, exportJsonl, codecAudit, analyzeStats,
-    analyzeColStats, snapshotGc)
+    schemaEvolution, catalogTable, compactPlan, compactExec, exportJsonl, codecAudit,
+    analyzeStats, analyzeColStats, snapshotGc)
 }
