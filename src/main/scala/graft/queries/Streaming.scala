@@ -34,6 +34,71 @@ object Streaming {
     }
   }
 
+  /** Run `body` with a session conf override, restoring afterwards —
+    * used to pick the RocksDB state-store provider for the
+    * heavy-state stream-stream join lanes (the provider is bound per
+    * streaming query at start time from the session conf). */
+  private def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private val rocksdbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Per-process memoized stream-source snapshot of the shared events
+    * projection (event_id, ts, user_id, event_type): the two
+    * stream-stream join lanes read the identical snapshot, so it is
+    * written once per process instead of once per lane. */
+  private val eventsSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsStreamSrc(s: SparkSession, dir: String): String =
+    eventsSrcCache.computeIfAbsent(dir, _ => {
+      val src = scratch("events_stream_src")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(src)
+      src
+    })
+
+  /** Write a sliced micro-batch feed in ONE job: `df` must carry an
+    * integer `slice` column in [0, n); rows land as n mtime-ordered
+    * single-file parquet slices under `dstDirPath` (slice-keyed
+    * repartition → partitioned write → move+pin). Replaces the
+    * write-per-slice loop every 4-batch lane used, which re-executed
+    * the upstream plan once PER SLICE (q_stream_ivm recomputed its CDC
+    * full-outer join 4×). A slice with no rows still gets a (0-row)
+    * file so batch ids stay stable — partitioned writes drop empty
+    * groups, hence the explicit fallback. */
+  private def writeSlices(s: SparkSession, df: DataFrame, n: Int,
+      dstDirPath: String, tag: String): java.io.File = {
+    val tmp = scratch(s"${tag}_sliced")
+    df.repartition(col("slice"))
+      .write.partitionBy("slice").mode("overwrite").parquet(tmp)
+    val dstDir = new java.io.File(dstDirPath)
+    dstDir.mkdirs()
+    for (i <- 0 until n) {
+      val d = new java.io.File(tmp, s"slice=$i")
+      val part = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse {
+          val e = scratch(s"${tag}_empty_$i")
+          df.drop("slice").limit(0).coalesce(1).write.mode("overwrite").parquet(e)
+          new java.io.File(e).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        }
+      val dstF = new java.io.File(dstDir, f"b_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dstF.toPath)
+      // file source orders by modification time: pin the batch order
+      dstF.setLastModified(1700000000000L + i * 60000L)
+    }
+    dstDir
+  }
+
   /** Oracle body for the good-row expectation: everything in lineitem
     * except the three injected failure classes. */
   private val goodRowsSql =
@@ -212,10 +277,9 @@ object Streaming {
       |  ON p.user_id = c.user_id
       | AND p.event_type = 'purchase' AND c.event_type = 'click'
       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'""".stripMargin) { (s, dir) =>
-    withShufflePartitions(s, 8) {
-    val src = scratch("ssj_src")
-    Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .write.mode("overwrite").parquet(src)
+    withShufflePartitions(s, 4) {
+    withConf(s, "spark.sql.streaming.stateStore.providerClass", rocksdbProvider) {
+    val src = eventsStreamSrc(s, dir)
     def side(t: String, pfx: String) =
       s.readStream.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
         .parquet(src)
@@ -236,6 +300,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("graft_ssj")
+    }
     }
   }
 
@@ -403,29 +468,25 @@ object Streaming {
     val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
     val lo = tsMicros(mm.getTimestamp(0))
     val hi = tsMicros(mm.getTimestamp(1))
-    val srcDir = new java.io.File(scratch("sess_src"))
     val nSlices = 4
     val sentinelUs = hi + gapUs + 3600L * 1000000
-    for (i <- 0 until nSlices) {
-      val sliceLo = lo + (hi - lo + 1) * i / nSlices
-      val sliceHi = lo + (hi - lo + 1) * (i + 1) / nSlices
-      var slice = ev.filter(
-        unix_micros(col("ts")) >= sliceLo && unix_micros(col("ts")) < sliceHi)
-      if (i == nSlices - 1)
-        // watermark sentinel: one fake far-future event whose user is
-        // filtered out of the output; it pushes the watermark past
-        // every real session's last + gap so the timeouts fire
-        slice = slice.unionByName(Seq((-1L, microsTs(sentinelUs), 0L))
-          .toDF("user_id", "ts", "event_id"))
-      val tmp = scratch(s"sess_tmp_$i")
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dstF = new java.io.File(srcDir, f"slice_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dstF.toPath)
-      // file source orders by modification time: pin the batch order
-      dstF.setLastModified(1700000000000L + i * 60000L)
+    // same integer-division slice boundaries as the old per-slice
+    // filters, expressed as ONE slice column (single write job)
+    val bounds = (1 until nSlices).map(i => lo + (hi - lo + 1) * i / nSlices)
+    val us = unix_micros(col("ts"))
+    val sliceExpr = bounds.zipWithIndex.foldRight(
+        lit(nSlices - 1): org.apache.spark.sql.Column) {
+      case ((b, i), els) => when(us < b, i).otherwise(els)
     }
+    // watermark sentinel: one fake far-future event whose user is
+    // filtered out of the output; it pushes the watermark past every
+    // real session's last + gap so the timeouts fire (last slice)
+    val sentinel = Seq((-1L, microsTs(sentinelUs), 0L))
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("slice", lit(nSlices - 1))
+    val srcDir = writeSlices(s,
+      ev.withColumn("slice", sliceExpr.cast("int")).unionByName(sentinel),
+      nSlices, scratch("sess_src"), "sess")
 
     // --- the incremental sessionizer ---------------------------------
     val stream = s.readStream
@@ -533,10 +594,9 @@ object Streaming {
       |FROM p, m
       |WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
       |  AND p.pts < mx - INTERVAL '1 hour'""".stripMargin) { (s, dir) =>
-    withShufflePartitions(s, 8) {
-    val src = scratch("ssjo_src")
-    Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .write.mode("overwrite").parquet(src)
+    withShufflePartitions(s, 4) {
+    withConf(s, "spark.sql.streaming.stateStore.providerClass", rocksdbProvider) {
+    val src = eventsStreamSrc(s, dir)
     def side(t: String, pfx: String) =
       s.readStream.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
         .parquet(src)
@@ -559,6 +619,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("graft_ssjo")
+    }
     }
   }
 
@@ -623,18 +684,11 @@ object Streaming {
           coalesce(col("cck"), col("pck")).as("o_custkey"),
           expr("CAST(coalesce(cp, CAST(0 AS DECIMAL(20,6))) - coalesce(pp, CAST(0 AS DECIMAL(20,6))) AS DECIMAL(20,6))").as("dp"),
           expr("CAST(CASE WHEN pk IS NULL THEN 1 WHEN ck IS NULL THEN -1 ELSE 0 END AS BIGINT)").as("dc"))
-      val srcDir = new java.io.File(scratch("sivm_src"))
-      srcDir.mkdirs()
-      for (i <- 0 until 4) {
-        val tmp = scratch(s"sivm_tmp_$i")
-        delta.filter(pmod(col("okey"), lit(4)) === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dstF = new java.io.File(srcDir, f"delta_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dstF.toPath)
-        dstF.setLastModified(1700000000000L + i * 60000L)
-      }
+      // ONE job for all four delta slices (the per-slice loop
+      // re-executed the CDC full-outer join once per slice)
+      val srcDir = writeSlices(s,
+        delta.withColumn("slice", pmod(col("okey"), lit(4)).cast("int")),
+        4, scratch("sivm_src"), "sivm")
 
       val q = s.readStream
         .schema("okey BIGINT, o_custkey BIGINT, dp DECIMAL(20,6), dc BIGINT")
@@ -750,18 +804,10 @@ object Streaming {
       retain: Option[Int] = None): String =
     withShufflePartitions(s, 8) {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
-      val srcDir = new java.io.File(scratch(s"${tag}_src"))
-      srcDir.mkdirs()
-      for (i <- 0 until 4) {
-        val tmp = scratch(s"${tag}_tmp_$i")
-        ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dstF = new java.io.File(srcDir, f"b_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dstF.toPath)
-        dstF.setLastModified(1700000000000L + i * 60000L)
-      }
+      // ONE job for all four batch slices (was one events scan per slice)
+      val srcDir = writeSlices(s,
+        ev.withColumn("slice", pmod(col("event_id"), lit(4)).cast("int")),
+        4, scratch(s"${tag}_src"), tag)
       val stateRoot = scratch(s"${tag}_state")
       graft.pipeline.UpsertState.init(s, stateRoot)
       val q = s.readStream
