@@ -272,6 +272,12 @@ object PlanAudit {
       // the embedding scan (never a second full-scan loop) with top-5
       // folding below the shuffle
       "q_sim_rerank" -> Seq("BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"),
+      // nprobe sweep: three nested-probe ADC instances unioned; the
+      // exact reference joins back as broadcasts
+      "q_sim_nprobe" -> Seq("Union", "BroadcastHashJoin", "WindowGroupLimit"),
+      // change data feed: gen-vs-gen diff is ONE keyed full-outer hash
+      // join of two |keys|-sized snapshots — no log refold, no loop
+      "q_stream_cdf" -> Seq("FullOuter", "!NestedLoop", "!CartesianProduct"),
       // SCD-2 build: customer-partitioned windows + one agg, no join
       "q_scd2_build" -> Seq("Window", "HashAggregate", "!Join"),
       // node Jaccard: wedge equi-join over the persisted collapsed

