@@ -54,7 +54,7 @@ object Bench {
     "q_dedup_lsh_pairs", "q_dedup_jaccard", "q_sim_topk", "q_sim_ivf",
     "q_text_ngrams", "q_pipeline_batch", "q_pipeline_stream",
     "q_stream_tumbling", "q_stream_join", "q_session_window",
-    "q_dedup_hamming_multiprobe", "q_dedup_ngram_spans")
+    "q_dedup_hamming_multiprobe", "q_dedup_ngram_spans", "q_multimodal_neardup")
 
   private def fmt(d: Double): String = "%.3f".formatLocal(Locale.ROOT, d)
 
