@@ -29,6 +29,14 @@ object PlanAudit {
       "q_join_shuffle" -> Seq("Join", "partial_sum", "AQEShuffleRead"),
       "q_sim_topk" -> Seq("BroadcastNestedLoopJoin", "WindowGroupLimit", "cosine"),
       "q_dedup_lsh_pairs" -> Seq("LeftSemi", "HashAggregate"),
+      // hot-bucket splitting: every level's candidates still come from
+      // equi-joins on the level-prefixed key with semi-join size
+      // guards — the escalation ladder never introduces a loop join
+      "q_dedup_lsh_split" -> Seq("Generate", "HashAggregate", "LeftSemi", "!NestedLoop", "!CartesianProduct"),
+      // recall metric: the quadratic truth side is confined to ONE
+      // sampled block (broadcast 1-row block selector, equi block key);
+      // overlap joins are keyed — no corpus-wide loop anywhere
+      "q_dedup_recall" -> Seq("HashAggregate", "BroadcastHashJoin", "!CartesianProduct"),
       "q_win_topk" -> Seq("WindowGroupLimit"),
       // round 2: partition pruning, existence/semi decorrelation,
       // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject
