@@ -37,6 +37,11 @@ object PlanAudit {
       // sampled block (broadcast 1-row block selector, equi block key);
       // overlap joins are keyed — no corpus-wide loop anywhere
       "q_dedup_recall" -> Seq("HashAggregate", "BroadcastHashJoin", "!CartesianProduct"),
+      // cluster survivorship: contraction map + clique sizes are
+      // hash-aggregates feeding keyed joins; the iterative loop ran
+      // on the contracted rep graph (checkpointed RDD leaves), and no
+      // stage of the expansion may fall back to a loop join
+      "q_dedup_clusters" -> Seq("HashAggregate", "Window", "Scan ExistingRDD", "!NestedLoop", "!CartesianProduct"),
       "q_win_topk" -> Seq("WindowGroupLimit"),
       // round 2: partition pruning, existence/semi decorrelation,
       // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject

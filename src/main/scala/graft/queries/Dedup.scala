@@ -224,10 +224,14 @@ object Dedup {
        |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
        |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5)""".stripMargin
 
-  /** Spark side of the split pipeline: verified near-dup pairs whose
-    * candidates come from banded LSH with hot-bucket SPLITTING. */
-  private def splitVerifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** Spark side of the split pipeline: returns the persisted word
+    * table, the persisted signature table, and the verified near-dup
+    * pairs whose candidates come from banded LSH with hot-bucket
+    * SPLITTING ([[dedupLshSplit]]); [[dedupClusters]] reuses the
+    * first two for its signature-identical cliques + survivorship. */
+  private def splitPipeline(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cap = 20
     // post-refinement cap is looser: 3-row agreement is already strong
@@ -282,13 +286,14 @@ object Dedup {
       .join(keys.select(col("doc_id").as("d2"), col("k").as("k2")),
         col("k") === col("k2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    cand
+    val verified = cand
       .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
       .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
       .withColumn("jaccard",
         expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
+    (w, sig, verified)
   }
 
   /** BANDED LSH WITH HOT-BUCKET SPLITTING — the recall-preserving
@@ -330,7 +335,7 @@ object Dedup {
     s"""WITH $duckVerifiedPairsCtes,
        |$duckSplitPairsCtes
        |SELECT d1, d2, jaccard FROM pairs2""".stripMargin) { (s, dir) =>
-    splitVerifiedPairs(s, dir)
+    splitPipeline(s, dir)._3
   }
 
   /** THE components engine — min-label propagation with pointer
@@ -1030,7 +1035,7 @@ object Dedup {
        |FROM jn GROUP BY 1""".stripMargin) { (s, dir) =>
     val capped = lshVerifiedPairs(s, dir)._2
       .select(col("d1"), col("d2"), lit(true).as("found_capped"))
-    val split = splitVerifiedPairs(s, dir)
+    val split = splitPipeline(s, dir)._3
       .select(col("d1"), col("d2"), lit(true).as("found_split"))
     val docs = Tables.documents(s, dir)
     val blk = docs.agg(min(col("lang")).as("blang"), min(col("source")).as("bsource"))
@@ -1060,9 +1065,107 @@ object Dedup {
         sum(when(col("found_split"), 1).otherwise(0)).cast("long").as("n_found_split"))
   }
 
+
+  /** FULL-CORPUS DUPLICATE CLUSTERS — the cluster-level survivorship
+    * the [[dedupLshSplit]] residual note prescribes, made operational:
+    * the duplicate graph is the union of (a) the split ladder's
+    * exact-verified pairs and (b) SIGNATURE-IDENTICAL CLIQUES as
+    * linear member→representative star edges — docs sharing the
+    * entire 8-row MinHash signature carry the estimator's own
+    * Ĵ = 8/8 = 1.0 verdict, so production clusters them WITHOUT
+    * pairwise verification (the 144-doc template clique that no key
+    * scheme can split and that pairwise lanes honestly cannot
+    * afford). Components resolve via the shared one-job-per-round
+    * [[componentLabels]] engine; survivorship = longest doc wins,
+    * doc_id breaks ties (the [[dedupComponents]] policy). The oracle
+    * re-derives the star edges and walks the same union graph
+    * recursively.
+    *
+    * Scale shape: the graph is CONTRACTED before the iterative loop —
+    * every doc maps to its signature-representative (one hash-agg +
+    * one equi-join, linear in clique size), verified pair endpoints
+    * are rewritten through that mapping, and [[componentLabels]] runs
+    * on the rep-level graph only (the 144-doc clique enters the loop
+    * as ONE node, not 144 rows carried through every round); members
+    * expand back through the mapping afterwards. Contraction
+    * preserves labels exactly: reps are clique minima, so the
+    * component's min rep IS its min doc id. Survivorship is one
+    * window over the clustered docs. */
+  /** Contraction core of [[dedupClusters]], factored out so the
+    * label-preservation invariant is spec-testable on synthetic
+    * graphs: given the doc→signature-representative map `m`
+    * (reps MUST be clique minima) and verified cross-doc pairs,
+    * returns (doc_id, cluster_id) for every doc in a duplicate
+    * cluster of size >= 2 — identical, by the clique-minimum
+    * argument, to running [[componentLabels]] on the UNCONTRACTED
+    * pairs ∪ star-edges graph. */
+  private[queries] def contractedClusters(
+      m: org.apache.spark.sql.DataFrame,
+      verified: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // contract: rewrite verified-pair endpoints through the map; edges
+    // inside one clique vanish, cliques enter the loop as one node
+    val cedges = verified
+      .join(m.select(col("doc_id").as("d1"), col("rep").as("r1")), Seq("d1"))
+      .join(m.select(col("doc_id").as("d2"), col("rep").as("r2")), Seq("d2"))
+      .filter(col("r1") =!= col("r2"))
+      .select(least(col("r1"), col("r2")).as("d1"),
+        greatest(col("r1"), col("r2")).as("d2"))
+      .distinct()
+    val repLabels = componentLabels(cedges)
+      .select(col("node").as("rep"), col("lbl"))
+    // expand: a doc clusters if its rep is in a labeled component OR
+    // its clique has >= 2 members (the star-only clusters); cluster id
+    // = component min rep = component min doc id (reps are clique minima)
+    val csize = m.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+    m.join(repLabels, Seq("rep"), "left")
+      .join(csize, Seq("rep"))
+      .filter(col("lbl").isNotNull || col("n_members") >= 2)
+      .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
+  }
+
+  val dedupClusters: QueryDef = QueryDef(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE $duckVerifiedPairsCtes,
+       |$duckSplitPairsCtes,
+       |sgrp AS (SELECT sg, min(doc_id) AS rep FROM sig GROUP BY sg),
+       |stars AS (SELECT g.rep AS d1, s.doc_id AS d2
+       |  FROM sig s JOIN sgrp g ON s.sg = g.sg WHERE s.doc_id <> g.rep),
+       |alle AS (SELECT d1, d2 FROM pairs2 UNION SELECT d1, d2 FROM stars),
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM alle UNION ALL SELECT d2, d1 FROM alle),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM bi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM walk wk JOIN bi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+       |sized2 AS (SELECT comp.doc_id, cluster_id, len(w.ws) AS n_words
+       |  FROM comp JOIN w ON w.doc_id = comp.doc_id),
+       |ranked AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) AS rn
+       |  FROM sized2)
+       |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS is_keeper
+       |FROM ranked""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (w, sig, verified) = splitPipeline(s, dir)
+    val grp = sig.groupBy(col("sg")).agg(min(col("doc_id")).as("rep"))
+    // doc -> signature-representative mapping (the contraction map)
+    val m = sig.join(grp, Seq("sg"))
+      .select(col("doc_id"), col("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    contractedClusters(m, verified)
+      .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("rn") === 1).as("is_keeper"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
-    dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall)
+    dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
+    dedupClusters)
 }
