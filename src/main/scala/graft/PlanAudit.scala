@@ -42,6 +42,22 @@ object PlanAudit {
       // on the contracted rep graph (checkpointed RDD leaves), and no
       // stage of the expansion may fall back to a loop join
       "q_dedup_clusters" -> Seq("HashAggregate", "Window", "Scan ExistingRDD", "!NestedLoop", "!CartesianProduct"),
+      // incremental cluster merge: the capped band equi-joins (with
+      // their semi-join size guards) feed the CHECKPOINTED loops, so
+      // the final plan shows the contracted-supernode expansion only
+      // (RDD-scan leaves + keyed joins); no loop join anywhere
+      "q_dedup_clusters_incr" -> Seq("HashAggregate", "Scan ExistingRDD", "!NestedLoop", "!CartesianProduct"),
+      // SemDeDup: the ONLY loop join is the deliberate x8 broadcast
+      // centroid fan-out; the quadratic pass must stay confined to a
+      // cell EQUI-join (cid key), never a corpus cross join
+      "q_dedup_semantic" -> Seq("BroadcastNestedLoopJoin", "cosine", "HashAggregate", "!CartesianProduct"),
+      // k-hop BFS: frontier expansion is keyed joins + anti-joins
+      // against the visited set — no loop join anywhere
+      "q_graph_bfs" -> Seq("LeftAnti", "HashAggregate", "!NestedLoop", "!CartesianProduct"),
+      // trained quality filter: each gradient step's weight row joins
+      // back as a 1-row BROADCAST (the only loop joins are those x1
+      // fan-outs); gradient sums are partial+final hash-aggs
+      "q_text_quality_train" -> Seq("BroadcastNestedLoopJoin", "partial_", "HashAggregate", "!CartesianProduct"),
       "q_win_topk" -> Seq("WindowGroupLimit"),
       // round 2: partition pruning, existence/semi decorrelation,
       // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject

@@ -884,6 +884,87 @@ object Dedup {
       .select(col("v1"), col("v2"), col("bucket"), col("cos_sim"))
   }
 
+  /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): partition
+    * the embedding space into K centroid cells, then call a vector a
+    * semantic duplicate when a LOWER-id cell-mate sits within cosine
+    * >= 0.3 — the "same meaning, different words" layer that MinHash
+    * (surface n-grams) cannot see. Centroids are the K=8 lowest-id
+    * vectors (the deterministic stand-in for a trained codebook, the
+    * [[Similarity.kmeansStep]] convention); assignment is nearest
+    * centroid by cosine with centroid-id tie-break. Output per
+    * vector: its cell, the max similarity to any cell-mate, and the
+    * keep verdict (min-id survivor, the policy every dedup lane here
+    * uses).
+    *
+    * Scale shape — the paper's own design: K centroid rows BROADCAST
+    * and assignment is a bounded ×K map-side fan-out + one
+    * per-vector argmax; the quadratic similarity pass is CONFINED
+    * within a cell (a cell equi-join, never a corpus cross join),
+    * and production scales K ∝ N so the expected cell size — and
+    * with it the per-cell pair count — stays constant. Determinism:
+    * assignment ranks raw cosines (bit-identical sequential folds in
+    * both engines) with cid tie-break; max_intra_sim is rounded to
+    * 6 dp with the +0.0 normalization. */
+  val dedupSemantic: QueryDef = QueryDef(
+    "q_dedup_semantic",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM e ORDER BY vec_id LIMIT 8),
+      |sims AS (
+      | SELECT e.vec_id, cid,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ce[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM e, c),
+      |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rk
+      |  FROM sims) WHERE rk = 1),
+      |mates AS (
+      | SELECT a.vec_id, b.vec_id AS mate,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      | JOIN e ea ON ea.vec_id = a.vec_id
+      | JOIN e eb ON eb.vec_id = b.vec_id),
+      |agg AS (SELECT vec_id, max(cos_sim) AS mx,
+      |  bool_or(cos_sim >= 0.3 AND mate < vec_id) AS dup
+      | FROM mates GROUP BY vec_id)
+      |SELECT a.vec_id, a.cid AS centroid_id,
+      |  round(g.mx, 6) + 0.0 AS max_intra_sim,
+      |  NOT g.dup AS is_kept
+      |FROM asg a JOIN agg g ON g.vec_id = a.vec_id""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val c = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))
+    val asg = e.join(broadcast(c))
+      .withColumn("cos_sim", expr("cosine_sim(ce, embedding)"))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mates = asg.select(col("vec_id"), col("cid"), col("embedding").as("ea"))
+      .join(asg.select(col("vec_id").as("mate"), col("cid").as("cid2"),
+        col("embedding").as("eb")),
+        col("cid") === col("cid2") && col("vec_id") =!= col("mate"))
+      .withColumn("cos_sim", expr("cosine_sim(ea, eb)"))
+    mates.groupBy(col("vec_id"))
+      .agg(max(col("cos_sim")).as("mx"),
+        max(col("cos_sim") >= 0.3 && col("mate") < col("vec_id")).as("dup"))
+      .join(asg.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .select(col("vec_id"), col("cid").as("centroid_id"),
+        (round(col("mx"), 6) + lit(0.0)).as("max_intra_sim"),
+        (!col("dup")).as("is_kept"))
+  }
+
   /** Cross-document CHUNK dedup (the CCNet/RefinedWeb paragraph-dedup
     * shape): documents are split into non-overlapping 10-word chunks;
     * a chunk survives only in the lowest-doc_id document that contains
@@ -1066,31 +1147,6 @@ object Dedup {
   }
 
 
-  /** FULL-CORPUS DUPLICATE CLUSTERS — the cluster-level survivorship
-    * the [[dedupLshSplit]] residual note prescribes, made operational:
-    * the duplicate graph is the union of (a) the split ladder's
-    * exact-verified pairs and (b) SIGNATURE-IDENTICAL CLIQUES as
-    * linear member→representative star edges — docs sharing the
-    * entire 8-row MinHash signature carry the estimator's own
-    * Ĵ = 8/8 = 1.0 verdict, so production clusters them WITHOUT
-    * pairwise verification (the 144-doc template clique that no key
-    * scheme can split and that pairwise lanes honestly cannot
-    * afford). Components resolve via the shared one-job-per-round
-    * [[componentLabels]] engine; survivorship = longest doc wins,
-    * doc_id breaks ties (the [[dedupComponents]] policy). The oracle
-    * re-derives the star edges and walks the same union graph
-    * recursively.
-    *
-    * Scale shape: the graph is CONTRACTED before the iterative loop —
-    * every doc maps to its signature-representative (one hash-agg +
-    * one equi-join, linear in clique size), verified pair endpoints
-    * are rewritten through that mapping, and [[componentLabels]] runs
-    * on the rep-level graph only (the 144-doc clique enters the loop
-    * as ONE node, not 144 rows carried through every round); members
-    * expand back through the mapping afterwards. Contraction
-    * preserves labels exactly: reps are clique minima, so the
-    * component's min rep IS its min doc id. Survivorship is one
-    * window over the clustered docs. */
   /** Contraction core of [[dedupClusters]], factored out so the
     * label-preservation invariant is spec-testable on synthetic
     * graphs: given the doc→signature-representative map `m`
@@ -1123,6 +1179,32 @@ object Dedup {
       .filter(col("lbl").isNotNull || col("n_members") >= 2)
       .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
   }
+
+  /** FULL-CORPUS DUPLICATE CLUSTERS — the cluster-level survivorship
+    * the [[dedupLshSplit]] residual note prescribes, made operational:
+    * the duplicate graph is the union of (a) the split ladder's
+    * exact-verified pairs and (b) SIGNATURE-IDENTICAL CLIQUES as
+    * linear member→representative star edges — docs sharing the
+    * entire 8-row MinHash signature carry the estimator's own
+    * Ĵ = 8/8 = 1.0 verdict, so production clusters them WITHOUT
+    * pairwise verification (the 144-doc template clique that no key
+    * scheme can split and that pairwise lanes honestly cannot
+    * afford). Components resolve via the shared one-job-per-round
+    * [[componentLabels]] engine; survivorship = longest doc wins,
+    * doc_id breaks ties (the [[dedupComponents]] policy). The oracle
+    * re-derives the star edges and walks the same union graph
+    * recursively.
+    *
+    * Scale shape: the graph is CONTRACTED before the iterative loop —
+    * every doc maps to its signature-representative (one hash-agg +
+    * one equi-join, linear in clique size), verified pair endpoints
+    * are rewritten through that mapping, and [[componentLabels]] runs
+    * on the rep-level graph only (the 144-doc clique enters the loop
+    * as ONE node, not 144 rows carried through every round); members
+    * expand back through the mapping afterwards. Contraction
+    * preserves labels exactly: reps are clique minima, so the
+    * component's min rep IS its min doc id. Survivorship is one
+    * window over the clustered docs. */
 
   val dedupClusters: QueryDef = QueryDef(
     "q_dedup_clusters",
@@ -1162,10 +1244,132 @@ object Dedup {
         (col("rn") === 1).as("is_keeper"))
   }
 
+  /** INCREMENTAL CLUSTER MAINTENANCE — the nightly companion of
+    * [[dedupClusters]]: yesterday's corpus (doc_id % 10 <> 0) already
+    * carries cluster labels; tonight's batch (doc_id % 10 = 0, the
+    * [[dedupIncremental]] split) must JOIN, BRIDGE, or FOUND clusters
+    * without re-running old×old pair finding. The merge is
+    * [[contractedClusters]] with the contraction map = existing
+    * cluster labels: every old cluster enters the loop as ONE
+    * supernode (labels are cluster minima, so the preservation
+    * theorem [[ClusterContractionSpec]] pins applies verbatim), and
+    * only delta pairs — new×corpus candidates from TODAY'S band
+    * table, exact-Jaccard verified — are edges. Output per clustered
+    * doc: cluster id, prior cluster id (-1 if previously unclustered)
+    * and a status verdict (stable / merged / added), the audit trail
+    * a nightly pipeline publishes.
+    *
+    * Scale shape: the delta candidate join is new-batch-sized on one
+    * side (band equi-join, 2..20 bucket cap); the merge loop runs on
+    * the CONTRACTED graph (supernodes + new docs touched by pairs),
+    * so its cost tracks the delta, not the corpus. The old-side pair
+    * + label recomputation here stands in for reading yesterday's
+    * persisted label table (the [[dedupIncrementalStore]] pattern);
+    * in production that side is a catalog-table scan and the nightly
+    * cost is O(new batch + affected clusters). The oracle walks the
+    * flat opairs ∪ ipairs graph recursively — equality IS the
+    * incremental-equals-full-recompute proof. */
+  val dedupClustersIncr: QueryDef = QueryDef(
+    "q_dedup_clusters_incr",
+    s"""WITH RECURSIVE $duckVerifiedPairsCtes,
+       |obands AS (SELECT doc_id, bk FROM bands WHERE doc_id % 10 <> 0),
+       |osized AS (SELECT bk FROM obands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
+       |ocand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM obands a JOIN obands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN osized sz ON a.bk = sz.bk),
+       |opairs AS (SELECT c.d1, c.d2 FROM ocand c
+       |  JOIN w wa ON wa.doc_id = c.d1
+       |  JOIN w wb ON wb.doc_id = c.d2
+       |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5),
+       |icand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN sized sz ON a.bk = sz.bk
+       |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
+       |ipairs AS (SELECT c.d1, c.d2 FROM icand c
+       |  JOIN w wa ON wa.doc_id = c.d1
+       |  JOIN w wb ON wb.doc_id = c.d2
+       |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5),
+       |obi AS (SELECT d1 AS src, d2 AS dst FROM opairs UNION ALL SELECT d2, d1 FROM opairs),
+       |owalk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM obi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM owalk wk JOIN obi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |ocomp AS (SELECT node AS doc_id, MIN(lbl) AS prior FROM owalk GROUP BY node),
+       |alle AS (SELECT d1, d2 FROM opairs UNION SELECT d1, d2 FROM ipairs),
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM alle UNION ALL SELECT d2, d1 FROM alle),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM bi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM walk wk JOIN bi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+       |SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(coalesce(o.prior, -1) AS BIGINT) AS prior_cluster_id,
+       |  CASE WHEN o.prior IS NULL THEN 'added'
+       |       WHEN o.prior = c.cluster_id THEN 'stable'
+       |       ELSE 'merged' END AS status
+       |FROM comp c LEFT JOIN ocomp o ON o.doc_id = c.doc_id""".stripMargin) { (s, dir) =>
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
+      .persist(lvl)
+    val bands = w.select(col("doc_id"), expr(
+      """transform(sequence(0, 7),
+        |  s -> array_min(transform(ws,
+        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .persist(lvl)
+    def verify(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      cand
+        .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
+        .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
+        .filter(expr(
+          "CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)") >= 0.5)
+        .select(col("d1"), col("d2"))
+    // yesterday's state: components over the OLD corpus's capped pairs
+    // (stands in for reading the persisted label table)
+    val ob = bands.filter(col("doc_id") % 10 =!= 0)
+    val osized = ob.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val ocand = ob.select(col("doc_id").as("d1"), col("bk"))
+      .join(ob.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .join(osized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+    val olabels = componentLabels(verify(ocand))
+    // contraction map: old clustered docs collapse to their cluster
+    // label (a cluster minimum); everything else is its own rep
+    val m = w.select(col("doc_id"))
+      .join(olabels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+      .persist(lvl)
+    // tonight's delta: every capped-bucket candidate touching a new doc,
+    // bucket sizes from TODAY'S full band table
+    val fsized = bands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val icand = bands.select(col("doc_id").as("d1"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2")
+          && (col("d1") % 10 === 0 || col("d2") % 10 === 0))
+      .join(fsized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+    contractedClusters(m, verify(icand))
+      .join(olabels.select(col("node").as("doc_id"), col("lbl").as("prior")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("prior"), lit(-1L)).as("prior_cluster_id"),
+        when(col("prior").isNull, "added")
+          .when(col("prior") === col("cluster_id"), "stable")
+          .otherwise("merged").as("status"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
-    dedupClusters)
+    dedupClusters, dedupSemantic, dedupClustersIncr)
 }

@@ -247,5 +247,77 @@ object Graph {
         round(col("c").cast("double") / (col("da") + col("db") - col("c")), 6).as("jaccard"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles, jaccardNodes)
+  /** K-HOP BFS — single-source shortest hop distances (dist <= 3)
+    * over the part CO-PURCHASE graph: parts are adjacent when some
+    * order contains both. Source = the minimum part id in the graph;
+    * output is every part reachable within 3 hops with its hop
+    * distance — the k-hop-neighborhood primitive behind "related
+    * items" expansion and graph feature extraction.
+    *
+    * Scale shape: ALL the data-volume work is the bounded per-order
+    * pair fan-out (an order holds <= 13 parts, so the order-keyed
+    * self-join emits <= 78 pairs per order) followed by one hash-agg
+    * distinct; the three BFS rounds are each ONE keyed equi-join
+    * (frontier -> neighbors) plus ONE anti-join against the visited
+    * set — frontier-sized, never corpus-sized, and the whole
+    * fixed-depth expansion is a single lazy plan (no driver loop).
+    * An unbounded-diameter BFS would switch to the
+    * [[Dedup.componentLabels]] checkpoint-per-round engine; the
+    * unrolled form is chosen because k-hop is itself the standard
+    * primitive and it is oracle-expressible as chained CTEs.
+    *
+    * Determinism: distances are exact integers; the source is the
+    * unique global minimum node id. */
+  val bfsHops: QueryDef = {
+    // one round: visited `prev(node, dist)` -> newly reached at dist d
+    def duckRound(prev: String, d: Int): String =
+      s"""SELECT DISTINCT b.dst AS node, $d AS dist FROM bi b
+         |  JOIN $prev v ON b.src = v.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x WHERE x.node = b.dst)""".stripMargin
+    QueryDef(
+      "q_graph_bfs",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |ed AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |bi AS (SELECT p1 AS src, p2 AS dst FROM ed
+         |  UNION ALL SELECT p2, p1 FROM ed),
+         |v0 AS (SELECT MIN(p1) AS node, 0 AS dist FROM ed),
+         |n1 AS (${duckRound("v0", 1)}),
+         |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+         |n2 AS (${duckRound("v1", 2)}),
+         |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         |n3 AS (${duckRound("v2", 3)}),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+         |SELECT CAST(node AS BIGINT) AS part_id, CAST(dist AS BIGINT) AS dist
+         |FROM v3""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val ed = li.as("a")
+        .join(li.withColumnRenamed("pk", "pk2").as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("pk2"))
+        .select(col("a.pk").as("p1"), col("pk2").as("p2")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bi = ed.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(ed.select(col("p2"), col("p1")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1-row source — broadcast by AQE size rules, no hint needed
+      var visited = ed.agg(min(col("p1")).as("node"))
+        .withColumn("dist", lit(0L))
+      for (d <- 1 to 3) {
+        val fresh = bi
+          .join(visited.filter(col("dist") === (d - 1)).select(col("node")),
+            col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node").as("vn")),
+            col("node") === col("vn"), "left_anti")
+          .withColumn("dist", lit(d.toLong))
+        visited = visited.union(fresh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      visited.select(col("node").cast("long").as("part_id"),
+        col("dist").cast("long").as("dist"))
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles, jaccardNodes, bfsHops)
 }

@@ -959,7 +959,97 @@ object TextAnalysis {
         expr("round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0D").as("compression"))
   }
 
+  /** TRAINED quality filter — logistic regression distilled from a
+    * rule label, the fastText-classifier pattern behind production
+    * quality filtering (rule-labeled positives train a smooth scorer
+    * that generalizes past the rule): 3 features (stopword ratio,
+    * punctuation ratio, capped length), rule label y = "20..80 words
+    * and ≤10% digits", 3 full-batch gradient steps of logistic loss
+    * (lr 0.5 — an exact binary fraction) starting from w = 0, then
+    * every doc scored by the trained weights. Output: per-doc score,
+    * keep verdict (score ≥ 0.5), and the rule label for agreement
+    * audit.
+    *
+    * Scale shape: one feature-extraction pass (persisted), then each
+    * training step is ONE corpus scan → partial+final hash-agg to a
+    * single weight row that BROADCASTS into the next step (never a
+    * driver collect); the unrolled 3-step chain is one lazy plan,
+    * exactly the [[Graph.pageRank]] fixed-iteration treatment.
+    *
+    * Determinism: features and z are rounded to 6 dp; sigmoid is
+    * libm exp → its output is rounded to 6 dp (the ln/tfidf rule);
+    * per-doc gradient terms round to 6 dp and sum as DECIMAL(20,6)
+    * (order-insensitive), so both engines carry bit-identical
+    * weights into every step. */
+  val qualityTrain: QueryDef = {
+    // one gradient step in DuckDB: scored rows from `prev` weights ->
+    // the next 1-row weight table (weights ride along via max())
+    def duckStep(prev: String): String =
+      s"""SELECT
+         |  round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w0,
+         |  round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w1,
+         |  round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w2,
+         |  round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w3
+         |FROM (SELECT f.*, w.*,
+         |    round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS p
+         |  FROM f, $prev w)""".stripMargin
+    QueryDef(
+      "q_text_quality_train",
+      s"""WITH f AS (SELECT doc_id,
+         |  round(coalesce(CAST(len(list_filter($duckWordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
+         |    / nullif(CAST(len($duckWordsSql) AS DOUBLE), 0), 0), 6) AS x1,
+         |  round(coalesce(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |    / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2,
+         |  round(least(CAST(len($duckWordsSql) AS DOUBLE), 200) / 200, 6) AS x3,
+         |  CASE WHEN len($duckWordsSql) BETWEEN 20 AND 80
+         |    AND coalesce(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         |          / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+         |  FROM documents),
+         |wt0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+         |               CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+         |wt1 AS (${duckStep("wt0")}),
+         |wt2 AS (${duckStep("wt1")}),
+         |wt3 AS (${duckStep("wt2")})
+         |SELECT doc_id,
+         |  round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) + 0.0 AS score,
+         |  round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) >= 0.5 AS is_kept,
+         |  CAST(y AS BIGINT) AS rule_label
+         |FROM f, wt3""".stripMargin) { (s, dir) =>
+      val f = Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"""round(coalesce(CAST(size(filter($wordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
+           |  / nullif(CAST(size($wordsSql) AS DOUBLE), 0), 0), 6) AS x1""".stripMargin,
+        """round(coalesce(CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE)
+          |  / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2""".stripMargin,
+        s"round(least(CAST(size($wordsSql) AS DOUBLE), 200) / 200, 6) AS x3",
+        s"""CASE WHEN size($wordsSql) BETWEEN 20 AND 80
+           |  AND coalesce(CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
+           |        / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
+           |  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var wt = f.sparkSession.range(1).selectExpr(
+        "CAST(0 AS DOUBLE) AS w0", "CAST(0 AS DOUBLE) AS w1",
+        "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
+      for (_ <- 1 to 3) {
+        wt = f.crossJoin(broadcast(wt))
+          .withColumn("p", expr(
+            "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
+          .agg(
+            expr("round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w0"),
+            expr("round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w1"),
+            expr("round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w2"),
+            expr("round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w3"))
+      }
+      f.crossJoin(broadcast(wt))
+        .withColumn("score", expr(
+          "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) + 0.0"))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= 0.5).as("is_kept"), col("y").cast("long").as("rule_label"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
-    bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode)
+    bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain)
 }
