@@ -297,8 +297,12 @@ object Graph {
           col("a.ok") === col("b.ok") && col("a.pk") < col("pk2"))
         .select(col("a.pk").as("p1"), col("pk2").as("p2")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // hash-partition by src ONCE: the cached layout satisfies every
+      // round's join key, so the 2|E| adjacency is never re-shuffled
+      // (only the tiny frontier side moves — the componentLabels trick)
       val bi = ed.select(col("p1").as("src"), col("p2").as("dst"))
         .union(ed.select(col("p2"), col("p1")))
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 1-row source — broadcast by AQE size rules, no hint needed
       var visited = ed.agg(min(col("p1")).as("node"))
