@@ -58,6 +58,9 @@ object PlanAudit {
       // back as a 1-row BROADCAST (the only loop joins are those x1
       // fan-outs); gradient sums are partial+final hash-aggs
       "q_text_quality_train" -> Seq("BroadcastNestedLoopJoin", "partial_", "HashAggregate", "!CartesianProduct"),
+      // EWMA: the fact scan must collapse via partial+final hash-agg
+      // BEFORE the per-key fold; no loop join anywhere
+      "q_ts_ewma" -> Seq("HashAggregate", "partial_sum", "!NestedLoop", "!CartesianProduct"),
       "q_win_topk" -> Seq("WindowGroupLimit"),
       // round 2: partition pruning, existence/semi decorrelation,
       // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject

@@ -981,75 +981,130 @@ object TextAnalysis {
     * per-doc gradient terms round to 6 dp and sum as DECIMAL(20,6)
     * (order-insensitive), so both engines carry bit-identical
     * weights into every step. */
-  val qualityTrain: QueryDef = {
-    // one gradient step in DuckDB: scored rows from `prev` weights ->
-    // the next 1-row weight table (weights ride along via max())
-    def duckStep(prev: String): String =
-      s"""SELECT
-         |  round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w0,
-         |  round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w1,
-         |  round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w2,
-         |  round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w3
-         |FROM (SELECT f.*, w.*,
-         |    round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS p
-         |  FROM f, $prev w)""".stripMargin
-    QueryDef(
-      "q_text_quality_train",
-      s"""WITH f AS (SELECT doc_id,
-         |  round(coalesce(CAST(len(list_filter($duckWordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
-         |    / nullif(CAST(len($duckWordsSql) AS DOUBLE), 0), 0), 6) AS x1,
-         |  round(coalesce(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-         |    / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2,
-         |  round(least(CAST(len($duckWordsSql) AS DOUBLE), 200) / 200, 6) AS x3,
-         |  CASE WHEN len($duckWordsSql) BETWEEN 20 AND 80
-         |    AND coalesce(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-         |          / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
-         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
-         |  FROM documents),
-         |wt0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
-         |               CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
-         |wt1 AS (${duckStep("wt0")}),
-         |wt2 AS (${duckStep("wt1")}),
-         |wt3 AS (${duckStep("wt2")})
-         |SELECT doc_id,
-         |  round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) + 0.0 AS score,
-         |  round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) >= 0.5 AS is_kept,
-         |  CAST(y AS BIGINT) AS rule_label
-         |FROM f, wt3""".stripMargin) { (s, dir) =>
-      val f = Tables.documents(s, dir).selectExpr(
-        "doc_id",
-        s"""round(coalesce(CAST(size(filter($wordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
-           |  / nullif(CAST(size($wordsSql) AS DOUBLE), 0), 0), 6) AS x1""".stripMargin,
-        """round(coalesce(CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE)
-          |  / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2""".stripMargin,
-        s"round(least(CAST(size($wordsSql) AS DOUBLE), 200) / 200, 6) AS x3",
-        s"""CASE WHEN size($wordsSql) BETWEEN 20 AND 80
-           |  AND coalesce(CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
-           |        / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
-           |  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y""".stripMargin)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var wt = f.sparkSession.range(1).selectExpr(
-        "CAST(0 AS DOUBLE) AS w0", "CAST(0 AS DOUBLE) AS w1",
-        "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
-      for (_ <- 1 to 3) {
-        wt = f.crossJoin(broadcast(wt))
-          .withColumn("p", expr(
-            "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
-          .agg(
-            expr("round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w0"),
-            expr("round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w1"),
-            expr("round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w2"),
-            expr("round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w3"))
-      }
-      f.crossJoin(broadcast(wt))
-        .withColumn("score", expr(
-          "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) + 0.0"))
-        .select(col("doc_id"), col("score"),
-          (col("score") >= 0.5).as("is_kept"), col("y").cast("long").as("rule_label"))
+  // one gradient step in DuckDB: scored rows from `prev` weights ->
+  // the next 1-row weight table (weights ride along via max())
+  private def duckQualityStep(prev: String): String =
+    s"""SELECT
+       |  round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w0,
+       |  round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w1,
+       |  round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w2,
+       |  round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w3
+       |FROM (SELECT f.*, w.*,
+       |    round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS p
+       |  FROM f, $prev w)""".stripMargin
+
+  /** DuckDB CTE chain shared by [[qualityTrain]] and
+    * [[qualityCalibration]]: features + rule label `f`, weights
+    * wt0..wt3 after three gradient steps. */
+  private val duckQualityCtes: String =
+    s"""f AS (SELECT doc_id,
+       |  round(coalesce(CAST(len(list_filter($duckWordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
+       |    / nullif(CAST(len($duckWordsSql) AS DOUBLE), 0), 0), 6) AS x1,
+       |  round(coalesce(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+       |    / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2,
+       |  round(least(CAST(len($duckWordsSql) AS DOUBLE), 200) / 200, 6) AS x3,
+       |  CASE WHEN len($duckWordsSql) BETWEEN 20 AND 80
+       |    AND coalesce(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |          / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
+       |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |wt0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+       |               CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+       |wt1 AS (${duckQualityStep("wt0")}),
+       |wt2 AS (${duckQualityStep("wt1")}),
+       |wt3 AS (${duckQualityStep("wt2")}),
+       |scored AS (SELECT doc_id, y,
+       |  round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS score
+       |FROM f, wt3)""".stripMargin
+
+  /** Spark half of the shared pipeline: per-doc (doc_id, y, score)
+    * after the 3-step training chain. */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val f = Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      s"""round(coalesce(CAST(size(filter($wordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
+         |  / nullif(CAST(size($wordsSql) AS DOUBLE), 0), 0), 6) AS x1""".stripMargin,
+      """round(coalesce(CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE)
+        |  / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2""".stripMargin,
+      s"round(least(CAST(size($wordsSql) AS DOUBLE), 200) / 200, 6) AS x3",
+      s"""CASE WHEN size($wordsSql) BETWEEN 20 AND 80
+         |  AND coalesce(CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
+         |        / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
+         |  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var wt = f.sparkSession.range(1).selectExpr(
+      "CAST(0 AS DOUBLE) AS w0", "CAST(0 AS DOUBLE) AS w1",
+      "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
+    for (_ <- 1 to 3) {
+      wt = f.crossJoin(broadcast(wt))
+        .withColumn("p", expr(
+          "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
+        .agg(
+          expr("round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w0"),
+          expr("round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w1"),
+          expr("round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w2"),
+          expr("round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w3"))
     }
+    f.crossJoin(broadcast(wt))
+      .withColumn("score", expr(
+        "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
+      .select(col("doc_id"), col("y"), col("score"))
+  }
+
+  val qualityTrain: QueryDef = QueryDef(
+    "q_text_quality_train",
+    s"""WITH $duckQualityCtes
+       |SELECT doc_id, score + 0.0 AS score, score >= 0.5 AS is_kept,
+       |  CAST(y AS BIGINT) AS rule_label
+       |FROM scored""".stripMargin) { (s, dir) =>
+    qualityScored(s, dir)
+      .select(col("doc_id"), (col("score") + lit(0.0)).as("score"),
+        (col("score") >= 0.5).as("is_kept"), col("y").cast("long").as("rule_label"))
+  }
+
+  /** CALIBRATION AUDIT of the trained quality scorer — the
+    * EQUAL-MASS reliability diagram every deployed filter needs:
+    * docs rank into 10 score deciles (ntile over (score, doc_id) —
+    * doc_id makes the ordering total, so tied scores split
+    * identically in both engines); each decile reports volume, mean
+    * predicted score, empirical rule-label rate, and the
+    * |confidence − accuracy| gap (the per-bin term of Expected
+    * Calibration Error). A well-calibrated scorer has rate ≈ mean
+    * score per decile; systematic gaps tell the pipeline whether a
+    * fixed 0.5 keep-threshold over- or under-prunes.
+    *
+    * Scale shape: rides the [[qualityScored]] chain (corpus scans +
+    * 1-row broadcast weights), then a global-ORDER ntile (the
+    * [[TimeSeries.autocorr]] global-window precedent — production
+    * would bin on approx-quantile boundaries instead) and ONE
+    * partial+final hash-agg to 10 rows. Determinism: scores are
+    * already 6-dp-rounded; decile means sum those as DECIMAL(10,6)
+    * (exact), divisions re-round to 6 dp with +0.0. */
+  val qualityCalibration: QueryDef = QueryDef(
+    "q_text_quality_calibration",
+    s"""WITH $duckQualityCtes,
+       |binned AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS bin FROM scored)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_score,
+       |  round(CAST(SUM(CAST(y AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS label_rate,
+       |  round(abs(round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)
+       |          - round(CAST(SUM(CAST(y AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)), 6) + 0.0 AS gap
+       |FROM binned GROUP BY 1""".stripMargin) { (s, dir) =>
+    qualityScored(s, dir)
+      .withColumn("bin", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0").as("mean_score"),
+        expr("round(CAST(SUM(CAST(y AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0").as("label_rate"),
+        expr("""round(abs(round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)
+               |        - round(CAST(SUM(CAST(y AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)), 6) + 0.0""".stripMargin).as("gap"))
   }
 
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
-    bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain)
+    bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
+    qualityCalibration)
 }

@@ -470,7 +470,55 @@ object TimeSeries {
         expr("round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("bias"))
   }
 
+  /** EXPONENTIAL SMOOTHING (EWMA, α = 1/2) of per-nation daily
+    * revenue — the classic online smoother behind monitoring
+    * dashboards and anomaly baselines: s_t = (s_{t-1} + x_t)/2,
+    * zero-seeded, folded left-to-right over each nation's
+    * day-ordered series; emitted per nation with the last raw value
+    * so the smoothed-vs-raw gap is auditable.
+    *
+    * Scale shape: the SF-scaled scan collapses FIRST to ≤|nations| ×
+    * |calendar| rows (partial+final hash-agg on the join output);
+    * the fold then runs per nation over a calendar-bounded array
+    * (collect_list + sequential `aggregate`) — the quadratic-free
+    * per-key-state shape that at 100 TB is a per-key
+    * mapGroupsWithState stream.
+    *
+    * Determinism: α = 1/2 makes every fold step an IEEE-exact-order
+    * add + halve — no libm anywhere — and both engines execute the
+    * IDENTICAL operation sequence (Spark `aggregate` seeded 0 ≡
+    * DuckDB `list_reduce` with an explicit prepended 0, closing the
+    * seedless-list_reduce gap); outputs rounded to 6 dp with +0.0
+    * normalization purely for repr hygiene. */
+  val ewma: QueryDef = QueryDef(
+    "q_ts_ewma",
+    """WITH d AS (SELECT s_nationkey AS nation, CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+      |  CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0, 2) AS DOUBLE) AS rev
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+      |ser AS (SELECT nation, list(rev ORDER BY day) AS xs, max(day) AS last_day FROM d GROUP BY nation)
+      |SELECT CAST(nation AS BIGINT) AS nation,
+      |  CAST(len(xs) AS BIGINT) AS n_days,
+      |  last_day,
+      |  round(xs[len(xs)], 2) + 0.0 AS last_rev,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+      |    (acc, x) -> (acc + x) / 2), 6) + 0.0 AS ewma
+      |FROM ser""".stripMargin) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"),
+        expr("CAST(date_trunc('day', l_shipdate) AS DATE)").as("day"))
+      .agg(expr("CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0D, 2) AS DOUBLE)").as("rev"))
+    d.groupBy(col("nation"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, rev))), p -> p.rev)").as("xs"),
+        max(col("day")).as("last_day"))
+      .select(col("nation").cast("long").as("nation"),
+        expr("CAST(size(xs) AS BIGINT)").as("n_days"),
+        col("last_day"),
+        expr("round(element_at(xs, size(xs)), 2) + 0.0D").as("last_rev"),
+        expr("round(aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> (acc + x) / 2D), 6) + 0.0D").as("ewma"))
+  }
+
   val defs: Seq[QueryDef] = Seq(timeOhlc, intervalSweep, attribution, rollingDistinct,
     gapsIslands, retentionCohort, eventTransitions, autocorr, timeInterpolate,
-    rollingZscore, scd2Build, forecastBaseline)
+    rollingZscore, scd2Build, forecastBaseline, ewma)
 }
