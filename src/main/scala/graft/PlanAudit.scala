@@ -61,6 +61,10 @@ object PlanAudit {
       // EWMA: the fact scan must collapse via partial+final hash-agg
       // BEFORE the per-key fold; no loop join anywhere
       "q_ts_ewma" -> Seq("HashAggregate", "partial_sum", "!NestedLoop", "!CartesianProduct"),
+      // audio content-ID: snippet->index lookup is a capped
+      // fingerprint EQUI-join + per-query WindowGroupLimit-ish top-1;
+      // never an all-pairs loop
+      "q_multimodal_audio_match" -> Seq("HashAggregate", "Window", "LeftSemi", "!NestedLoop", "!CartesianProduct"),
       "q_win_topk" -> Seq("WindowGroupLimit"),
       // round 2: partition pruning, existence/semi decorrelation,
       // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject
