@@ -427,6 +427,10 @@ object Streaming {
     * event / count, all in epoch micros. */
   case class SessState(start: Long, last: Long, n: Long)
 
+  case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class EwmaState(n: Long, ewma: Double, last: Long)
+  case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * arbitrary-state API corrie's count+time flush maps to (SURVEY
     * §2A-5,6), in its SCALE shape: state per user is only the open
@@ -531,6 +535,94 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("graft_sessions")
+    }
+  }
+
+  /** STREAMING EWMA — the per-key online smoother [[TimeSeries.ewma]]
+    * promises at scale, as a real stateful stream: per user, state is
+    * ONE (count, ewma, last-event-time) triple folded s ← (s+x)/2
+    * over each micro-batch's events in (ts, event_id) order; the
+    * final smoothed value flushes via EventTimeTimeout once the
+    * watermark (pushed by the far-future sentinel, the
+    * [[streamStatefulSessions]] mechanics) passes last + gap. A hot
+    * user costs O(1) state however long the history — the
+    * monitoring-baseline shape that runs forever.
+    *
+    * Determinism: slices are chronological and intra-batch events
+    * sort by (ts, event_id), so the fold order is the global
+    * event-time order; with α = 1/2 every step is an IEEE-exact
+    * add+halve, and the oracle replays the identical zero-seeded fold
+    * per user (list_reduce with an explicit prepended 0 — the
+    * [[TimeSeries.ewma]] seed convention). */
+  val streamEwma: QueryDef = QueryDef(
+    "q_stream_ewma",
+    """WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+      |    (a, x) -> (a + x) / 2), 6) + 0.0 AS ewma
+      |FROM v""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val gapUs = 60L * 1000000
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val lo = tsMicros(mm.getTimestamp(0))
+      val hi = tsMicros(mm.getTimestamp(1))
+      val nSlices = 4
+      val sentinelUs = hi + gapUs + 3600L * 1000000
+      val bounds = (1 until nSlices).map(i => lo + (hi - lo + 1) * i / nSlices)
+      val us = unix_micros(col("ts"))
+      val sliceExpr = bounds.zipWithIndex.foldRight(
+          lit(nSlices - 1): org.apache.spark.sql.Column) {
+        case ((b, i), els) => when(us < b, i).otherwise(els)
+      }
+      val sentinel = Seq((-1L, microsTs(sentinelUs), 0L, 0.0))
+        .toDF("user_id", "ts", "event_id", "value")
+        .withColumn("slice", lit(nSlices - 1))
+      val srcDir = writeSlices(s,
+        ev.withColumn("slice", sliceExpr.cast("int")).unionByName(sentinel),
+        nSlices, scratch("ewma_src"), "ewma")
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.getAbsolutePath)
+        .withWatermark("ts", "1 second")
+        .as[EwmaEvent]
+      val out = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, evs: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+            if (uid == -1L) { // sentinel never emits
+              if (state.exists) state.remove()
+              Iterator.empty
+            } else if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              Iterator.single(EwmaOut(uid, st.n, st.ewma))
+            } else {
+              val sorted = evs.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+              var (n, w0, last) = state.getOption
+                .map(st => (st.n, st.ewma, st.last)).getOrElse((0L, 0.0, -1L))
+              var w = w0
+              for (e <- sorted) {
+                w = (w + e.value) / 2
+                n += 1
+                last = tsMicros(e.ts)
+              }
+              state.update(EwmaState(n, w, last))
+              state.setTimeoutTimestamp(last / 1000 + gapUs / 1000)
+              Iterator.empty
+            }
+        }
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ewma")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_stream_ewma")
+        .select(col("user_id"), col("n_events"),
+          (round(col("ewma"), 6) + lit(0.0)).as("ewma"))
     }
   }
 
@@ -921,5 +1013,5 @@ object Streaming {
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
-    streamIdempotent, streamTimetravel, streamCdf)
+    streamIdempotent, streamTimetravel, streamCdf, streamEwma)
 }
