@@ -65,6 +65,13 @@ object PlanAudit {
       // fingerprint EQUI-join + per-query WindowGroupLimit-ish top-1;
       // never an all-pairs loop
       "q_multimodal_audio_match" -> Seq("HashAggregate", "Window", "LeftSemi", "!NestedLoop", "!CartesianProduct"),
+      // materialized ANN index: the assign/codes sides must be SCANS
+      // OF THE STORED TABLES (store paths in the plan), not corpus
+      // re-encodes; ADC scoring stays keyed
+      "q_sim_index_store" -> Seq("pq_assign", "pq_codes", "HashAggregate", "!CartesianProduct"),
+      // permissive ingest: a bare JSON file scan — corruptness is
+      // per-row local, nothing may shuffle
+      "q_source_corrupt_records" -> Seq("FileScan json", "!Exchange", "!CartesianProduct"),
       "q_win_topk" -> Seq("WindowGroupLimit"),
       // round 2: partition pruning, existence/semi decorrelation,
       // OR-of-ANDs pushdown, top-k as TakeOrderedAndProject

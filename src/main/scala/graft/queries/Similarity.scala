@@ -391,8 +391,10 @@ object Similarity {
     * `(q_id, qe)`. All constant-size artifacts (coarse table,
     * codebook, query set, LUT) broadcast; candidate selection is the
     * inverted-index equi-join. */
-  private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
-      nprobe: Int = 2)
+  /** The PQ index artifacts — per-vector coarse-list assignment and
+    * 8-symbol PQ codes. Factored out so [[simIndexStore]] can persist
+    * them and inject the stored tables back into the search. */
+  private def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
@@ -414,6 +416,21 @@ object Similarity {
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
       .select(col("vec_id"), col("j"), col("b.c").as("cj"))
+    (assign, codes)
+  }
+
+  private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 2,
+      index: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def headN(n: Int, idc: String, vc: String) =
+      emb.orderBy(col("vec_id")).limit(n)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+          col("embedding").as(vc))
+    val cb = headN(16, "c", "ce")
+    val co = headN(8, "k", "ke")
+    val (assign, codes) = index.getOrElse(pqIndex(s, dir))
     val q = emb.orderBy(col("vec_id")).limit(3)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val probes = q.crossJoin(broadcast(co))
@@ -451,6 +468,35 @@ object Similarity {
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"))
     }
+  }
+
+  /** MATERIALIZED ANN INDEX — the vector-search twin of the dedup
+    * band store ([[Dedup.dedupIncrementalStore]]): the PQ index
+    * artifacts (per-vector coarse-list assignment + 8-symbol codes)
+    * are PERSISTED as external catalog tables
+    * ([[graft.sources.CatalogSurface.saveTable]], parquet at a
+    * per-process scratch location), and the ADC search runs against
+    * the STORED tables — only the query-side work (probes + LUT) is
+    * computed fresh. Shares [[ivfPqSearch]]'s oracle: equality proves
+    * the index round-trip preserves search results exactly. At 100 TB
+    * this is how IVF-PQ actually deploys — encode once at ingest,
+    * append to the index table, serve searches from the store; the
+    * per-query cost is probes × (|list| ADC lookups), never a corpus
+    * encode. */
+  val simIndexStore: QueryDef = QueryDef(
+    "q_sim_index_store",
+    ivfPqSearch.oracle.get) { (s, dir) =>
+    val (assign, codes) = pqIndex(s, dir)
+    graft.sources.CatalogSurface.saveTable(
+      assign, "graft_pq_assign", Scratch.path("pq_assign"))
+    graft.sources.CatalogSurface.saveTable(
+      codes, "graft_pq_codes", Scratch.path("pq_codes"))
+    val (adc2, _) = adcCandidates(s, dir, 2,
+      Some((s.table("graft_pq_assign"), s.table("graft_pq_codes"))))
+    adc2.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"))
   }
 
   /** ANN RECALL@K vs EXACT — the number every production ANN
@@ -691,5 +737,5 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
-    pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe)
+    pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore)
 }

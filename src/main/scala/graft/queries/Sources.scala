@@ -638,8 +638,64 @@ object Sources {
       .agg(count(lit(1)).as("n_delete_files"), sum(col("bytes")).as("reclaim_bytes"))
   }
 
+  /** CORRUPT-RECORD ISOLATION on a file source — the ingest-side
+    * counterpart of the pipeline's poison-message routing (§2A-3),
+    * exercised through Spark's native PERMISSIVE JSON path: a JSONL
+    * feed where every 89th order's line is truncated mid-object is
+    * read with an explicit schema + `columnNameOfCorruptRecord`;
+    * well-formed lines parse into typed columns, malformed lines
+    * surface VERBATIM in the corrupt column with typed columns null —
+    * no row is dropped, no job fails (the operational contract of
+    * permissive ingest; DROPMALFORMED would silently shrink the
+    * dataset, FAILFAST would kill the job on line one). The feed is
+    * derived from the orders table with only integer/string fields so
+    * both engines format identical JSON; the oracle re-derives good
+    * and corrupt rows by the same rule without parsing anything.
+    *
+    * Scale shape: text write + schema-driven JSON scan, both
+    * map-only; corruptness is per-row local — no shuffle anywhere
+    * before the comparator's own output. */
+  val corruptRecords: QueryDef = QueryDef(
+    "q_source_corrupt_records",
+    """SELECT
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderkey END AS k,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderpriority END AS pr,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE CAST(o_orderdate AS VARCHAR) END AS d,
+      |  o_orderkey % 89 = 0 AS is_corrupt,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN
+      |    '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"pr":"' || o_orderpriority
+      |      || '","d":"' || CAST(o_orderdate AS VARCHAR) || '"'
+      |  ELSE '' END AS raw
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val path = scratch("corrupt_jsonl")
+    // build the line ourselves so the corrupt shape is deterministic:
+    // well-formed JSON object, truncated before the closing brace on
+    // every 89th key
+    Tables.orders(s, dir)
+      .select(expr(
+        """CASE WHEN o_orderkey % 89 = 0
+          |  THEN concat('{"k":', CAST(o_orderkey AS STRING), ',"pr":"', o_orderpriority,
+          |              '","d":"', CAST(o_orderdate AS STRING), '"')
+          |  ELSE concat('{"k":', CAST(o_orderkey AS STRING), ',"pr":"', o_orderpriority,
+          |              '","d":"', CAST(o_orderdate AS STRING), '"}')
+          |END""".stripMargin).as("value"))
+      .write.mode("overwrite").text(path)
+    s.read
+      .schema(StructType(Seq(
+        StructField("k", LongType),
+        StructField("pr", StringType),
+        StructField("d", StringType),
+        StructField("_corrupt_record", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .select(col("k"), col("pr"), col("d"),
+        col("_corrupt_record").isNotNull.as("is_corrupt"),
+        coalesce(col("_corrupt_record"), lit("")).as("raw"))
+  }
+
   val defs: Seq[QueryDef] = Seq(scanPushdown, csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     msgCodec, partitionPrune, dppPrune, jdbcRoundtrip, csvOptions, xmlRoundtrip, avroRoundtrip,
     schemaEvolution, catalogTable, compactPlan, compactExec, exportJsonl, codecAudit,
-    analyzeStats, analyzeColStats, snapshotGc)
+    analyzeStats, analyzeColStats, snapshotGc, corruptRecords)
 }

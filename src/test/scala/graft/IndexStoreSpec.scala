@@ -1,0 +1,24 @@
+package graft
+
+import graft.queries.Similarity
+
+/** q_sim_index_store's materialized-index contract: the ADC search's
+  * assignment and code sides are READ from the persisted catalog
+  * tables, not re-encoded from embeddings, and the store round-trip
+  * changes nothing about the search results.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  test("ADC search reads the persisted index tables, result unchanged") {
+    val df = Similarity.simIndexStore.fn(spark, sf())
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_pq_assign"),
+      s"plan must scan the persisted assignment table:\n$analyzed")
+    assert(analyzed.contains("graft_pq_codes"),
+      s"plan must scan the persisted code table:\n$analyzed")
+    val viaStore = df.collect().map(_.toSeq).toSet
+    val recomputed = Similarity.ivfPqSearch.fn(spark, sf()).collect().map(_.toSeq).toSet
+    assert(viaStore == recomputed, "store round-trip must preserve search results")
+    assert(viaStore.nonEmpty, "search must return candidates at sf0.001")
+  }
+}
