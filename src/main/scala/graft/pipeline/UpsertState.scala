@@ -141,6 +141,7 @@ object UpsertState {
     val st = s.read.parquet(cur)
     val next = s"$stateRoot/gen_$id"
     val stage = new File(s"$stateRoot/stage_$id")
+    rm(stage) // leftover from a merge that crashed before its swap
     st.join(up, Seq("user_id"), "full")
       .select(col("user_id"),
         coalesce(col("u_event_id"), col("last_event_id")).as("last_event_id"),
@@ -175,8 +176,9 @@ object UpsertState {
   }
 
   /** Retention GC: keep the newest `keep` complete batch generations
-    * plus the live one; everything older — including `gen_init` and
-    * stale swap tombstones once they fall outside the window — is
+    * plus the live one; everything older — including `gen_init`,
+    * stale swap tombstones, and stage dirs stranded by a merge that
+    * crashed before its swap (stage id <= live generation) — is
     * deleted. The doomed set is computed as the q_snapshot_gc
     * anti-join over the manifest (all generation dirs minus the
     * retained set — metadata-sized, the same plan shape that lane
@@ -185,11 +187,19 @@ object UpsertState {
     import s.implicits._
     require(keep >= 1, "retention must keep at least one generation")
     val cur = new File(current(stateRoot)).getName
-    val all = Option(new File(stateRoot).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
-      .map(_.getName).toSeq
+    val liveId = genId(cur)
+    val dirs = Option(new File(stateRoot).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.isDirectory).map(_.getName).toSeq
+    // A stage_$k dir with k <= the live generation belongs to a merge whose
+    // swap either completed (the staged data moved away, this is an empty
+    // husk) or was superseded by a successful replay — a crash between the
+    // staged write and the swap strands it forever otherwise. k > live would
+    // be an in-flight merge: leave it alone.
+    val staleStages = dirs.filter(n => n.startsWith("stage_") &&
+      scala.util.Try(n.stripPrefix("stage_").toLong).toOption.exists(_ <= liveId))
+    val all = dirs.filter(_.startsWith("gen_")) ++ staleStages
     val retained = (all
-      .filter(n => n != "gen_init" && !n.endsWith(".old"))
+      .filter(n => n.startsWith("gen_") && n != "gen_init" && !n.endsWith(".old"))
       .sortBy(genId).takeRight(keep) :+ cur).distinct
     val doomed = all.toDF("gen")
       .join(retained.toDF("gen"), Seq("gen"), "left_anti")

@@ -380,9 +380,10 @@ object Sources {
          |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m
          |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
          |files AS (SELECT m, COUNT(*) * 100 AS est_bytes FROM o95 GROUP BY 1),
-         |w AS (SELECT m, coalesce(SUM(est_bytes) OVER (ORDER BY m
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_me FROM files),
-         |plan AS (SELECT m, CAST(before_me // 100000 AS BIGINT) AS compact_group FROM w),
+         |tot AS (SELECT SUM(est_bytes) AS tb FROM files),
+         |w AS (SELECT m, tb, coalesce(SUM(est_bytes) OVER (ORDER BY m
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_me FROM files, tot),
+         |plan AS (SELECT m, CAST(before_me // greatest(100000, tb // 40) AS BIGINT) AS compact_group FROM w),
          |j AS (SELECT o95.*, compact_group FROM o95 JOIN plan USING (m))
          |SELECT compact_group, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(SUM(CAST(CAST('0x' || substr(md5($ordCanon), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
@@ -400,10 +401,18 @@ object Sources {
       val layout = s.read.parquet(small)
       val planW = Window.orderBy(col("m"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val plan = layout.groupBy(col("m"))
+      // Bin target scales with input (total/40 once past the 100 KB floor):
+      // the before-layout is a FIXED <=48 files (4 shards x 12 months) while a
+      // fixed 100 KB target grows ~1 bin/1000 rows — a few SFs up the bin
+      // count would pass 48 and the require below would fail a CORRECT
+      // compaction. total/40 caps bins at ~41 < 48 at every SF.
+      val files = layout.groupBy(col("m"))
         .agg((count(lit(1)) * 100).as("est_bytes"))
+      val tot = files.agg(sum(col("est_bytes")).as("tb"))
+      val plan = files.crossJoin(broadcast(tot))
         .withColumn("before_me", coalesce(sum(col("est_bytes")).over(planW), lit(0L)))
-        .select(col("m"), expr("CAST(before_me DIV 100000 AS BIGINT)").as("compact_group"))
+        .select(col("m"),
+          expr("CAST(before_me DIV greatest(100000L, tb DIV 40) AS BIGINT)").as("compact_group"))
       layout.join(broadcast(plan), Seq("m"))
         .repartition(col("compact_group"))
         .write.partitionBy("compact_group").mode("overwrite").parquet(binned)

@@ -544,7 +544,10 @@ object Streaming {
     * over each micro-batch's events in (ts, event_id) order; the
     * final smoothed value flushes via EventTimeTimeout once the
     * watermark (pushed by the far-future sentinel, the
-    * [[streamStatefulSessions]] mechanics) passes last + gap. A hot
+    * [[streamStatefulSessions]] mechanics) passes last + flushGap,
+    * where flushGap exceeds the whole stream span so the flush can
+    * ONLY fire at end-of-stream — never mid-stream for a user who
+    * skips a slice. A hot
     * user costs O(1) state however long the history — the
     * monitoring-baseline shape that runs forever.
     *
@@ -565,14 +568,20 @@ object Streaming {
     withShufflePartitions(s, 8) {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val gapUs = 60L * 1000000
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val lo = tsMicros(mm.getTimestamp(0))
       val hi = tsMicros(mm.getTimestamp(1))
       val nSlices = 4
-      val sentinelUs = hi + gapUs + 3600L * 1000000
+      // End-of-stream-only flush: unlike the sessions lane (which WANTS the
+      // 60 s inactivity gap), the EWMA oracle folds each user's FULL history,
+      // so a mid-stream timeout would emit a duplicate partial row whenever a
+      // user skips a slice while the watermark passes last+gap. Arming the
+      // timeout one full stream span past the user's last event makes it
+      // unreachable before the sentinel whatever the per-slice user density.
+      val flushGapUs = (hi - lo) + 3600L * 1000000
+      val sentinelUs = hi + flushGapUs + 3600L * 1000000
       val bounds = (1 until nSlices).map(i => lo + (hi - lo + 1) * i / nSlices)
       val us = unix_micros(col("ts"))
       val sliceExpr = bounds.zipWithIndex.foldRight(
@@ -612,7 +621,7 @@ object Streaming {
                 last = tsMicros(e.ts)
               }
               state.update(EwmaState(n, w, last))
-              state.setTimeoutTimestamp(last / 1000 + gapUs / 1000)
+              state.setTimeoutTimestamp(last / 1000 + flushGapUs / 1000)
               Iterator.empty
             }
         }

@@ -79,6 +79,36 @@ class UpsertRetentionSpec extends SparkSpec {
     assert(snap(UpsertState.current(root)) == Set((1L, 2L, 99.0)))
   }
 
+  test("stranded stage dirs are GC'd; an in-flight (newer) stage is left alone") {
+    val root = Scratch.fresh("ret_stage")
+    UpsertState.init(spark, root)
+    UpsertState.mergeBatch(spark, root, mkBatch(Seq((1L, 1L, 1.0))), 0L)
+    UpsertState.mergeBatch(spark, root, mkBatch(Seq((2L, 2L, 2.0))), 1L)
+
+    // a merge of batch 1 that crashed AFTER its staged write but BEFORE the
+    // swap leaves a fully-written stage_1 behind (the swap never ran);
+    // stage_7 models a concurrent in-flight merge newer than the live gen
+    val stranded = new File(root, "stage_1")
+    stranded.mkdirs()
+    Files.writeString(new File(stranded, "part-0.parquet").toPath, "x")
+    val inflight = new File(root, "stage_7")
+    inflight.mkdirs()
+    Files.writeString(new File(inflight, "part-0.parquet").toPath, "y")
+
+    UpsertState.pruneGenerations(spark, root, keep = 2)
+    assert(!stranded.exists(), "stale stage dir must be GC'd")
+    assert(inflight.isDirectory, "a stage newer than the live gen is in-flight, not garbage")
+    inflight.listFiles().foreach(_.delete()); inflight.delete()
+
+    // a replayed merge also clears its own leftover stage before writing
+    val again = new File(root, "stage_1")
+    again.mkdirs()
+    Files.writeString(new File(again, "junk.txt").toPath, "z")
+    UpsertState.mergeBatch(spark, root, mkBatch(Seq((2L, 2L, 2.0))), 1L)
+    assert(!new File(root, "stage_1").exists())
+    assert(snap(UpsertState.current(root)) == Set((1L, 1L, 1.0), (2L, 2L, 2.0)))
+  }
+
   test("swap crash window: pointer naming a tombstoned generation recovers and converges") {
     val root = Scratch.fresh("ret_crash")
     UpsertState.init(spark, root)
