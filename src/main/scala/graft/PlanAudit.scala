@@ -61,6 +61,15 @@ object PlanAudit {
       // EWMA: the fact scan must collapse via partial+final hash-agg
       // BEFORE the per-key fold; no loop join anywhere
       "q_ts_ewma" -> Seq("HashAggregate", "partial_sum", "!NestedLoop", "!CartesianProduct"),
+      // calibration deciles (r9): boundary keys come from the bounded
+      // radix-select passes, so the FINAL plan is cached-scan + map
+      // bin-assign + one hash-agg — the r8 single-partition ntile is
+      // structurally banned: no Window (partitioned or global), no
+      // sort, no ntile may reappear here ("!Join" would false-trip on
+      // the CACHED relation's build plan — the GD chain's 1-row
+      // broadcast fan-ins — which the plan string prints but the
+      // query does not re-execute)
+      "q_text_quality_calibration" -> Seq("InMemoryTableScan", "HashAggregate", "!Window", "!Sort", "!ntile"),
       // audio content-ID: snippet->index lookup is a capped
       // fingerprint EQUI-join + per-query WindowGroupLimit-ish top-1;
       // never an all-pairs loop

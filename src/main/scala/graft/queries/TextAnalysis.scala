@@ -1065,26 +1065,54 @@ object TextAnalysis {
 
   /** CALIBRATION AUDIT of the trained quality scorer — the
     * EQUAL-MASS reliability diagram every deployed filter needs:
-    * docs rank into 10 score deciles (ntile over (score, doc_id) —
-    * doc_id makes the ordering total, so tied scores split
-    * identically in both engines); each decile reports volume, mean
-    * predicted score, empirical rule-label rate, and the
+    * docs rank into 10 score deciles; each decile reports volume,
+    * mean predicted score, empirical rule-label rate, and the
     * |confidence − accuracy| gap (the per-bin term of Expected
     * Calibration Error). A well-calibrated scorer has rate ≈ mean
     * score per decile; systematic gaps tell the pipeline whether a
     * fixed 0.5 keep-threshold over- or under-prunes.
     *
-    * Scale shape: rides the [[qualityScored]] chain (corpus scans +
-    * 1-row broadcast weights), then a global-ORDER ntile (the
-    * [[TimeSeries.autocorr]] global-window precedent — production
-    * would bin on approx-quantile boundaries instead) and ONE
-    * partial+final hash-agg to 10 rows. Determinism: scores are
-    * already 6-dp-rounded; decile means sum those as DECIMAL(10,6)
-    * (exact), divisions re-round to 6 dp with +0.0. */
+    * Decile ASSIGNMENT is the scale-critical part (VERDICT r8 #1: the
+    * previous `ntile(10) OVER (ORDER BY score, doc_id)` funneled the
+    * whole corpus through ONE window partition). Now the 9 boundary
+    * keys come from a three-pass RADIX SELECTION over a composite
+    * integer key k = round(score·1e6)·1024 + (doc_id mod 1024):
+    * the 1024-way tie salt keeps a tied score mass (scores cluster
+    * at 0.5 after 3 GD steps — the hazard that killed equal-WIDTH
+    * bins) divisible into near-equal deciles, and each radix pass is
+    * a filtered hash-agg whose output is bounded by the KEY SPACE
+    * (1024 / 9·1024 / 9·1024 rows), never by the data — the
+    * driver-merged histograms are the same driver-scalar budget as
+    * the BPE trainer's winner fetch. Assignment is then a map-side
+    * `size(filter(bounds, x -> x < k))` against the 9 literal
+    * boundary keys; the only caveat vs exact ntile is that a rank
+    * falling strictly inside one composite key's tie mass keeps that
+    * whole mass (≤ 1/1024 of the score-tie mass) in the lower bin.
+    *
+    * Scale shape: [[qualityScored]] persists once; then 4 scans of
+    * the cached (y, score, k) projection (count + 3 bounded radix
+    * hash-aggs) + ONE partial+final hash-agg to 10 rows. No window,
+    * no sort, no join in any plan — PlanAudit holds the final plan
+    * to `!Window`/`!Sort`/`!Join`. The DuckDB twin selects the SAME
+    * 9 order-statistic keys by row_number rank (an oracle may sort;
+    * "smallest k with cum(k) ≥ R" ≡ "k at sorted position R"), so
+    * both engines bucket identically. Determinism: scores are
+    * already 6-dp-rounded and k is pure integer arithmetic; decile
+    * means sum as DECIMAL(10,6) (exact), divisions re-round to 6 dp
+    * with +0.0. */
   val qualityCalibration: QueryDef = QueryDef(
     "q_text_quality_calibration",
     s"""WITH $duckQualityCtes,
-       |binned AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS bin FROM scored)
+       |t AS (SELECT doc_id, y, score,
+       |  CAST(round(score * 1000000) AS BIGINT) * 1024 + doc_id % 1024 AS k FROM scored),
+       |o AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM t),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+       |ranks AS (SELECT j, (n // 10) * j + least(j, n % 10) AS r
+       |  FROM range(1, 10) s(j), nn),
+       |bl AS (SELECT list(o.k ORDER BY ranks.j) AS ms
+       |  FROM o JOIN ranks ON o.rn = ranks.r),
+       |binned AS (SELECT t.y, t.score, 1 + len(list_filter(ms, x -> x < k)) AS bin
+       |  FROM t, bl)
        |SELECT CAST(bin AS BIGINT) AS bin,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_score,
@@ -1092,9 +1120,45 @@ object TextAnalysis {
        |  round(abs(round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)
        |          - round(CAST(SUM(CAST(y AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)), 6) + 0.0 AS gap
        |FROM binned GROUP BY 1""".stripMargin) { (s, dir) =>
-    qualityScored(s, dir)
-      .withColumn("bin", ntile(10).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("doc_id"))))
+    val scored = qualityScored(s, dir)
+      .withColumn("k",
+        expr("CAST(round(score * 1000000) AS BIGINT) * 1024 + pmod(doc_id, 1024)"))
+      .select(col("y"), col("score"), col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = scored.count()
+    require(n >= 10, s"calibration needs >= 10 scored docs, got $n")
+    val ranks: Seq[Long] = (1 to 9).map(j => j * (n / 10) + math.min(j.toLong, n % 10))
+    // "smallest key with cumulative count >= rank" within one histogram
+    def locate(h: Seq[(Long, Long)], rank: Long): (Long, Long) = {
+      var cum = 0L
+      for ((d, c) <- h) { if (cum + c >= rank) return (d, rank - cum); cum += c }
+      sys.error(s"rank $rank beyond histogram mass $cum")
+    }
+    // radix pass 1: top 10 bits — bounded 1024-row histogram
+    val h2 = scored.groupBy(expr("k DIV 1048576").as("d")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val loc2 = ranks.map(locate(h2, _)) // (d2, residual rank inside d2)
+    val d2s = loc2.map(_._1).distinct
+    // radix pass 2: middle 10 bits inside the <=9 selected buckets
+    val h1 = scored.filter(expr(s"k DIV 1048576 IN (${d2s.mkString(",")})"))
+      .groupBy(expr("k DIV 1048576").as("d2"), expr("(k DIV 1024) % 1024").as("d1"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val loc1 = loc2.map { case (d2, rk) =>
+      val (d1, r1) = locate(
+        h1.filter(_._1 == d2).map(t => (t._2, t._3)).sortBy(_._1).toSeq, rk)
+      (d2 * 1024 + d1, r1) // 20-bit prefix, residual rank inside it
+    }
+    val prefixes = loc1.map(_._1).distinct
+    // radix pass 3: exact keys inside the <=9 selected prefixes
+    val h0 = scored.filter(expr(s"k DIV 1024 IN (${prefixes.mkString(",")})"))
+      .groupBy(expr("k DIV 1024").as("p"), col("k"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bounds = loc1.map { case (p, rk) =>
+      locate(h0.filter(_._1 == p).map(t => (t._2, t._3)).sortBy(_._1).toSeq, rk)._1
+    }
+    scored
+      .withColumn("bin",
+        expr(s"1 + size(filter(array(${bounds.mkString("L, ")}L), x -> x < k))"))
       .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         expr("round(CAST(SUM(CAST(score AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) + 0.0").as("mean_score"),
