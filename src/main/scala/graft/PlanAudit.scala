@@ -160,6 +160,12 @@ object PlanAudit {
       // range split: percentile is an ObjectHashAggregate; the 1-row
       // boundary table joins back as a broadcast, never a sort-merge
       "q_range_split" -> Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"),
+      // sampled twin (r9): the percentile buffer sees only the 1/16
+      // hash-sample (Filter feeds the ObjectHashAggregate); boundaries
+      // and the total-count row broadcast back; assignment stays
+      // map-only — no sort-merge, no shuffle of the fact side beyond
+      // the final 8-group agg
+      "q_range_split_sampled" -> Seq("Filter", "ObjectHashAggregate", "BroadcastNestedLoopJoin", "!SortMergeJoin"),
       // skyline: partitioned window + equi join back — no all-pairs
       "q_skyline" -> Seq("Window", "!NestedLoop"),
       // profiling: the distinct pass is Expand + pure HashAggregate
