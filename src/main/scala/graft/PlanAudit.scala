@@ -333,6 +333,11 @@ object PlanAudit {
       // nprobe sweep: three nested-probe ADC instances unioned; the
       // exact reference joins back as broadcasts
       "q_sim_nprobe" -> Seq("Union", "BroadcastHashJoin", "WindowGroupLimit"),
+      // trained coarse quantizer (r9): per-variant assignments persist
+      // once (every consumer scans the cache), candidates are
+      // inverted-index equi-joins against broadcast probe sets — the
+      // Lloyd training must never introduce a data-to-data loop
+      "q_sim_ivf_trained" -> Seq("Union", "InMemoryTableScan", "BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"),
       // change data feed: gen-vs-gen diff is ONE keyed full-outer hash
       // join of two |keys|-sized snapshots — no log refold, no loop
       "q_stream_cdf" -> Seq("FullOuter", "!NestedLoop", "!CartesianProduct"),
