@@ -54,6 +54,11 @@ object PlanAudit {
       // k-hop BFS: frontier expansion is keyed joins + anti-joins
       // against the visited set — no loop join anywhere
       "q_graph_bfs" -> Seq("LeftAnti", "HashAggregate", "!NestedLoop", "!CartesianProduct"),
+      // convergence BFS (r9): the loop ran on the checkpoint engine, so
+      // the final plan is the visited RDD scan — and building it must
+      // never have fallen back to a loop join (the per-round plans are
+      // frontier equi-join + anti-join, the q_graph_bfs shapes)
+      "q_graph_bfs_conv" -> Seq("Scan ExistingRDD", "!NestedLoop", "!CartesianProduct"),
       // trained quality filter: each gradient step's weight row joins
       // back as a 1-row BROADCAST (the only loop joins are those x1
       // fan-outs); gradient sums are partial+final hash-aggs

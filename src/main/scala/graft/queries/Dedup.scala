@@ -363,25 +363,10 @@ object Dedup {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(col("src"))
       .persist(lvl)
-    var obsId = 0
     def checkpointWithSum(df: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, Long) = {
-      obsId += 1
-      val obs = new org.apache.spark.sql.Observation(
-        s"cc_round_${System.identityHashCode(pairs)}_$obsId")
-      val ck = df.observe(obs, coalesce(sum(col("lbl")), lit(0L)).as("lbl_sum"))
-        .localCheckpoint(true)
-      (ck, obs.get("lbl_sum").asInstanceOf[Long])
-    }
-    // A localCheckpointed Dataset's plan is a LogicalRDD over the
-    // pinned RDD; unpersisting that RDD is how a superseded generation
-    // is released (Dataset.unpersist only talks to the relation cache).
-    def release(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+        : (org.apache.spark.sql.DataFrame, Long) =
+      Fixpoint.checkpointWith(df, coalesce(sum(col("lbl")), lit(0L)))
+    def release(df: org.apache.spark.sql.DataFrame): Unit = Fixpoint.release(df)
     var (labels, prevSum) = checkpointWithSum(
       edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))

@@ -323,5 +323,75 @@ object Graph {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles, jaccardNodes, bfsHops)
+  /** UNBOUNDED-DIAMETER BFS (VERDICT r8 #5) — the convergence variant
+    * of [[bfsHops]]: same part co-purchase graph and source, but the
+    * frontier expansion LOOPS UNTIL NO NEW NODE APPEARS instead of
+    * unrolling a fixed depth, on the [[Fixpoint]] checkpoint-per-round
+    * engine ([[Dedup.componentLabels]]'s plumbing): each round is ONE
+    * job — frontier equi-join + anti-join vs visited, materialized by
+    * an eager localCheckpoint whose `observe()` carries the visited
+    * COUNT (the set only grows, so an unchanged count proves
+    * convergence) — and the superseded visited generation's RDD is
+    * released as soon as its successor exists (at most two pinned;
+    * BfsLeakSpec). The adjacency persists pre-partitioned on the join
+    * key once, so only the frontier-sized side moves per round.
+    *
+    * The 12-round guard is a loud-failure bound, not a semantic cap:
+    * the measured source eccentricity is 2–3 at every SF (co-purchase
+    * graphs are short); a regenerated dataset with diameter ≥ 12
+    * fails the require rather than silently truncating. The oracle is
+    * the recursive-CTE walk with the same guard — min(dist) per node
+    * equals the BFS hop distance for any guard ≥ eccentricity. */
+  val bfsConverge: QueryDef = QueryDef(
+    "q_graph_bfs_conv",
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ed AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |bi AS (SELECT p1 AS src, p2 AS dst FROM ed UNION ALL SELECT p2, p1 FROM ed),
+      |walk(node, dist) AS (
+      |  SELECT MIN(p1), 0 FROM ed
+      |  UNION
+      |  SELECT b.dst, w.dist + 1 FROM walk w JOIN bi b ON b.src = w.node
+      |  WHERE w.dist < 12)
+      |SELECT CAST(node AS BIGINT) AS part_id, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val ed = li.as("a")
+      .join(li.withColumnRenamed("pk", "pk2").as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("pk2"))
+      .select(col("a.pk").as("p1"), col("pk2").as("p2")).distinct()
+      .persist(lvl)
+    val bi = ed.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(ed.select(col("p2"), col("p1")))
+      .repartition(col("src"))
+      .persist(lvl)
+    var (visited, prevN) = Fixpoint.checkpointWith(
+      ed.agg(min(col("p1")).as("node")).withColumn("dist", lit(0L)),
+      count(lit(1)))
+    var d = 0
+    var done = false
+    while (!done && d < 12) {
+      d += 1
+      val fresh = bi
+        .join(visited.filter(col("dist") === (d - 1)).select(col("node")),
+          col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+        .withColumn("dist", lit(d.toLong))
+      val (next, n) = Fixpoint.checkpointWith(visited.union(fresh), count(lit(1)))
+      Fixpoint.release(visited)
+      visited = next
+      done = n == prevN
+      prevN = n
+    }
+    require(done, s"BFS did not converge within $d rounds (diameter >= 12?)")
+    visited.select(col("node").cast("long").as("part_id"),
+      col("dist").cast("long").as("dist"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRank, geoLanes, triangles, jaccardNodes, bfsHops,
+    bfsConverge)
 }
