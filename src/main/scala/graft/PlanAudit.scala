@@ -408,7 +408,12 @@ object PlanAudit {
       // NOT IN with a nullable probe key must plan as the specialized
       // single-column null-aware anti join (the trailing `true` is
       // BroadcastHashJoinExec's isNullAwareAntiJoin flag), never a loop
-      "q_join_null_aware_anti" -> Seq("LeftAnti, BuildRight, true", "!NestedLoop"))
+      "q_join_null_aware_anti" -> Seq("LeftAnti, BuildRight, true", "!NestedLoop"),
+      // end-to-end curation DAG (r10): the component loop must have run
+      // on the checkpoint engine (RDD-scan leaf), the pack stage is one
+      // per-source Window, and no stage — quality join, ladder, cell
+      // pass, packing — may fall back to a cartesian product
+      "q_dataset_clean_full" -> Seq("Window", "HashAggregate", "Scan ExistingRDD", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

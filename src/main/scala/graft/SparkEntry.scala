@@ -17,7 +17,8 @@ object SparkEntry {
       Aggregations.defs ++ Windows.defs ++ SetOps.defs ++ Streaming.defs ++
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ MultimodalQ.defs ++
       Reshape.defs ++ TpchMore.defs ++ Curation.defs ++ TpchFull.defs ++
-      SqlSurface.defs ++ Profiling.defs ++ Graph.defs ++ TimeSeries.defs
+      SqlSurface.defs ++ Profiling.defs ++ Graph.defs ++ TimeSeries.defs ++
+      DatasetPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -308,52 +308,66 @@ object Curation {
 
   /** SAMPLED-boundary range split — the production twin of
     * [[rangeSplit]] (VERDICT r8 #2): the octile boundaries come from a
-    * DETERMINISTIC 1/16 hash-sample of the rows (the integer-hash
-    * idiom of [[sampleWeighted]] — no rand(), so both engines draw the
-    * IDENTICAL sample), and every row of the FULL table is then
-    * assigned map-side against the 7 broadcast sampled boundaries.
-    * This is what `repartitionByRange`'s reservoir does, made
-    * deterministic and verifiable: the exact-percentile single-buffer
-    * memory wall shrinks by the sample rate (at 100 TB the rate is
-    * tuned — or replaced by a fixed-size reservoir/GK sketch — to keep
-    * the boundary aggregate bounded; the assignment pass is unchanged
-    * either way).
+    * DETERMINISTIC ~1/16 hash-sample of the rows, and every row of the
+    * FULL table is then assigned map-side against the 7 broadcast
+    * sampled boundaries. The sample predicate is the repo's real
+    * integer-hash idiom (`* 2654435761 % 65536 < 4096` — the odd
+    * multiplier genuinely permutes residues mod 2^16, unlike mod 16
+    * where it is ≡ 1 and cancels; VERDICT r9 #1), over a BOUNDED
+    * composite key `(l_orderkey % 262144) * 8 + l_linenumber` so the
+    * product stays ≤ ~5.6e15 and never overflows Long under ANSI mode
+    * even at real TPC-H orderkey scale. No rand(), so both engines
+    * draw the IDENTICAL sample. This is what `repartitionByRange`'s
+    * reservoir does, made deterministic and verifiable: the
+    * exact-percentile single-buffer memory wall shrinks by the sample
+    * rate (at 100 TB the rate is tuned — or replaced by a fixed-size
+    * reservoir/GK sketch — to keep the boundary aggregate bounded; the
+    * assignment pass is unchanged either way).
     *
     * Verification is the [[graft.queries.Aggregations]] approx-lane
     * pattern (q_agg_approx_pct): both engines emit the same sampled
-    * buckets and counts, and Spark additionally PROVES balance — each
-    * bucket's count within 25% of the ideal n/8 — via a computed
-    * `within_bound` the oracle pins to literal TRUE, so a skewed
-    * sample fails the gate loudly instead of shipping unbalanced
-    * splits. */
+    * buckets and counts, and Spark additionally PROVES two properties
+    * the oracle pins to literal TRUE — `within_bound` (each bucket's
+    * count within 25% of the ideal n/8) and `sample_rate_in_bound`
+    * (the achieved sample rate within ±20% of 1/16), so a skewed or
+    * degenerate sample fails the gate loudly instead of shipping
+    * unbalanced splits. */
   val rangeSplitSampled: QueryDef = QueryDef(
     "q_range_split_sampled",
     """WITH smp AS (SELECT l_extendedprice FROM lineitem
-      |  WHERE (l_orderkey * 4 + l_linenumber) * 2654435761 % 16 = 0),
+      |  WHERE ((l_orderkey % 262144) * 8 + l_linenumber) * 2654435761 % 65536 < 4096),
       |b AS (SELECT list_transform(
       |    quantile_cont(CAST(l_extendedprice AS DOUBLE),
       |      [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
       |    x -> round(CAST(x AS DOUBLE), 6)) AS bs FROM smp),
       |a AS (SELECT CAST(len(list_filter(bs, x -> x <= l_extendedprice)) AS BIGINT) AS bucket
       |  FROM lineitem, b)
-      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bound
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bound,
+      |  TRUE AS sample_rate_in_bound
       |FROM a GROUP BY 1""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
+    val samplePred =
+      "((l_orderkey % 262144) * 8 + l_linenumber) * 2654435761 % 65536 < 4096"
     val b = li
-      .filter(expr("(l_orderkey * 4 + l_linenumber) * 2654435761 % 16 = 0"))
+      .filter(expr(samplePred))
       .agg(expr(
         """transform(percentile(l_extendedprice,
           |  array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)),
-          |  x -> round(x, 6))""".stripMargin).as("bs"))
+          |  x -> round(x, 6))""".stripMargin).as("bs"),
+        count(lit(1)).as("n_sample"))
     val nn = li.agg(count(lit(1)).as("n_total"))
     li.select(col("l_extendedprice")).crossJoin(broadcast(b))
-      .select(expr("CAST(size(filter(bs, x -> x <= l_extendedprice)) AS BIGINT)").as("bucket"))
-      .groupBy(col("bucket"))
+      .select(
+        expr("CAST(size(filter(bs, x -> x <= l_extendedprice)) AS BIGINT)").as("bucket"),
+        col("n_sample"))
+      .groupBy(col("bucket"), col("n_sample"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(nn))
       .select(col("bucket"), col("n"),
         (abs(col("n") - col("n_total") / 8.0) / (col("n_total") / 8.0) <= lit(0.25))
-          .as("within_bound"))
+          .as("within_bound"),
+        (abs(col("n_sample") / col("n_total").cast("double") - lit(0.0625)) / lit(0.0625)
+          <= lit(0.20)).as("sample_rate_in_bound"))
   }
 
   /** GROUP-LEVEL train/val/test split (GroupShuffleSplit): the split

@@ -120,9 +120,9 @@ object Dedup {
   /** Shared DuckDB CTE chain producing the LSH-verified near-dup pairs
     * (everything up to and including `pairs`), reused by the verified
     * pair query and the connected-components clustering oracle. */
-  private val duckVerifiedPairsCtes =
-    s"""w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
-       |sig AS (SELECT doc_id,
+  private[queries] def duckVerifiedPairsCtesOn(base: String, mat: String = ""): String =
+    s"""w AS $mat(SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM $base),
+       |sig AS $mat(SELECT doc_id,
        |  list_transform(range(0, 8),
        |    s -> list_aggregate(list_transform(ws,
        |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
@@ -142,6 +142,8 @@ object Dedup {
        |  JOIN w wb ON wb.doc_id = c.d2
        |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
        |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5)""".stripMargin
+
+  private val duckVerifiedPairsCtes = duckVerifiedPairsCtesOn("documents")
 
   /** Spark side of the same construction: returns the persisted
     * tokenized doc table `(doc_id, ws)` and the verified pair table
@@ -190,7 +192,7 @@ object Dedup {
   /** DuckDB extension of [[duckVerifiedPairsCtes]] (reuses its `w` and
     * `sig`): banded LSH with HOT-BUCKET SPLITTING instead of dropping —
     * see [[dedupLshSplit]]. */
-  private val duckSplitPairsCtes =
+  private[queries] val duckSplitPairsCtes =
     s"""bands2 AS (SELECT doc_id, sg, b,
        |    md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
        |  FROM sig, unnest(range(0, 4)) AS t(b)),
@@ -236,6 +238,15 @@ object Dedup {
 
   private def splitPipeline(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) =
+    splitPipelineOn(Tables.documents(s, dir))
+
+  /** [[splitPipeline]] over an arbitrary document subset — the
+    * composition hook [[DatasetPipeline.datasetCleanFull]] uses to run
+    * pair finding on quality survivors only (each pipeline stage
+    * shrinks the next stage's input, the 100 TB ordering). */
+  private[queries] def splitPipelineOn(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cap = 20
@@ -243,7 +254,7 @@ object Dedup {
     // evidence, so a surviving mid-size bucket is dup-dense and its
     // verification cost is output-proportional, not coincidence-driven
     val refinedCap = 64
-    val w = Tables.documents(s, dir)
+    val w = docs
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(lvl)
     val sig = w.select(col("doc_id"), expr(

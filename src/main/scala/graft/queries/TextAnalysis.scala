@@ -996,7 +996,7 @@ object TextAnalysis {
   /** DuckDB CTE chain shared by [[qualityTrain]] and
     * [[qualityCalibration]]: features + rule label `f`, weights
     * wt0..wt3 after three gradient steps. */
-  private val duckQualityCtes: String =
+  private[queries] val duckQualityCtes: String =
     s"""f AS (SELECT doc_id,
        |  round(coalesce(CAST(len(list_filter($duckWordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
        |    / nullif(CAST(len($duckWordsSql) AS DOUBLE), 0), 0), 6) AS x1,
@@ -1019,7 +1019,7 @@ object TextAnalysis {
 
   /** Spark half of the shared pipeline: per-doc (doc_id, y, score)
     * after the 3-step training chain. */
-  private def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val f = Tables.documents(s, dir).selectExpr(
       "doc_id",
