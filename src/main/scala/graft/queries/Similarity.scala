@@ -359,11 +359,14 @@ object Similarity {
   /** The IVF-PQ ADC candidate-scoring CTE chain shared by the
     * [[ivfPqSearch]] oracle and the [[simRerank]] oracle: everything
     * up to the scored `adc(q_id, vec_id, adc)` table. */
-  private def duckAdcCtes(nprobe: Int = 2): String =
+  private val duckSeedCo: String =
+    """co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
+
+  private def duckAdcCtes(nprobe: Int = 2, coDef: String = duckSeedCo): String =
     s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-       |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
-       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |$coDef,
        |ad AS (SELECT vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
        |  FROM embeddings CROSS JOIN co),
        |assign AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list FROM ad GROUP BY vec_id),
@@ -394,7 +397,8 @@ object Similarity {
   /** The PQ index artifacts — per-vector coarse-list assignment and
     * 8-symbol PQ codes. Factored out so [[simIndexStore]] can persist
     * them and inject the stored tables back into the search. */
-  private def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      coarse: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
@@ -402,7 +406,7 @@ object Similarity {
         .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
           col("embedding").as(vc))
     val cb = headN(16, "c", "ce")
-    val co = headN(8, "k", "ke")
+    val co = coarse.getOrElse(headN(8, "k", "ke"))
     val assign = emb.crossJoin(broadcast(co))
       .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
       .groupBy(col("vec_id"))
@@ -421,7 +425,8 @@ object Similarity {
 
   private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
       nprobe: Int = 2,
-      index: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None)
+      index: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None,
+      coarse: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
@@ -429,7 +434,7 @@ object Similarity {
         .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
           col("embedding").as(vc))
     val cb = headN(16, "c", "ce")
-    val co = headN(8, "k", "ke")
+    val co = coarse.getOrElse(headN(8, "k", "ke"))
     val (assign, codes) = index.getOrElse(pqIndex(s, dir))
     val q = emb.orderBy(col("vec_id")).limit(3)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -477,26 +482,60 @@ object Similarity {
     * ([[graft.sources.CatalogSurface.saveTable]], parquet at a
     * per-process scratch location), and the ADC search runs against
     * the STORED tables — only the query-side work (probes + LUT) is
-    * computed fresh. Shares [[ivfPqSearch]]'s oracle: equality proves
-    * the index round-trip preserves search results exactly. At 100 TB
-    * this is how IVF-PQ actually deploys — encode once at ingest,
-    * append to the index table, serve searches from the store; the
-    * per-query cost is probes × (|list| ADC lookups), never a corpus
-    * encode. */
+    * computed fresh. r10 (VERDICT r9 Next #4): the index is built on
+    * the TRAINED coarse quantizer — two decimal-exact Lloyd steps
+    * (K=8, the shared [[coarseAssign]]/[[lloydStepFrom]] helpers) from
+    * the first-8 seed — which is the production deployment shape
+    * [[simIvfTrained]]'s ablation motivates: on isotropic data the
+    * training win is BALANCED inverted lists (bounded per-probe serve
+    * cost), not recall, so the lane now reports list occupancy
+    * (max + mean) alongside the results. The DuckDB oracle replays
+    * the identical trained chain end-to-end. At 100 TB this is how
+    * IVF-PQ actually deploys — train the coarse table, encode once at
+    * ingest, append to the index table, serve searches from the
+    * store; the per-query cost is probes × (|list| ADC lookups) —
+    * occ_max IS that bound — never a corpus encode. */
   val simIndexStore: QueryDef = QueryDef(
     "q_sim_index_store",
-    ivfPqSearch.oracle.get) { (s, dir) =>
-    val (assign, codes) = pqIndex(s, dir)
+    s"""WITH coS AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |${duckLloyd("coS", "1")},
+       |${duckLloyd("co1", "2")},
+       |${duckAdcCtes(2, "co AS (SELECT k, ke FROM co2)")},
+       |occ AS (SELECT CAST(MAX(n) AS BIGINT) AS occ_max,
+       |    round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS occ_mean
+       |  FROM (SELECT COUNT(*) AS n FROM assign GROUP BY list) t)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc, occ_max, occ_mean
+       |FROM (SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
+       |CROSS JOIN occ
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val co0 = emb.orderBy(col("vec_id")).limit(8)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
+        col("embedding").as("ke")).persist(mem)
+    val va0 = coarseAssign(emb, co0).persist(mem)
+    val co1 = lloydStepFrom(emb, va0).persist(mem)
+    val va1 = coarseAssign(emb, co1).persist(mem)
+    val co2 = lloydStepFrom(emb, va1).persist(mem)
+    val (assign, codes) = pqIndex(s, dir, Some(co2))
     graft.sources.CatalogSurface.saveTable(
       assign, "graft_pq_assign", Scratch.path("pq_assign"))
     graft.sources.CatalogSurface.saveTable(
       codes, "graft_pq_codes", Scratch.path("pq_codes"))
+    val stored = s.table("graft_pq_assign")
     val (adc2, _) = adcCandidates(s, dir, 2,
-      Some((s.table("graft_pq_assign"), s.table("graft_pq_codes"))))
+      Some((stored, s.table("graft_pq_codes"))), Some(co2))
+    val occ = stored.groupBy(col("list")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("occ_max"),
+        expr("round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)").as("occ_mean"))
     adc2.withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"))
+      .crossJoin(broadcast(occ))
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"),
+        col("occ_max"), col("occ_mean"))
   }
 
   /** ANN RECALL@K vs EXACT — the number every production ANN
@@ -763,24 +802,55 @@ object Similarity {
     * excluded from the exact reference.)
     *
     * Scale shape identical to the shipped IVF lanes: every coarse
-    * table is 16 rows (broadcast), training is per-step one corpus
-    * fan-out + one partial+final hash-agg to 16×64 means (never a
-    * collect), per-variant assignment persists once and every
-    * consumer (distortion agg, both nprobe candidate joins) scans the
-    * cache; candidates are inverted-index equi-joins against ≤40-row
-    * broadcast probe sets. */
+    * table is 16 rows (broadcast), and the corpus fans out against
+    * each coarse table exactly ONCE (r10): the persisted per-variant
+    * assignment feeds the next Lloyd step's hash-agg (16×64 means,
+    * never a collect) AND the variant's distortion agg, occupancy
+    * agg, and both nprobe candidate joins — 3 distance passes total,
+    * not 5; candidates are inverted-index equi-joins against ≤40-row
+    * broadcast probe sets. Besides recall + distortion the lane now
+    * reports per-variant inverted-list OCCUPANCY (max + mean over
+    * non-empty lists) — balanced lists are the production reason to
+    * train the coarse quantizer even when recall is ADC-bound. */
+  /** One DuckDB Lloyd step from coarse table `$prev`: assignment CTE
+    * `as$suf`, per-dimension decimal-exact means `cm$suf`, updated
+    * coarse table `co$suf` — generic over K (K = |$prev|). Shared by
+    * [[simIvfTrained]] and the trained-index [[simIndexStore]]. */
+  private def duckLloyd(prev: String, suf: String): String =
+    s"""as$suf AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
+       |  FROM (SELECT e.vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
+       |    FROM embeddings e CROSS JOIN $prev) GROUP BY vec_id),
+       |cm$suf AS (SELECT list AS k, i,
+       |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS cv
+       |  FROM embeddings e JOIN as$suf a USING (vec_id), unnest(range(1, 65)) t(i)
+       |  GROUP BY 1, 2),
+       |co$suf AS (SELECT k, list(cv ORDER BY i) AS ke FROM cm$suf GROUP BY k)""".stripMargin
+
+  /** Spark twins of [[duckLloyd]]'s two halves, shared the same way:
+    * nearest-centroid assignment `(vec_id, list, d2)` against a
+    * broadcast coarse table, and the decimal-exact per-dimension-mean
+    * Lloyd update over a (persisted) assignment. */
+  private def coarseAssign(emb: org.apache.spark.sql.DataFrame,
+      coarse: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
+      .select(col("vec_id"), col("b.c").as("list"), col("b.d").as("d2"))
+
+  private def lloydStepFrom(emb: org.apache.spark.sql.DataFrame,
+      va: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.join(va.select(col("vec_id"), col("list")), Seq("vec_id"))
+      .select(col("list"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("list"), col("pos"))
+      .agg(expr("round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)").as("cv"))
+      .groupBy(col("list"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ke"))
+      .select(col("list").as("k"), col("ke"))
+
   val simIvfTrained: QueryDef = {
     val variants = Seq("seed" -> "co0", "step1" -> "co1", "step2" -> "co2")
     val nprobes = Seq(1, 2)
-    def duckLloyd(prev: String, suf: String): String =
-      s"""as$suf AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
-         |  FROM (SELECT e.vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
-         |    FROM embeddings e CROSS JOIN $prev) GROUP BY vec_id),
-         |cm$suf AS (SELECT list AS k, i,
-         |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS cv
-         |  FROM embeddings e JOIN as$suf a USING (vec_id), unnest(range(1, 65)) t(i)
-         |  GROUP BY 1, 2),
-         |co$suf AS (SELECT k, list(cv ORDER BY i) AS ke FROM cm$suf GROUP BY k)""".stripMargin
     def duckVa(co: String): String =
       s"""va_$co AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list,
          |    (min({'d': rd2, 'c': k})).d AS d2
@@ -798,7 +868,11 @@ object Similarity {
          |           FROM q CROSS JOIN $co)) WHERE rn <= $np) p ON a.list = p.list) c
          |   JOIN etop t ON c.q_id = t.q_id AND c.vec_id = t.vec_id) AS n_hit,
          |  (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0
-         |   FROM va_$co) AS mean_sq_dist""".stripMargin
+         |   FROM va_$co) AS mean_sq_dist,
+         |  (SELECT CAST(MAX(n) AS BIGINT)
+         |   FROM (SELECT COUNT(*) AS n FROM va_$co GROUP BY list) t) AS occ_max,
+         |  (SELECT round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+         |   FROM (SELECT COUNT(*) AS n FROM va_$co GROUP BY list) t) AS occ_mean""".stripMargin
     QueryDef(
       "q_sim_ivf_trained",
       s"""WITH co0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
@@ -819,26 +893,17 @@ object Similarity {
       def headN(n: Int) = emb.orderBy(col("vec_id")).limit(n)
         .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
           col("embedding").as("ke"))
-      // per-vector nearest centroid (+ its 6-dp squared distance)
-      def assignTo(coarse: org.apache.spark.sql.DataFrame) =
-        emb.crossJoin(broadcast(coarse))
-          .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
-          .select(col("vec_id"), col("b.c").as("list"), col("b.d").as("d2"))
-      // one Lloyd step: decimal-exact per-dimension means of the assigned sets
-      def lloydStep(coarse: org.apache.spark.sql.DataFrame) =
-        emb.join(assignTo(coarse).select(col("vec_id"), col("list")), Seq("vec_id"))
-          .select(col("list"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("list"), col("pos"))
-          .agg(expr("round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)").as("cv"))
-          .groupBy(col("list"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("ke"))
-          .select(col("list").as("k"), col("ke"))
+      // shared helpers; each persisted assignment serves the next
+      // Lloyd step AND the variant's distortion/occupancy/probe
+      // consumers (r10, VERDICT r9 Next #5: the corpus fans out
+      // against each coarse table ONCE — 3 distance passes, not 5)
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val co0 = headN(16).persist(mem)
-      val co1 = lloydStep(co0).persist(mem)
-      val co2 = lloydStep(co1).persist(mem)
+      val va0 = coarseAssign(emb, co0).persist(mem)
+      val co1 = lloydStepFrom(emb, va0).persist(mem)
+      val va1 = coarseAssign(emb, co1).persist(mem)
+      val co2 = lloydStepFrom(emb, va1).persist(mem)
+      val va2 = coarseAssign(emb, co2).persist(mem)
       val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       val etop = emb.crossJoin(broadcast(q))
@@ -849,12 +914,14 @@ object Similarity {
         .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
         .persist(mem)
       val nq = etop.select(col("q_id")).distinct().count()
-      val coarseDfs = Seq("seed" -> co0, "step1" -> co1, "step2" -> co2)
-      (for ((vname, coarse) <- coarseDfs) yield {
-        val va = assignTo(coarse).persist(mem)
+      val coarseDfs = Seq(("seed", co0, va0), ("step1", co1, va1), ("step2", co2, va2))
+      (for ((vname, coarse, va) <- coarseDfs) yield {
         val dist = va.agg(expr(
           "round(CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0")
           .as("mean_sq_dist"))
+        val occ = va.groupBy(col("list")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("occ_max"),
+            expr("round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)").as("occ_mean"))
         for (np <- nprobes) yield {
           val probes = q.crossJoin(broadcast(coarse))
             .select(col("q_id"), col("k"), expr(sparkD(64, "qe", "ke")).as("rd2"))
@@ -865,10 +932,10 @@ object Similarity {
             .select(col("q_id"), col("vec_id"))
             .join(broadcast(etop), Seq("q_id", "vec_id"))
             .agg(count(lit(1)).as("n_hit"))
-          hits.crossJoin(broadcast(dist))
+          hits.crossJoin(broadcast(dist)).crossJoin(broadcast(occ))
             .select(lit(vname).as("variant"), lit(np.toLong).as("nprobe"),
               lit(nq).as("n_queries"), lit(5L).as("k"),
-              col("n_hit"), col("mean_sq_dist"))
+              col("n_hit"), col("mean_sq_dist"), col("occ_max"), col("occ_mean"))
         }
       }).flatten.reduce(_ unionByName _)
     }
