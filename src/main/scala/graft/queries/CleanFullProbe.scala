@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev tool (lives in graft.queries for access to the private stage
   * chain): stage-level timing of q_dataset_clean_full to localize the
@@ -23,14 +24,35 @@ object CleanFullProbe {
       println(f"[probe] $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val (docsQ, ranked, s1, semDrop, packed) =
-      t("DAG build (lazy)")(DatasetPipeline.stages(spark, sfDir))
-    val nq = t("stage1 quality survivors")(docsQ.count())
-    val nc = t("stage2 pairs+cliques+loop+rank")(ranked.count())
-    val n1 = t("stage2 survivor expansion")(s1.count())
-    val nd = t("stage3 semantic drops")(semDrop.count())
-    val np = t("stage4 pack window")(packed.count())
-    println(s"[probe] counts: quality=$nq clustered=$nc s1=$n1 semdrop=$nd packed=$np")
+    if (args.length > 1 && args(1) == "fine") {
+      // granular stage-2 decomposition (duplicates stages()'s prefix)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docsQ = graft.Tables.documents(spark, sfDir)
+        .join(TextAnalysis.qualityScored(spark, sfDir)
+          .filter(col("score") >= 0.5).select(col("doc_id"), col("score")),
+          Seq("doc_id"))
+        .persist(lvl)
+      t("docsQ materialize")(docsQ.count())
+      val (w, sig, verified) = Dedup.splitPipelineOn(docsQ)
+      t("w materialize")(w.count())
+      t("sig materialize")(sig.count())
+      val nv = t("ladder+cand+verify")(verified.count())
+      val grp = sig.groupBy(col("sg")).agg(min(col("doc_id")).as("rep"))
+      val m = sig.join(grp, Seq("sg")).select(col("doc_id"), col("rep")).persist(lvl)
+      t("contraction map")(m.count())
+      val nc = t("contracted components loop")(
+        Dedup.contractedClusters(m, verified).count())
+      println(s"[probe] fine counts: verified=$nv clustered=$nc")
+    } else {
+      val (docsQ, ranked, s1, semDrop, packed) =
+        t("DAG build (lazy)")(DatasetPipeline.stages(spark, sfDir))
+      val nq = t("stage1 quality survivors")(docsQ.count())
+      val nc = t("stage2 pairs+cliques+loop+rank")(ranked.count())
+      val n1 = t("stage2 survivor expansion")(s1.count())
+      val nd = t("stage3 semantic drops")(semDrop.count())
+      val np = t("stage4 pack window")(packed.count())
+      println(s"[probe] counts: quality=$nq clustered=$nc s1=$n1 semdrop=$nd packed=$np")
+    }
     spark.stop()
   }
 }

@@ -43,9 +43,14 @@ import graft.functions.VectorFunctions
   * is the audited split-ladder (capped equi-joins) + the contracted
   * one-job-per-round component loop; stage 3 confines its quadratic
   * pass inside centroid cells over an already-shrunk survivor set;
-  * stage 4 is one per-shard window. Stage boundaries persist once
-  * ([[org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK]]) — at
-  * 100 TB these are the materialized inter-stage tables. Stage-level
+  * stage 4 is one per-shard window. Stage boundaries are EAGER
+  * LINEAGE CUTS (`localCheckpoint`) — at 100 TB these are the
+  * materialized inter-stage tables. A cached-but-uncut boundary is
+  * not enough: a cached DF still carries its full analyzed plan, and
+  * every downstream action re-canonicalizes that plan for the cache
+  * lookup — measured SECONDS of driver time per action at this DAG's
+  * depth (and 5-24 s per component-loop round before
+  * [[Dedup.componentLabels]] checkpointed its edge table). Stage-level
   * timing probe: `runMain graft.queries.CleanFullProbe <sfDir>`. */
 object DatasetPipeline {
 
@@ -75,7 +80,7 @@ object DatasetPipeline {
       .join(TextAnalysis.qualityScored(s, dir)
         .filter(col("score") >= 0.5).select(col("doc_id"), col("score")),
         Seq("doc_id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     // stage 2 — split-ladder pairs + signature cliques + contracted
     // components + longest-doc survivorship, all on quality survivors
     val (w, sig, verified) = Dedup.splitPipelineOn(docsQ)
@@ -86,10 +91,10 @@ object DatasetPipeline {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
       .select(col("doc_id"), col("cluster_id"), col("rn"))
-      .persist(lvl)
+      .localCheckpoint(true)
     val s1 = docsQ
       .join(ranked.filter(col("rn") > 1).select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .persist(lvl)
+      .localCheckpoint(true)
     // stage 3 — SemDeDup cells over the embedded subset of survivors
     val e1 = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .join(s1.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")

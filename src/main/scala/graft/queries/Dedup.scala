@@ -369,11 +369,18 @@ object Dedup {
     * (much smaller) label table moves each round. */
   private[queries] def componentLabels(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // LINEAGE CUT, not a persist: every round's plan references the
+    // edge table, and a cached DF still carries its full analyzed
+    // plan — each round re-canonicalizes it for the cache lookup,
+    // which on a deep upstream pipeline (the curation DAG's
+    // quality-join + ladder lineage) measured 5-24 s of driver time
+    // PER ROUND vs 0.3 s against a checkpointed LogicalRDD leaf. The
+    // checkpoint is released after convergence (the loop generations
+    // are the only RDDs left pinned — ComponentsLeakSpec).
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(col("src"))
-      .persist(lvl)
+      .localCheckpoint(true)
     def checkpointWithSum(df: org.apache.spark.sql.DataFrame)
         : (org.apache.spark.sql.DataFrame, Long) =
       Fixpoint.checkpointWith(df, coalesce(sum(col("lbl")), lit(0L)))
@@ -402,6 +409,7 @@ object Dedup {
       iter += 1
     }
     require(done, s"label propagation did not converge within $iter rounds")
+    Fixpoint.release(edges)
     labels
   }
 

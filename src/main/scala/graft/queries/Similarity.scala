@@ -510,24 +510,40 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
        |CROSS JOIN occ
        |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    trainedStoreSearch(s, dir, fromStore = true)
+  }
+
+  /** [[simIndexStore]]'s body with the store round-trip togglable:
+    * `fromStore = false` serves the identical search from the fresh
+    * (unsaved) index DataFrames — IndexStoreSpec compares the two to
+    * prove the persisted-table round-trip changes nothing. */
+  private[graft] def trainedStoreSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String, fromStore: Boolean): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val co0 = emb.orderBy(col("vec_id")).limit(8)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
         col("embedding").as("ke")).persist(mem)
     val va0 = coarseAssign(emb, co0).persist(mem)
-    val co1 = lloydStepFrom(emb, va0).persist(mem)
+    // 8-row trained coarse tables are LINEAGE CUTS (localCheckpoint),
+    // not persists: a cached coarse table still carries the nested
+    // Lloyd chain in its analyzed plan, and every downstream action
+    // (probes, LUT, store build) re-canonicalizes it — the
+    // componentLabels lesson applied to the training chain
+    val co1 = lloydStepFrom(emb, va0).localCheckpoint(true)
     val va1 = coarseAssign(emb, co1).persist(mem)
-    val co2 = lloydStepFrom(emb, va1).persist(mem)
+    val co2 = lloydStepFrom(emb, va1).localCheckpoint(true)
     val (assign, codes) = pqIndex(s, dir, Some(co2))
-    graft.sources.CatalogSurface.saveTable(
-      assign, "graft_pq_assign", Scratch.path("pq_assign"))
-    graft.sources.CatalogSurface.saveTable(
-      codes, "graft_pq_codes", Scratch.path("pq_codes"))
-    val stored = s.table("graft_pq_assign")
-    val (adc2, _) = adcCandidates(s, dir, 2,
-      Some((stored, s.table("graft_pq_codes"))), Some(co2))
-    val occ = stored.groupBy(col("list")).agg(count(lit(1)).as("n"))
+    val (sAssign, sCodes) =
+      if (fromStore) {
+        graft.sources.CatalogSurface.saveTable(
+          assign, "graft_pq_assign", Scratch.path("pq_assign"))
+        graft.sources.CatalogSurface.saveTable(
+          codes, "graft_pq_codes", Scratch.path("pq_codes"))
+        (s.table("graft_pq_assign"), s.table("graft_pq_codes"))
+      } else (assign, codes)
+    val (adc2, _) = adcCandidates(s, dir, 2, Some((sAssign, sCodes)), Some(co2))
+    val occ = sAssign.groupBy(col("list")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("occ_max"),
         expr("round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)").as("occ_mean"))
     adc2.withColumn("rn", row_number().over(
@@ -900,9 +916,12 @@ object Similarity {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val co0 = headN(16).persist(mem)
       val va0 = coarseAssign(emb, co0).persist(mem)
-      val co1 = lloydStepFrom(emb, va0).persist(mem)
+      // 16-row trained coarse tables are LINEAGE CUTS (localCheckpoint):
+      // cached-but-uncut, each variant's nested Lloyd chain would be
+      // re-canonicalized by every one of the lane's ~10 actions
+      val co1 = lloydStepFrom(emb, va0).localCheckpoint(true)
       val va1 = coarseAssign(emb, co1).persist(mem)
-      val co2 = lloydStepFrom(emb, va1).persist(mem)
+      val co2 = lloydStepFrom(emb, va1).localCheckpoint(true)
       val va2 = coarseAssign(emb, co2).persist(mem)
       val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
