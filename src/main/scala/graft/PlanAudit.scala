@@ -409,6 +409,10 @@ object PlanAudit {
       // single-column null-aware anti join (the trailing `true` is
       // BroadcastHashJoinExec's isNullAwareAntiJoin flag), never a loop
       "q_join_null_aware_anti" -> Seq("LeftAnti, BuildRight, true", "!NestedLoop"),
+      // incremental ANN index (r10): the search must serve from the
+      // stored+appended tables (pqa/pqc scans in the plan), candidates
+      // stay inverted-list equi-joins — no corpus re-encode loop join
+      "q_sim_index_append" -> Seq("pqa_inc", "pqc_inc", "HashAggregate", "!CartesianProduct"),
       // end-to-end curation DAG (r10): the component loop must have run
       // on the checkpoint engine (RDD-scan leaf), the pack stage is one
       // per-source Window, and no stage — quality join, ladder, cell

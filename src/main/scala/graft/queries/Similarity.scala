@@ -363,9 +363,13 @@ object Similarity {
     """co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
 
-  private def duckAdcCtes(nprobe: Int = 2, coDef: String = duckSeedCo): String =
-    s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
-       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+  private val duckSeedCb: String =
+    """cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))""".stripMargin
+
+  private def duckAdcCtes(nprobe: Int = 2, coDef: String = duckSeedCo,
+      cbDef: String = duckSeedCb): String =
+    s"""$cbDef,
        |$coDef,
        |ad AS (SELECT vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
        |  FROM embeddings CROSS JOIN co),
@@ -407,12 +411,22 @@ object Similarity {
           col("embedding").as(vc))
     val cb = headN(16, "c", "ce")
     val co = coarse.getOrElse(headN(8, "k", "ke"))
-    val assign = emb.crossJoin(broadcast(co))
-      .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
-      .select(col("vec_id"), col("b.c").as("list"))
-    val codes = emb.select(col("vec_id"), col("embedding").as("ve"))
+    (pqAssignFor(emb, co), pqCodesFor(emb, cb))
+  }
+
+  /** Per-vector coarse-list assignment `(vec_id, list)` — the
+    * inverted-index half of the PQ index, over an arbitrary vector
+    * subset (the append lane encodes old and new batches separately
+    * against the same frozen coarse table). */
+  private def pqAssignFor(emb: org.apache.spark.sql.DataFrame,
+      co: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    coarseAssign(emb, co).select(col("vec_id"), col("list"))
+
+  /** Per-vector 8-symbol PQ codes `(vec_id, j, cj)` against codebook
+    * `cb` — likewise subset-parametric. */
+  private def pqCodesFor(emb: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), col("embedding").as("ve"))
       .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("c"),
         posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "ve", "ce", "j*8")})"""))
@@ -420,20 +434,19 @@ object Similarity {
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
       .select(col("vec_id"), col("j"), col("b.c").as("cj"))
-    (assign, codes)
-  }
 
   private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
       nprobe: Int = 2,
       index: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None,
-      coarse: Option[org.apache.spark.sql.DataFrame] = None)
+      coarse: Option[org.apache.spark.sql.DataFrame] = None,
+      codebook: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
       emb.orderBy(col("vec_id")).limit(n)
         .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
           col("embedding").as(vc))
-    val cb = headN(16, "c", "ce")
+    val cb = codebook.getOrElse(headN(16, "c", "ce"))
     val co = coarse.getOrElse(headN(8, "k", "ke"))
     val (assign, codes) = index.getOrElse(pqIndex(s, dir))
     val q = emb.orderBy(col("vec_id")).limit(3)
@@ -552,6 +565,84 @@ object Similarity {
       .crossJoin(broadcast(occ))
       .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"),
         col("occ_max"), col("occ_mean"))
+  }
+
+  /** INCREMENTAL ANN INDEX MAINTENANCE — the nightly companion of
+    * [[simIndexStore]] and the vector twin of
+    * [[Dedup.dedupClustersIncr]]: day-0 trains the coarse quantizer
+    * (two Lloyd steps, K=8) and the PQ codebook on the OLD corpus
+    * (vec_id % 10 <> 0, the repo's standard nightly split), encodes
+    * the old vectors and persists both index tables; the nightly
+    * batch is then encoded ALONE against the FROZEN codebooks —
+    * O(new), never a corpus re-encode — and APPENDED to the stored
+    * tables; the ADC search serves from the merged store. Freezing
+    * the codebooks is the production norm (re-training would
+    * invalidate every stored code, forcing the full re-encode this
+    * lane exists to avoid); the cost is codebook drift, which shows
+    * up as rising distortion and is monitored by exactly the
+    * [[simIvfTrained]] distortion/occupancy columns.
+    *
+    * Correctness: PQ encoding is per-vector independent given frozen
+    * codebooks, so append-encode ≡ full-encode — the DuckDB oracle
+    * encodes the WHOLE corpus against the same old-trained codebooks
+    * in one pass, and hash-equality of the served results IS the
+    * incremental-equals-full proof (the [[Dedup.dedupClustersIncr]]
+    * argument, rerun for vectors). `is_new` marks hits answered from
+    * appended rows — the index serves both generations seamlessly.
+    *
+    * Scale shape: training and day-0 encode are the audited
+    * [[simIndexStore]] plans on the old side; the nightly delta is
+    * one new-batch fan-out against two broadcast codebooks + two
+    * parquet appends; search cost is unchanged (probes × |list| ADC
+    * lookups from the store). */
+  val simIndexAppend: QueryDef = QueryDef(
+    "q_sim_index_append",
+    s"""WITH eold AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |coS AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM eold ORDER BY vec_id LIMIT 8)),
+       |${duckLloyd("coS", "1", "eold")},
+       |${duckLloyd("co1", "2", "eold")},
+       |${duckAdcCtes(2,
+          coDef = "co AS (SELECT k, ke FROM co2)",
+          cbDef = """cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+  FROM (SELECT * FROM eold ORDER BY vec_id LIMIT 16))""")}
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc, vec_id % 10 = 0 AS is_new
+       |FROM (SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val newB = emb.filter(col("vec_id") % 10 === 0)
+    def headN(df: org.apache.spark.sql.DataFrame, n: Int, idc: String, vc: String) =
+      df.orderBy(col("vec_id")).limit(n)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+          col("embedding").as(vc))
+    val co0 = headN(old, 8, "k", "ke")
+    val va0 = coarseAssign(old, co0).persist(mem)
+    val co1 = lloydStepFrom(old, va0).localCheckpoint(true)
+    val va1 = coarseAssign(old, co1).persist(mem)
+    val co2 = lloydStepFrom(old, va1).localCheckpoint(true)
+    val cb = headN(old, 16, "c", "ce").localCheckpoint(true)
+    // day-0: encode + store the old corpus
+    graft.sources.CatalogSurface.saveTable(
+      pqAssignFor(old, co2), "graft_pqa_inc", Scratch.path("pqa_inc"))
+    graft.sources.CatalogSurface.saveTable(
+      pqCodesFor(old, cb), "graft_pqc_inc", Scratch.path("pqc_inc"))
+    // nightly: encode ONLY the new batch against the frozen codebooks,
+    // append to the stored tables (O(new) encode cost)
+    pqAssignFor(newB, co2).write.mode("append").format("parquet")
+      .saveAsTable("graft_pqa_inc")
+    pqCodesFor(newB, cb).write.mode("append").format("parquet")
+      .saveAsTable("graft_pqc_inc")
+    val (adc2, _) = adcCandidates(s, dir, 2,
+      Some((s.table("graft_pqa_inc"), s.table("graft_pqc_inc"))),
+      Some(co2), Some(cb))
+    adc2.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"),
+        (col("vec_id") % 10 === 0).as("is_new"))
   }
 
   /** ANN RECALL@K vs EXACT — the number every production ANN
@@ -832,13 +923,14 @@ object Similarity {
     * `as$suf`, per-dimension decimal-exact means `cm$suf`, updated
     * coarse table `co$suf` — generic over K (K = |$prev|). Shared by
     * [[simIvfTrained]] and the trained-index [[simIndexStore]]. */
-  private def duckLloyd(prev: String, suf: String): String =
+  private def duckLloyd(prev: String, suf: String,
+      base: String = "embeddings"): String =
     s"""as$suf AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
        |  FROM (SELECT e.vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
-       |    FROM embeddings e CROSS JOIN $prev) GROUP BY vec_id),
+       |    FROM $base e CROSS JOIN $prev) GROUP BY vec_id),
        |cm$suf AS (SELECT list AS k, i,
        |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS cv
-       |  FROM embeddings e JOIN as$suf a USING (vec_id), unnest(range(1, 65)) t(i)
+       |  FROM $base e JOIN as$suf a USING (vec_id), unnest(range(1, 65)) t(i)
        |  GROUP BY 1, 2),
        |co$suf AS (SELECT k, list(cv ORDER BY i) AS ke FROM cm$suf GROUP BY k)""".stripMargin
 
@@ -962,5 +1054,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
-    simIvfTrained)
+    simIvfTrained, simIndexAppend)
 }
