@@ -14,11 +14,12 @@ class ComponentsLeakSpec extends SparkSpec {
     assert(out.count() > 0, "components query must produce clusters")
     val extra = spark.sparkContext.getPersistentRDDs.size - before
     // expected pins after the run: tokenized docs + band table (from
-    // lshVerifiedPairs), the edge table, and the FINAL label
-    // checkpoint — a leak would add one generation per round (>= 2
-    // more even at this SF, and unbounded at scale)
-    assert(extra <= 4,
-      s"expected <= 4 pinned tables (w, bands, edges, final labels), got $extra")
+    // lshVerifiedPairs) and the FINAL label checkpoint — the edge
+    // checkpoint is released after convergence (r10) and a generation
+    // leak would add one pin per round (>= 2 more even at this SF,
+    // and unbounded at scale)
+    assert(extra <= 3,
+      s"expected <= 3 pinned tables (w, bands, final labels), got $extra")
     spark.catalog.clearCache()
   }
 }
