@@ -340,9 +340,14 @@ object Aggregations {
     "q_agg_countmin",
     """SELECT l_returnflag, l_linenumber, COUNT(*) AS exact_cnt, TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag, l_linenumber""".stripMargin) { (s, dir) =>
-    val est = udf((sk: Array[Byte], key: Long) =>
-      org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(key))
+    // probe a whole group's key array in ONE call — the sketch
+    // deserializes once per GROUP, not once per probe row (r10; the
+    // probe fan-in is bounded by the report's distinct keys per group)
+    val est = udf((sk: Array[Byte], keys: Seq[Long]) => {
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk))
+      keys.map(cms.estimateCount)
+    })
     val sketches = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       // key cast to BIGINT so build-side and probe-side hashing agree
@@ -351,11 +356,17 @@ object Aggregations {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linenumber"))
       .agg(count(lit(1)).as("exact_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(collect_list(struct(col("l_linenumber"), col("exact_cnt"))).as("ps"))
       .join(broadcast(sketches), Seq("l_returnflag"))
-      .withColumn("est", est(col("sk"), col("l_linenumber").cast("long")))
-      .select(col("l_returnflag"), col("l_linenumber"), col("exact_cnt"),
-        (col("est") >= col("exact_cnt") &&
-          col("est") <= col("exact_cnt") + ceil(lit(0.001) * col("n_rows")).cast("long"))
+      .withColumn("ests",
+        est(col("sk"), expr("transform(ps, x -> CAST(x.l_linenumber AS BIGINT))")))
+      .select(col("l_returnflag"), col("n_rows"),
+        explode(arrays_zip(col("ps"), col("ests"))).as("z"))
+      .select(col("l_returnflag"), col("z.ps.l_linenumber").as("l_linenumber"),
+        col("z.ps.exact_cnt").as("exact_cnt"),
+        (col("z.ests") >= col("z.ps.exact_cnt") &&
+          col("z.ests") <= col("z.ps.exact_cnt") + ceil(lit(0.001) * col("n_rows")).cast("long"))
           .as("within_bound"))
   }
 
