@@ -417,7 +417,20 @@ object PlanAudit {
       // on the checkpoint engine (RDD-scan leaf), the pack stage is one
       // per-source Window, and no stage — quality join, ladder, cell
       // pass, packing — may fall back to a cartesian product
-      "q_dataset_clean_full" -> Seq("Window", "HashAggregate", "Scan ExistingRDD", "!CartesianProduct"))
+      "q_dataset_clean_full" -> Seq("Window", "HashAggregate", "Scan ExistingRDD", "!CartesianProduct"),
+      // MMR re-rank (r10): the greedy steps run ONLY against the two
+      // checkpointed constant-size tables (pool + pairwise sims — RDD
+      // scan leaves); every per-step join is a broadcast of a ≤|q|·POOL
+      // row set; the corpus never reappears after stage 1
+      "q_sim_mmr" -> Seq("Union", "Scan ExistingRDD", "BroadcastHashJoin", "Window", "!SortMergeJoin", "!CartesianProduct"),
+      // filtered ANN (r10): the metadata predicate must reach the
+      // parquet scan (row-group pruning; a partition key at 100 TB),
+      // and both top-ks fold below the shuffle
+      "q_sim_filtered" -> Seq("EqualTo(label,0)", "WindowGroupLimit", "!CartesianProduct"),
+      // kNN reciprocity (r10): candidates confined to the bucket
+      // EQUI-join, top-3 below the shuffle, reciprocity is a window
+      // count on the pair key — never an edges self-join loop
+      "q_sim_knn_recip" -> Seq("WindowGroupLimit", "Window", "HashAggregate", "!NestedLoop", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -18,7 +18,7 @@ object SparkEntry {
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++ MultimodalQ.defs ++
       Reshape.defs ++ TpchMore.defs ++ Curation.defs ++ TpchFull.defs ++
       SqlSurface.defs ++ Profiling.defs ++ Graph.defs ++ TimeSeries.defs ++
-      DatasetPipeline.defs
+      DatasetPipeline.defs ++ Retrieval.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

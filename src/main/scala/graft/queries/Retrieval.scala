@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Retrieval-SERVING quality operators over the embedding table — the
+  * layer between the ANN index family ([[Similarity]]) and a consumer
+  * of search results (a RAG pipeline, a dedup candidate feed):
+  *
+  *  - [[simMmr]]: Maximal Marginal Relevance diversified re-ranking
+  *    (Carbonell & Goldstein, SIGIR'98) — the standard fix for an ANN
+  *    top-k that returns k near-copies of the same hit.
+  *  - [[simFiltered]]: metadata-filtered vector search (the
+  *    "filtered ANN" problem every production vector store exposes),
+  *    with the pre-filter vs post-filter recall gap measured side by
+  *    side.
+  *  - [[knnRecip]]: reciprocal-neighbor rate of the corpus k-NN
+  *    graph — the embedding-health / hubness diagnostic run before
+  *    trusting an index built on those vectors.
+  *
+  * All three are oracle-verified `QueryDef`s on the `embeddings`
+  * table; distances are the repo's exact sequential-fold cosine
+  * (native CosineSimilarity expression ≙ DuckDB list_reduce fold,
+  * bit-identical), so raw doubles hash-match without rounding.
+  */
+object Retrieval {
+
+  /** DuckDB cosine over 64-d embedding columns (the [[Similarity]] /
+    * [[DatasetPipeline]] sequential-fold expression verbatim). */
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
+       |   / (sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
+       |    * sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+
+  private val K = 5      // picks per query
+  private val POOL = 20  // candidate pool per query
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking: per query, a candidate
+    * pool of the top-[[POOL]] cosine hits is greedily re-ordered into
+    * [[K]] picks maximizing `0.5·rel(d) − 0.5·max_{s∈S} sim(d,s)` —
+    * each pick trades relevance against similarity to what was
+    * already picked, so a pool full of near-duplicates yields a
+    * diversified answer instead of k copies.
+    *
+    * Scale shape: stage 1 (pool building) is the swappable ANN
+    * candidate generator — exact top-k here so the oracle can replay
+    * it; in production the IVF/ADC path of [[Similarity]] feeds the
+    * identical pool contract. Everything after is CONSTANT-SIZE:
+    * the pool (|q|·POOL rows) and its pairwise-sim table (|q|·POOL²)
+    * are eager lineage cuts (tiny localCheckpoints — the K−1 unrolled
+    * greedy steps would otherwise re-derive the full-scan pool plan
+    * per step, the r10 plan-canonicalization trap), and each greedy
+    * step is a broadcast-joined argmax over ≤POOL rows per query.
+    * Corpus size never appears past stage 1.
+    *
+    * Determinism: rel/psim are the exact shared fold; the greedy
+    * argmax orders by (score DESC, vec_id) — a total order; `0.5·a −
+    * 0.5·b` is IEEE-identical in both engines, so the unrolled DuckDB
+    * replay (MATERIALIZED CTEs per the iterative-oracle policy)
+    * matches bit-for-bit. */
+  val simMmr: QueryDef = {
+    val steps = (2 to K).map { i =>
+      val sel = s"sel${i - 1}"
+      val mkSel =
+        if (i < K) s""",
+           |sel$i AS MATERIALIZED (SELECT qid, vec_id FROM $sel UNION ALL SELECT qid, vec_id FROM w$i)""".stripMargin
+        else ""
+      s"""w$i AS MATERIALIZED (
+         |  SELECT qid, vec_id, rel, score FROM (
+         |    SELECT qid, vec_id, rel, score,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.vec_id, c.rel, 0.5 * c.rel - 0.5 * p.pen AS score
+         |      FROM pool c
+         |      JOIN (SELECT pr.qid, pr.va, MAX(pr.psim) AS pen
+         |            FROM pairs pr JOIN $sel s ON pr.qid = s.qid AND pr.vb = s.vec_id
+         |            GROUP BY pr.qid, pr.va) p
+         |        ON p.qid = c.qid AND p.va = c.vec_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM $sel s2
+         |                        WHERE s2.qid = c.qid AND s2.vec_id = c.vec_id)) sc) rt
+         |  WHERE rn = 1)$mkSel""".stripMargin
+    }
+    val finalSel = (1 to K).map(i =>
+      s"SELECT qid, CAST($i AS BIGINT) AS pick, vec_id, rel, score FROM w$i")
+      .mkString("\nUNION ALL\n")
+    QueryDef(
+      "q_sim_mmr",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 3),
+         |pool AS MATERIALIZED (
+         |  SELECT qid, vec_id, rel, embedding, rk FROM (
+         |    SELECT qid, vec_id, rel, embedding,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+         |    FROM (SELECT qid, vec_id, ${duckCos("qe", "embedding")} AS rel, embedding
+         |          FROM q JOIN e ON vec_id <> qid) r0) t
+         |  WHERE rk <= $POOL),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         |    ${duckCos("a.embedding", "b.embedding")} AS psim
+         |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |w1 AS MATERIALIZED (SELECT qid, vec_id, rel, 0.5 * rel AS score FROM pool WHERE rk = 1),
+         |sel1 AS MATERIALIZED (SELECT qid, vec_id FROM w1),
+         |${steps.mkString(",\n")}
+         |$finalSel""".stripMargin) { (s, dir) =>
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wr = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+      // stage 1: the ANN candidate pool — the only corpus-sized pass
+      val pool = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rel", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= POOL)
+        .select(col("qid"), col("vec_id"), col("rel"), col("embedding"), col("rk"))
+        .localCheckpoint(true) // lineage cut: |q|·POOL rows, constant
+      val pb = pool.select(col("qid").as("qb"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val pairs = pool.join(broadcast(pb),
+          col("qid") === col("qb") && col("vec_id") =!= col("vb"))
+        .withColumn("psim", expr("cosine_sim(embedding, eb)"))
+        .select(col("qid"), col("vec_id").as("va"), col("vb"), col("psim"))
+        .localCheckpoint(true) // |q|·POOL² rows, constant
+      val w1 = pool.filter(col("rk") === 1)
+        .select(col("qid"), col("vec_id"), col("rel"),
+          expr("0.5D * rel").as("score"))
+      var sel = w1.select(col("qid"), col("vec_id"))
+      var picks = w1.withColumn("pick", lit(1L))
+      for (i <- 2 to K) {
+        val pen = pairs.join(broadcast(
+            sel.select(col("qid").as("pq"), col("vec_id").as("pv"))),
+            col("qid") === col("pq") && col("vb") === col("pv"))
+          .groupBy(col("qid"), col("va")).agg(max(col("psim")).as("pen"))
+        val scored = pool.join(broadcast(sel), Seq("qid", "vec_id"), "left_anti")
+          .join(broadcast(pen.select(col("qid").as("gq"), col("va"), col("pen"))),
+            col("qid") === col("gq") && col("vec_id") === col("va"))
+          .withColumn("score", expr("0.5D * rel - 0.5D * pen"))
+        val wn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val wi = scored.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), col("rel"), col("score"))
+        picks = picks.unionByName(wi.withColumn("pick", lit(i.toLong)))
+        sel = sel.unionByName(wi.select(col("qid"), col("vec_id")))
+      }
+      picks.select(col("qid"), col("pick"), col("vec_id"), col("rel"), col("score"))
+    }
+  }
+
+  /** METADATA-FILTERED VECTOR SEARCH: top-5 cosine among vectors
+    * matching a metadata predicate (`label = 0` — a tenant / language
+    * / collection filter), next to the number of label-0 hits that
+    * survive POST-filtering an unfiltered global top-20 — the
+    * side-by-side every vector store documents: post-filtering an ANN
+    * result loses recall whenever the filter is selective (here
+    * label 0 is 10% of the corpus, so a global top-20 carries ~2
+    * matching hits where the filtered search returns its full 5).
+    *
+    * Scale shape: the pre-filter lane pushes `label = 0` INTO the
+    * parquet scan (PushedFilters — row-group pruning; at 100 TB the
+    * label would be a partition key and this becomes partition
+    * pruning), then runs the standard broadcast-query scan; the
+    * post-filter lane is the same global scan the unfiltered index
+    * would do. Both top-ks fold below the shuffle as
+    * WindowGroupLimit. */
+  val simFiltered: QueryDef = QueryDef(
+    "q_sim_filtered",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 3),
+       |pre AS (
+       |  SELECT qid, vec_id, cos_sim, rk FROM (
+       |    SELECT qid, vec_id, cos_sim,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+       |    FROM (SELECT qid, e.vec_id, ${duckCos("qe", "embedding")} AS cos_sim
+       |          FROM q JOIN e ON e.label = 0 AND e.vec_id <> qid) t0) t
+       |  WHERE rk <= 5),
+       |g20 AS (
+       |  SELECT qid, vec_id, label FROM (
+       |    SELECT qid, vec_id, label,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+       |    FROM (SELECT qid, e.vec_id, e.label, ${duckCos("qe", "embedding")} AS cos_sim
+       |          FROM q JOIN e ON e.vec_id <> qid) t0) t
+       |  WHERE rk <= 20),
+       |post AS (SELECT qid, COUNT(*) AS nph FROM g20 WHERE label = 0 GROUP BY 1)
+       |SELECT p.qid, p.vec_id, p.cos_sim, CAST(p.rk AS BIGINT) AS rk,
+       |  CAST(coalesce(post.nph, 0) AS BIGINT) AS n_postfilter_hits
+       |FROM pre p LEFT JOIN post ON post.qid = p.qid""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val pre = e.filter(col("label") === 0) // static predicate → pushed to the scan
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rk"))
+    val glob = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 20)
+    val post = glob.filter(col("label") === 0)
+      .groupBy(col("qid")).agg(count(lit(1)).as("nph"))
+    pre.join(broadcast(post), Seq("qid"), "left")
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("rk"),
+        coalesce(col("nph"), lit(0L)).as("n_postfilter_hits"))
+  }
+
+  /** RECIPROCAL-NEIGHBOR RATE of the corpus k-NN graph (k = 3,
+    * LSH-blocked): the fraction of directed edges a→b whose reverse
+    * b→a is also an edge, per label. Low reciprocity flags hubness —
+    * vectors that appear in everyone's neighbor list while their own
+    * lists point elsewhere — the classic symptom of an embedding
+    * space that will degrade ANN recall and SemDeDup quality; it is
+    * the cheap health check run on a vector column BEFORE building an
+    * index on it.
+    *
+    * Scale shape: candidate pairs are confined to 4-bit
+    * sign-projection buckets (the [[Similarity.simLsh]] blocking —
+    * within-bucket quadratic, bits tune block size at larger N, the
+    * same knob as the dedup ladder), top-3 folds below the shuffle as
+    * WindowGroupLimit, and reciprocity is ONE window count over the
+    * undirected pair key of the O(3·N) edge set — no edges⋈edges
+    * self-join, and never anything on the pair space. */
+  val knnRecip: QueryDef = QueryDef(
+    "q_sim_knn_recip",
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |    array_to_string(list_transform(range(1, 5),
+       |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings),
+       |edges AS (
+       |  SELECT vec_id, label, nb FROM (
+       |    SELECT a.vec_id, a.label, b.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${duckCos("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+       |  WHERE rk <= 3),
+       |r AS (SELECT a.label, COUNT(*) AS n
+       |  FROM edges a JOIN edges b ON a.vec_id = b.nb AND a.nb = b.vec_id
+       |  GROUP BY 1),
+       |g AS (SELECT label, COUNT(*) AS n_edges FROM edges GROUP BY 1)
+       |SELECT CAST(g.label AS BIGINT) AS label, CAST(g.n_edges AS BIGINT) AS n_edges,
+       |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_recip,
+       |  round(CAST(coalesce(r.n, 0) AS DOUBLE) / CAST(g.n_edges AS DOUBLE), 6) + 0.0 AS recip_rate
+       |FROM g LEFT JOIN r ON r.label = g.label""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    // bucket WITHOUT a higher-order-function lambda: constraint
+    // propagation across the bucket equi-join transposes the bucket
+    // expression between join sides, and lambda variables inside a
+    // transposed HOF predicate keep the other side's attribute ids
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time) — plain
+    // CASE/concat is also fully codegen'd
+    val bucketExpr = (1 to 4).map(i =>
+      s"CASE WHEN element_at(embedding, $i) >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    val a = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      expr(bucketExpr).as("bucket"), col("embedding").as("e1"))
+    val b = Tables.embeddings(s, dir).select(col("vec_id").as("nb"),
+      expr(bucketExpr).as("b2"), col("embedding").as("e2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("nb"))
+    val edges = a.join(b, col("bucket") === col("b2") && col("vec_id") =!= col("nb"))
+      .withColumn("cos_sim", expr("cosine_sim(e1, e2)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("label"), col("nb"))
+    // reciprocity WITHOUT a self-join: a directed edge is reciprocal
+    // iff its undirected pair key appears twice — one window count
+    // over (min,max) instead of an edges⋈edges join (which would also
+    // re-trip the lambda-attribute dedup bug this lane hit)
+    val wp = Window.partitionBy(col("u"), col("v"))
+    edges
+      .withColumn("u", least(col("vec_id"), col("nb")))
+      .withColumn("v", greatest(col("vec_id"), col("nb")))
+      .withColumn("is_recip", (count(lit(1)).over(wp) === 2).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("is_recip")).as("n_recip"))
+      .select(col("label").cast("long").as("label"), col("n_edges"), col("n_recip"),
+        expr("round(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE), 6) + 0.0")
+          .as("recip_rate"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simMmr, simFiltered, knnRecip)
+}
