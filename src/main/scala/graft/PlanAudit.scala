@@ -430,7 +430,12 @@ object PlanAudit {
       // kNN reciprocity (r10): candidates confined to the bucket
       // EQUI-join, top-3 below the shuffle, reciprocity is a window
       // count on the pair key — never an edges self-join loop
-      "q_sim_knn_recip" -> Seq("WindowGroupLimit", "Window", "HashAggregate", "!NestedLoop", "!CartesianProduct"))
+      "q_sim_knn_recip" -> Seq("WindowGroupLimit", "Window", "HashAggregate", "!NestedLoop", "!CartesianProduct"),
+      // leakage-proof split (r10): cluster labels come off the fixpoint
+      // engine (RDD-scan leaf), assignment is map-side arithmetic over
+      // a LEFT join against the small label table, and the straddle
+      // audit is a pair-table-sized equi-join — no cartesian anywhere
+      "q_split_leakproof" -> Seq("Scan ExistingRDD", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -1375,10 +1375,83 @@ object Dedup {
           .otherwise("merged").as("status"))
   }
 
+  /** LEAKAGE-PROOF train/val/test split — the dedup-aware upgrade of
+    * [[graft.queries.Curation]]'s q_split_grouped: the split unit is
+    * the NEAR-DUP CLUSTER (connected component over the LSH-verified
+    * pair graph, singletons = their own unit), so two near-duplicate
+    * documents can never straddle the train/eval boundary. Provenance
+    * grouping (source∥lang) cannot give that guarantee — near-dups
+    * routinely cross sources (mirrors, scrapes, quotes), and a val doc
+    * whose near-copy sits in train is exactly the contamination that
+    * inflates eval scores. This is the split construction the Dolma /
+    * RefinedWeb-style corpus pipelines run after dedup.
+    *
+    * Assignment hashes the CLUSTER id with the repo's integer-hash
+    * idiom on a bounded key (`(cluster_id % 262144) * 2654435761 %
+    * 65536`; thresholds 52429/58982 ≈ 80/10/10) — deterministic, no
+    * rand(), identical in both engines. The audit column
+    * `straddle_pairs` re-joins the verified pairs against the
+    * assignment and counts cross-split pairs: Spark gets 0 by
+    * construction, but the ORACLE recomputes the clusters through its
+    * own recursive component walk and its own hash assignment, so the
+    * pinned 0 is an independently-derived proof, not an echo.
+    *
+    * Scale shape: pair finding + component labeling are the
+    * [[dedupComponents]] machinery (capped buckets, one-job-per-round
+    * fixpoint on checkpointed leaves); the label table is
+    * cluster-members-only (≪ corpus), so the unit mapping is a LEFT
+    * join of docs against a small table, assignment is map-side
+    * arithmetic, and the audit join is pair-table-sized. At 100 TB the
+    * labels come from the persisted cluster store
+    * ([[dedupClustersIncr]]) rather than being recomputed. */
+  val splitLeakproof: QueryDef = QueryDef(
+    "q_split_leakproof",
+    s"""WITH RECURSIVE $duckVerifiedPairsCtes,
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM bi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM walk wk JOIN bi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+       |units AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |assigned AS (SELECT doc_id, cluster_id,
+       |  CASE WHEN (cluster_id % 262144) * 2654435761 % 65536 < 52429 THEN 'train'
+       |       WHEN (cluster_id % 262144) * 2654435761 % 65536 < 58982 THEN 'val'
+       |       ELSE 'test' END AS split FROM units),
+       |straddle AS (SELECT CAST(COUNT(*) AS BIGINT) AS straddle_pairs
+       |  FROM pairs p
+       |  JOIN assigned a1 ON a1.doc_id = p.d1
+       |  JOIN assigned a2 ON a2.doc_id = p.d2
+       |  WHERE a1.split <> a2.split)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  (SELECT straddle_pairs FROM straddle) AS straddle_pairs
+       |FROM assigned GROUP BY 1""".stripMargin) { (s, dir) =>
+    val (_, pairs) = lshVerifiedPairs(s, dir)
+    val labels = componentLabels(pairs)
+    val assigned = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", expr(
+        """CASE WHEN (cluster_id % 262144) * 2654435761 % 65536 < 52429 THEN 'train'
+          |     WHEN (cluster_id % 262144) * 2654435761 % 65536 < 58982 THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val straddle = pairs
+      .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .filter(col("s1") =!= col("s2"))
+      .agg(count(lit(1)).as("straddle_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(straddle))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
-    dedupClusters, dedupSemantic, dedupClustersIncr)
+    dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof)
 }
