@@ -435,7 +435,13 @@ object PlanAudit {
       // engine (RDD-scan leaf), assignment is map-side arithmetic over
       // a LEFT join against the small label table, and the straddle
       // audit is a pair-table-sized equi-join — no cartesian anywhere
-      "q_split_leakproof" -> Seq("Scan ExistingRDD", "HashAggregate", "!CartesianProduct"))
+      "q_split_leakproof" -> Seq("Scan ExistingRDD", "HashAggregate", "!CartesianProduct"),
+      // boilerplate phrases (r10): bigrams stream from the custom
+      // Generate node into ONE persisted distinct-gram table
+      // (InMemoryTableScan for all three consumers); docfreq filter and
+      // the impact join are hash-agg + equi-join — no cartesian, no
+      // sort-merge on the gram stream
+      "q_text_boilerplate" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "!CartesianProduct", "!NestedLoop"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -140,6 +140,9 @@ object VectorFunctions {
       "ngrams_3",
       arity("ngrams_3(text)", 1)(exprs => NGramGenerator(exprs.head, 3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams_2",
+      arity("ngrams_2(text)", 1)(exprs => NGramGenerator(exprs.head, 2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_dist_sq",
       arity("l2_dist_sq(array<numeric>, array<numeric>)", 2)(
         exprs => L2DistanceSq(exprs.head, exprs(1))), "built-in")

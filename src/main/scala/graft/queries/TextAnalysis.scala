@@ -1167,8 +1167,84 @@ object TextAnalysis {
                |        - round(CAST(SUM(CAST(y AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)), 6) + 0.0""".stripMargin).as("gap"))
   }
 
+  /** Per-source BOILERPLATE-phrase detection + removal impact (the
+    * CCNet / C4 per-crawl boilerplate pass reshaped for this corpus):
+    * a bigram that recurs across ≥ max(3, ⌈10%⌉) of a SOURCE's
+    * documents is that source's template text — nav chrome, footers,
+    * license banners in a real crawl — and the per-source summary
+    * (how many phrases, how many docs touched, what token fraction
+    * removal would strip) is the audit a curation run publishes
+    * before enabling the filter. The threshold is RELATIVE to the
+    * source's doc count (integer `(ndocs + 9) DIV 10` — no float in
+    * the cutoff), so the lane is meaningful at every SF and at a
+    * 100 TB crawl alike.
+    *
+    * Scale shape: bigrams stream out of the [[graft.functions.NGramGenerator]]
+    * Generate node (no per-doc shingle arrays), collapse once into the
+    * distinct (source, doc, gram, cnt) table, and everything downstream
+    * is vocabulary- or doc-count-sized: docfreq is a hash-agg over that
+    * table, the boilerplate set is docfreq-filtered (≪ corpus), and the
+    * impact join is g3 ⋈ boiler on (source, gram) — an equi-join AQE
+    * broadcasts when the phrase table is small. One generation pass,
+    * persisted; three consumers. All counts stay integer until the one
+    * final rounded division. */
+  val boilerplate: QueryDef = QueryDef(
+    "q_text_boilerplate",
+    s"""WITH w AS (SELECT doc_id, source, ${Tokenize.duckTrim} AS ws FROM documents),
+       |g AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS ngram
+       |  FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)),
+       |g3 AS (SELECT source, doc_id, ngram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS ndocs FROM g3 GROUP BY 1),
+       |b AS (SELECT df.source, df.ngram
+       |  FROM (SELECT source, ngram, COUNT(*) AS docfreq FROM g3 GROUP BY 1, 2) df
+       |  JOIN nd ON nd.source = df.source
+       |  WHERE df.docfreq >= greatest(3, (nd.ndocs + 9) // 10)),
+       |pd AS (SELECT g3.source, g3.doc_id, SUM(g3.cnt) AS n_grams,
+       |    SUM(CASE WHEN b.ngram IS NOT NULL THEN g3.cnt ELSE 0 END) AS n_boiler
+       |  FROM g3 LEFT JOIN b ON b.source = g3.source AND b.ngram = g3.ngram
+       |  GROUP BY 1, 2),
+       |agg AS (SELECT source, COUNT(*) AS n_docs,
+       |    COUNT(CASE WHEN n_boiler > 0 THEN 1 END) AS n_docs_affected,
+       |    SUM(n_grams) AS tg, SUM(n_boiler) AS tb FROM pd GROUP BY 1),
+       |bg AS (SELECT source, COUNT(*) AS n_boiler_grams FROM b GROUP BY 1)
+       |SELECT agg.source, CAST(COALESCE(bg.n_boiler_grams, 0) AS BIGINT) AS n_boiler_grams,
+       |  CAST(agg.n_docs AS BIGINT) AS n_docs,
+       |  CAST(agg.n_docs_affected AS BIGINT) AS n_docs_affected,
+       |  round(CAST(tb AS DOUBLE) / CAST(tg AS DOUBLE), 6) + 0.0 AS boiler_frac
+       |FROM agg LEFT JOIN bg ON bg.source = agg.source""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val g3 = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", "ngrams_2(text)")
+      .groupBy(col("source"), col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = g3.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val boiler = g3.groupBy(col("source"), col("ngram"))
+      .agg(count(lit(1)).as("docfreq"))
+      .join(nd, Seq("source"))
+      .filter(col("docfreq") >= greatest(lit(3L), expr("(ndocs + 9) DIV 10")))
+      .select(col("source"), col("ngram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = g3
+      .join(boiler.withColumn("is_b", lit(1)), Seq("source", "ngram"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("is_b").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_boiler"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_boiler") > 0, lit(1))).as("n_docs_affected"),
+        sum(col("n_grams")).as("tg"), sum(col("n_boiler")).as("tb"))
+      .join(boiler.groupBy(col("source")).agg(count(lit(1)).as("n_boiler_grams")),
+        Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
+        col("n_docs"), col("n_docs_affected"),
+        expr("round(CAST(tb AS DOUBLE) / CAST(tg AS DOUBLE), 6) + 0.0").as("boiler_frac"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
-    qualityCalibration)
+    qualityCalibration, boilerplate)
 }
