@@ -441,7 +441,16 @@ object PlanAudit {
       // (InMemoryTableScan for all three consumers); docfreq filter and
       // the impact join are hash-agg + equi-join — no cartesian, no
       // sort-merge on the gram stream
-      "q_text_boilerplate" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "!CartesianProduct", "!NestedLoop"))
+      "q_text_boilerplate" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "!CartesianProduct", "!NestedLoop"),
+      // token-budget curation (r10): the window cum-sum runs over the
+      // per-source BUCKET histogram (≤1025 rows/source), never over
+      // documents — docs are hash-aggregated once and the threshold
+      // scan is the aggregate's output, so the corpus is never sorted
+      "q_sample_token_budget" -> Seq("Window", "HashAggregate", "partial_", "!CartesianProduct", "!NestedLoop"),
+      // source-contamination matrix (r10): sources land on the pair
+      // table via doc-keyed equi-joins; the matrix is a hash-agg over
+      // ≤|sources|² cells — no cartesian, no nested loop
+      "q_dedup_source_matrix" -> Seq("HashAggregate", "LeftSemi", "!CartesianProduct", "!NestedLoop"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

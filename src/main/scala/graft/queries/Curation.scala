@@ -674,8 +674,72 @@ object Curation {
       expr("round(CAST(yr AS DOUBLE) / sqrt(CAST(SUM(yr * yr) OVER () AS DOUBLE)), 6) + 0.0D").as("y_unit"))
   }
 
+  /** QUALITY-THRESHOLD TOKEN-BUDGET curation (the FineWeb / Dolma
+    * "keep the best documents until the token budget is spent" pass):
+    * per source, rank documents by a quality score and keep the top
+    * ones whose cumulative token count fits a budget (here 60% of the
+    * source's tokens — relative, so the lane is meaningful at every
+    * SF). The naive shape — a per-source window cum-sum over EVERY
+    * document ordered by score — serializes a whole source through one
+    * window partition, which is the scale bug (a source at 100 TB is
+    * billions of docs). This lane runs the scale-correct shape
+    * instead: quantize the score to an INTEGER bucket
+    * (`(distinct_words·1024) DIV total_words` — a type-token-ratio
+    * proxy, no floats anywhere in the cutoff), hash-aggregate tokens
+    * per (source, bucket), and cum-sum over the ≤1025-row-per-source
+    * BUCKET table (the radix-select idea from the calibration lane);
+    * the first bucket crossing the budget is kept whole. Applying the
+    * resulting per-source threshold to the corpus is then a map-side
+    * broadcast filter — the corpus is never sorted, never windowed.
+    * All arithmetic stays integer until the one rounded utilization
+    * division. */
+  val sampleTokenBudget: QueryDef = QueryDef(
+    "q_sample_token_budget",
+    s"""WITH w AS (SELECT doc_id, source, ${Tokenize.duckTrim} AS ws FROM documents),
+       |d AS (SELECT source, len(ws) AS total_words, len(list_distinct(ws)) AS distinct_words FROM w),
+       |db AS (SELECT source, (distinct_words * 1024) // total_words AS bucket, total_words FROM d),
+       |bk AS (SELECT source, bucket, SUM(total_words) AS btok, COUNT(*) AS bdocs FROM db GROUP BY 1, 2),
+       |tt AS (SELECT source, SUM(btok) AS ttok FROM bk GROUP BY 1),
+       |ck AS (SELECT bk.source, bucket, btok, bdocs, (tt.ttok * 6) // 10 AS budget,
+       |    SUM(btok) OVER (PARTITION BY bk.source ORDER BY bucket DESC
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM bk JOIN tt ON tt.source = bk.source),
+       |kept AS (SELECT * FROM ck WHERE cum - btok < budget)
+       |SELECT source, CAST(MIN(bucket) AS BIGINT) AS threshold_bucket,
+       |  CAST(SUM(bdocs) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(btok) AS BIGINT) AS tokens_kept,
+       |  CAST(MAX(budget) AS BIGINT) AS budget,
+       |  round(CAST(SUM(btok) AS DOUBLE) / CAST(MAX(budget) AS DOUBLE), 6) + 0.0 AS util
+       |FROM kept GROUP BY 1""".stripMargin) { (s, dir) =>
+    val buckets = Tables.documents(s, dir)
+      .withColumn("ws", expr(Tokenize.sparkTrim))
+      .select(col("source"),
+        expr("CAST(size(ws) AS BIGINT)").as("total_words"),
+        expr("CAST(size(array_distinct(ws)) AS BIGINT)").as("distinct_words"))
+      .withColumn("bucket", expr("(distinct_words * 1024) DIV total_words"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("total_words")).as("btok"), count(lit(1)).as("bdocs"))
+    val totals = buckets.groupBy(col("source")).agg(sum(col("btok")).as("ttok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    buckets.join(totals, Seq("source"))
+      .withColumn("budget", expr("(ttok * 6) DIV 10"))
+      .withColumn("cum", sum(col("btok")).over(w))
+      .filter(col("cum") - col("btok") < col("budget"))
+      .groupBy(col("source"))
+      .agg(min(col("bucket")).as("threshold_bucket"),
+        sum(col("bdocs")).as("n_docs_kept"),
+        sum(col("btok")).as("tokens_kept"),
+        max(col("budget")).as("budget"))
+      .select(col("source"), col("threshold_bucket"), col("n_docs_kept"),
+        col("tokens_kept"), col("budget"),
+        expr("round(CAST(tokens_kept AS DOUBLE) / CAST(budget AS DOUBLE), 6) + 0.0").as("util"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
-    embedDimStats, lenBuckets, datasetCard, powerIter)
+    embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget)
 }

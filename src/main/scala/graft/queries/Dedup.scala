@@ -1448,10 +1448,59 @@ object Dedup {
       .crossJoin(broadcast(straddle))
   }
 
+  /** SOURCE-CONTAMINATION MATRIX — the provenance audit a corpus
+    * pipeline publishes next to its dedup stats: which SOURCE PAIRS
+    * share verified near-duplicates, and at what strength. Cross-source
+    * cells are mirrors/scrapes (the reason [[splitLeakproof]] groups by
+    * cluster, not provenance — in this corpus every exact-dup pair is
+    * cross-source); the diagonal is within-crawl duplication. The
+    * matrix drives source-level decisions (drop a mirrored crawl
+    * wholesale, or weight it down in the mixture) that per-doc dedup
+    * can't express.
+    *
+    * Scale shape: the expensive part is the shared LSH ladder
+    * ([[lshVerifiedPairs]] — capped buckets, map-only signatures); the
+    * matrix itself is two doc-keyed equi-joins to pull sources onto the
+    * pair table (pair-table-sized, ≪ corpus) and a hash-agg over at
+    * most |sources|² cells. At 100 TB the pairs come from the persisted
+    * cluster store ([[dedupIncrementalStore]]) instead of being
+    * recomputed, and the source lookup is the doc-metadata table. The
+    * pair key is undirected (least/greatest) so each cell counts once.
+    * jaccard is an exact integer ratio (proven hash-identical raw in
+    * [[dedupLshVerified]]); min is rounded per the repo policy. */
+  val sourceMatrix: QueryDef = QueryDef(
+    "q_dedup_source_matrix",
+    s"""WITH $duckVerifiedPairsCtes,
+       |src AS (SELECT doc_id, source FROM documents),
+       |ps AS (SELECT least(a.source, b.source) AS src_a,
+       |    greatest(a.source, b.source) AS src_b, p.jaccard
+       |  FROM pairs p
+       |  JOIN src a ON a.doc_id = p.d1
+       |  JOIN src b ON b.doc_id = p.d2)
+       |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CASE WHEN src_a = src_b THEN 'intra' ELSE 'cross' END AS kind,
+       |  round(MIN(jaccard), 6) + 0.0 AS min_jaccard
+       |FROM ps GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val (_, pairs) = lshVerifiedPairs(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), Seq("d2"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("round(MIN(jaccard), 6) + 0.0").as("min_jaccard"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        when(col("src_a") === col("src_b"), lit("intra"))
+          .otherwise(lit("cross")).as("kind"),
+        col("min_jaccard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
-    dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof)
+    dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof, sourceMatrix)
 }
