@@ -450,7 +450,11 @@ object PlanAudit {
       // source-contamination matrix (r10): sources land on the pair
       // table via doc-keyed equi-joins; the matrix is a hash-agg over
       // ≤|sources|² cells — no cartesian, no nested loop
-      "q_dedup_source_matrix" -> Seq("HashAggregate", "LeftSemi", "!CartesianProduct", "!NestedLoop"))
+      "q_dedup_source_matrix" -> Seq("HashAggregate", "LeftSemi", "!CartesianProduct", "!NestedLoop"),
+      // mixture epoch planner (r10): per-source token agg + two one-row
+      // scalar broadcasts (the mixTemperature shape) — corpus touched
+      // once, no shuffle joins, planner output is |sources| rows
+      "q_mix_epochs" -> Seq("HashAggregate", "BroadcastNestedLoopJoin", "partial_", "!SortMergeJoin", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

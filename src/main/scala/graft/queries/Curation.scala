@@ -738,8 +738,70 @@ object Curation {
         expr("round(CAST(tokens_kept AS DOUBLE) / CAST(budget AS DOUBLE), 6) + 0.0").as("util"))
   }
 
+  /** MIXTURE EPOCH PLANNER — the other half of [[mixTemperature]]:
+    * that lane derives per-group keep probabilities (DOWN-sampling the
+    * head); this one publishes the repetition table an LLM training
+    * run actually schedules from — per SOURCE, under a temperature
+    * (α=0.5) TOKEN mixture and a global token budget equal to one
+    * corpus pass, how many tokens are requested, and how many EPOCHS
+    * of the source that means (epochs > 1 = the tail source gets
+    * repeated; the flag is the "seen-more-than-once" warning every
+    * data card reports). Scale shape: one per-source token aggregate,
+    * two one-row scalar broadcasts (total, Σw) — the corpus is touched
+    * once for token counts and never again; the planner's output is
+    * |sources| rows.
+    *
+    * Determinism (the [[mixTemperature]] policy): α=0.5 ⇒ weight =
+    * sqrt (IEEE-exact both engines); every fraction rounded to 6 dp
+    * and carried DECIMAL(20,6); requested tokens = floor of a product
+    * of two exactly-shared doubles; epochs = one final rounded
+    * integer division. */
+  val mixEpochs: QueryDef = QueryDef(
+    "q_mix_epochs",
+    s"""WITH d AS (SELECT source, len(${Tokenize.duckTrim}) AS n_tok FROM documents),
+       |s AS (SELECT source, SUM(n_tok) AS avail FROM d GROUP BY 1),
+       |tot AS (SELECT SUM(avail) AS total FROM s),
+       |t AS (SELECT source, avail, total,
+       |  CAST(round(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DECIMAL(20,6)) AS raw_frac,
+       |  CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+       |  FROM s CROSS JOIN tot),
+       |tw AS (SELECT SUM(w) AS sum_w FROM t),
+       |k AS (SELECT source, avail, total, raw_frac,
+       |  CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6)) AS temp_frac
+       |  FROM t CROSS JOIN tw)
+       |SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+       |  CAST(raw_frac AS DOUBLE) AS raw_frac,
+       |  CAST(temp_frac AS DOUBLE) AS temp_frac,
+       |  CAST(floor(CAST(temp_frac AS DOUBLE) * CAST(total AS DOUBLE)) AS BIGINT) AS requested_tokens,
+       |  round(CAST(floor(CAST(temp_frac AS DOUBLE) * CAST(total AS DOUBLE)) AS DOUBLE)
+       |        / CAST(avail AS DOUBLE), 6) + 0.0 AS epochs,
+       |  CAST(floor(CAST(temp_frac AS DOUBLE) * CAST(total AS DOUBLE)) AS BIGINT) > avail AS upsampled
+       |FROM k""".stripMargin) { (s, dir) =>
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
+    val tot = counts.agg(sum(col("avail")).as("total"))
+    val t = counts.crossJoin(broadcast(tot))
+      .withColumn("raw_frac",
+        expr("CAST(round(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DECIMAL(20,6))"))
+      .withColumn("w",
+        expr("CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6))"))
+    val tw = t.agg(sum(col("w")).as("sum_w"))
+    t.crossJoin(broadcast(tw))
+      .withColumn("temp_frac",
+        expr("CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6))"))
+      .withColumn("requested_tokens",
+        expr("CAST(floor(CAST(temp_frac AS DOUBLE) * CAST(total AS DOUBLE)) AS BIGINT)"))
+      .select(col("source"), col("avail").cast("long").as("avail_tokens"),
+        col("raw_frac").cast("double").as("raw_frac"),
+        col("temp_frac").cast("double").as("temp_frac"),
+        col("requested_tokens"),
+        expr("round(CAST(requested_tokens AS DOUBLE) / CAST(avail AS DOUBLE), 6) + 0.0").as("epochs"),
+        (col("requested_tokens") > col("avail")).as("upsampled"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
-    embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget)
+    embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs)
 }
