@@ -454,7 +454,13 @@ object PlanAudit {
       // mixture epoch planner (r10): per-source token agg + two one-row
       // scalar broadcasts (the mixTemperature shape) — corpus touched
       // once, no shuffle joins, planner output is |sources| rows
-      "q_mix_epochs" -> Seq("HashAggregate", "BroadcastNestedLoopJoin", "partial_", "!SortMergeJoin", "!CartesianProduct"))
+      "q_mix_epochs" -> Seq("HashAggregate", "BroadcastNestedLoopJoin", "partial_", "!SortMergeJoin", "!CartesianProduct"),
+      // novelty curve (r10): ONE generation pass (persisted, both
+      // consumers InMemoryTableScan); novel-gram counts via the
+      // min-decile hash-agg, never a per-decile rescan; the window
+      // runs over exactly 10 rows; the only nested loop is the one-row
+      // n_docs scalar broadcast
+      "q_text_novelty" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -1243,8 +1243,65 @@ object TextAnalysis {
         expr("round(CAST(tb AS DOUBLE) / CAST(tg AS DOUBLE), 6) + 0.0").as("boiler_frac"))
   }
 
+  /** CORPUS NOVELTY CURVE (Heaps'-law diagnostic — "is more data still
+    * adding new content?"): split the corpus into 10 arrival deciles
+    * (integer range-bucketing on the contiguous doc_id — no window over
+    * docs), and report how many DISTINCT 3-grams each decile
+    * contributes that no earlier decile contained. A flattening curve
+    * means marginal data is redundant — the scaling-law question every
+    * data team asks before buying the next crawl.
+    *
+    * The naive construction — cumulative distinct over growing
+    * prefixes — rescans the corpus once per decile (10× at any scale).
+    * This lane computes the identical numbers in ONE pass via the
+    * min-decile trick: a gram is "new in decile d" iff d = MIN(decile
+    * over its occurrences), so one hash-agg per distinct gram gives
+    * every decile's novel-gram count simultaneously. The cum-sum
+    * window then runs over EXACTLY 10 rows (bounded, unlike the banned
+    * doc-scale single-partition windows). All counts integer until the
+    * one rounded novelty-rate division. */
+  val noveltyCurve: QueryDef = QueryDef(
+    "q_text_novelty",
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
+       |g AS (SELECT (doc_id * 10) // n_docs AS decile,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+       |  FROM w CROSS JOIN n, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)),
+       |occ AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+       |firsts AS (SELECT ngram, MIN(decile) AS first_decile FROM g GROUP BY 1),
+       |novel AS (SELECT first_decile AS decile, CAST(COUNT(*) AS BIGINT) AS new_grams
+       |  FROM firsts GROUP BY 1)
+       |SELECT occ.decile, occ.n_grams,
+       |  COALESCE(novel.new_grams, 0) AS new_grams,
+       |  CAST(SUM(COALESCE(novel.new_grams, 0)) OVER (ORDER BY occ.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new_grams,
+       |  round(CAST(COALESCE(novel.new_grams, 0) AS DOUBLE)
+       |        / CAST(occ.n_grams AS DOUBLE), 6) + 0.0 AS novelty_rate
+       |FROM occ LEFT JOIN novel ON novel.decile = occ.decile""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val g = Tables.documents(s, dir)
+      .selectExpr("doc_id", "ngrams_3(text)")
+      .crossJoin(broadcast(nDocs))
+      .select(expr("(doc_id * 10) DIV n_docs").as("decile"), col("ngram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = g.groupBy(col("decile")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("ngram")).agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_grams"))
+    val tenRows = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    occ.join(novel, Seq("decile"), "left")
+      .select(col("decile"), col("n_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("cum_new_grams", sum(col("new_grams")).over(tenRows).cast("long"))
+      .withColumn("novelty_rate",
+        expr("round(CAST(new_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) + 0.0"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
-    qualityCalibration, boilerplate)
+    qualityCalibration, boilerplate, noveltyCurve)
 }
