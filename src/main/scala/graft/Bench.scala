@@ -36,13 +36,23 @@ object Bench {
     new java.io.File(sfDir).getName == historySf
 
   /** Per-query clean minima from prior uncontended runs; absent file
-    * (or a query's first appearance) simply disarms the third sample. */
+    * (or a query's first appearance) simply disarms the third sample.
+    * The pattern tolerates whitespace around the colon: hand-restored
+    * floor files are pretty-printed one-entry-per-line with ": ", and a
+    * no-space-only pattern silently parses an EMPTY history — which
+    * disarms every third sample AND makes the post-run ratchet clobber
+    * the committed floors with this run's samples (the r10 incident,
+    * twice). A parsed-size sanity print makes the failure loud. */
   private def loadHistory(sfDir: String): Map[String, Double] = {
     val p = java.nio.file.Paths.get("bench_history.json")
     if (!historyApplies(sfDir) || !java.nio.file.Files.exists(p)) Map.empty
-    else "\"([^\"]+)\":([0-9.]+)".r
-      .findAllMatchIn(java.nio.file.Files.readString(p))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else {
+      val h = "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      System.err.println(s"[bench] floor history: ${h.size} entries")
+      h
+    }
   }
 
   /** Representative subset printed on the stdout line (one per operator
