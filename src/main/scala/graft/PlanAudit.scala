@@ -460,7 +460,11 @@ object PlanAudit {
       // min-decile hash-agg, never a per-decile rescan; the window
       // runs over exactly 10 rows; the only nested loop is the one-row
       // n_docs scalar broadcast
-      "q_text_novelty" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"))
+      "q_text_novelty" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"),
+      // Fisher discriminability (r10): one explode pass → moment
+      // hash-agg to constant-size (dim × label) rows; the dim-keyed
+      // join and final agg never touch the corpus again
+      "q_embed_fisher" -> Seq("Generate", "HashAggregate", "partial_", "!CartesianProduct", "!NestedLoop"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -800,8 +800,74 @@ object Curation {
         (col("requested_tokens") > col("avail")).as("upsampled"))
   }
 
+  /** PER-DIMENSION FISHER DISCRIMINABILITY of the embedding space —
+    * the "are these embeddings any good for this label" diagnostic run
+    * before training a probe or building a filtered index: for every
+    * dimension, the classic one-way ANOVA decomposition
+    * between-class-SS / within-class-SS over the label groups. Flat
+    * ratios across all dims = the labels are not linearly recoverable
+    * from single coordinates (expected on isotropic embeddings);
+    * a spiked dim = a feature worth indexing/filtering on.
+    *
+    * Scale shape: one posexplode pass → hash-agg to the
+    * (dim × label) moment table (|dims|·|labels| rows — constants),
+    * a dim-keyed join against the |dims|-row grand table, and a final
+    * |dims|-row aggregate. The corpus is touched once; everything
+    * after the first agg is constant-sized.
+    *
+    * Determinism (the [[embedDimStats]] recipe): values rounded to
+    * 6 dp → DECIMAL(12,6), all sums DECIMAL-exact, per-label
+    * between/within contributions rounded to 6 dp → DECIMAL before the
+    * cross-label sum (a raw double sum over labels would be
+    * order-sensitive), squares as explicit products (no pow). */
+  val embedFisher: QueryDef = QueryDef(
+    "q_embed_fisher",
+    """WITH x AS (SELECT label, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |e AS (SELECT i - 1 AS dim, label,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS v FROM x),
+      |g AS (SELECT dim, label, COUNT(*) AS n, SUM(v) AS s1, SUM(v*v) AS s2
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (SELECT dim, SUM(n) AS nn, SUM(s1) AS t1 FROM g GROUP BY 1),
+      |c AS (SELECT g.dim,
+      |    CAST(round(CAST(g.n AS DOUBLE)
+      |      * (CAST(g.s1 AS DOUBLE)/g.n - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))
+      |      * (CAST(g.s1 AS DOUBLE)/g.n - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE)), 6) AS DECIMAL(20,6)) AS bc,
+      |    CAST(round(CAST(g.s2 AS DOUBLE)
+      |      - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE) / g.n, 6) AS DECIMAL(20,6)) AS wc
+      |  FROM g JOIN tot ON tot.dim = g.dim)
+      |SELECT CAST(dim AS INT) AS dim,
+      |  round(CAST(SUM(bc) AS DOUBLE), 6) + 0.0 AS between_ss,
+      |  round(CAST(SUM(wc) AS DOUBLE), 6) + 0.0 AS within_ss,
+      |  CASE WHEN CAST(SUM(wc) AS DOUBLE) > 0
+      |    THEN round(CAST(SUM(bc) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 6) + 0.0
+      |    ELSE 0.0 END AS fisher
+      |FROM c GROUP BY dim""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("int").as("dim"), col("label"),
+        expr("CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))").as("v"))
+    val g = e.groupBy(col("dim"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"), sum(expr("v*v")).as("s2"))
+    val tot = g.groupBy(col("dim")).agg(sum(col("n")).as("nn"), sum(col("s1")).as("t1"))
+    g.join(tot, Seq("dim"))
+      .select(col("dim"),
+        expr("""CAST(round(CAST(n AS DOUBLE)
+               |  * (CAST(s1 AS DOUBLE)/n - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE))
+               |  * (CAST(s1 AS DOUBLE)/n - CAST(t1 AS DOUBLE)/CAST(nn AS DOUBLE)), 6) AS DECIMAL(20,6))""".stripMargin).as("bc"),
+        expr("""CAST(round(CAST(s2 AS DOUBLE)
+               |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n, 6) AS DECIMAL(20,6))""".stripMargin).as("wc"))
+      .groupBy(col("dim"))
+      .agg(expr("round(CAST(SUM(bc) AS DOUBLE), 6) + 0.0D").as("between_ss"),
+        expr("round(CAST(SUM(wc) AS DOUBLE), 6) + 0.0D").as("within_ss"),
+        expr("""CASE WHEN CAST(SUM(wc) AS DOUBLE) > 0
+               |  THEN round(CAST(SUM(bc) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 6) + 0.0D
+               |  ELSE 0.0D END""".stripMargin).as("fisher"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
-    embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs)
+    embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
+    embedFisher)
 }
