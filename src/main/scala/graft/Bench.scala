@@ -43,13 +43,29 @@ object Bench {
     * disarms every third sample AND makes the post-run ratchet clobber
     * the committed floors with this run's samples (the r10 incident,
     * twice). A parsed-size sanity print makes the failure loud. */
+  /** True only when every key:value pair in the (one flat object)
+    * floor file parsed — a partial parse must NOT feed the ratchet,
+    * which would clobber the unparsed committed floors (the r10
+    * incident class). */
+  private var historyComplete: Boolean = true
+
   private def loadHistory(sfDir: String): Map[String, Double] = {
     val p = java.nio.file.Paths.get("bench_history.json")
     if (!historyApplies(sfDir) || !java.nio.file.Files.exists(p)) Map.empty
     else {
-      val h = "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r
-        .findAllMatchIn(java.nio.file.Files.readString(p))
+      val txt = java.nio.file.Files.readString(p)
+      // full float syntax (sign/exponent) so a hand-edited 1.2e-3 can
+      // never silently truncate to 1.2 (ADVICE r10)
+      val h = "\"([^\"]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+        .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // strict coverage check: the file is one flat {"k":v,...} object,
+      // so parsed entries must equal its colon count
+      val nPairs = txt.count(_ == ':')
+      historyComplete = h.size == nPairs
+      if (!historyComplete)
+        System.err.println(s"[bench] FLOOR PARSE INCOMPLETE: ${h.size} of " +
+          s"$nPairs pairs parsed — ratchet write DISABLED to protect committed floors")
       System.err.println(s"[bench] floor history: ${h.size} entries")
       h
     }
@@ -137,7 +153,7 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     // Ratchet the floor history down with this run's observations —
     // only at the floor file's own SF (see historyApplies).
-    if (historyApplies(sfDir)) {
+    if (historyApplies(sfDir) && historyComplete) {
       val merged = (history.keySet ++ results.collect { case (n, _, true, _, _, _, _) => n })
         .toSeq.sorted.map { n =>
           val obs = results.collectFirst { case (`n`, d, true, _, _, _, _) => d }

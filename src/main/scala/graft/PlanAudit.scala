@@ -464,7 +464,22 @@ object PlanAudit {
       // Fisher discriminability (r10): one explode pass → moment
       // hash-agg to constant-size (dim × label) rows; the dim-keyed
       // join and final agg never touch the corpus again
-      "q_embed_fisher" -> Seq("Generate", "HashAggregate", "partial_", "!CartesianProduct", "!NestedLoop"))
+      "q_embed_fisher" -> Seq("Generate", "HashAggregate", "partial_", "!CartesianProduct", "!NestedLoop"),
+      // hybrid BM25⊕vector RRF (r11): both candidate top-ks fold below
+      // the shuffle; the per-query term/idf table broadcasts into the
+      // one exploded-token pass; the fusion is a constant-size join —
+      // never a sort-merge on the token stream, never a cartesian
+      "q_sim_hybrid_rrf" -> Seq("WindowGroupLimit", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"),
+      // SQ8 vs PQ ablation (r11): both legs are map-side scans against
+      // broadcast constants (scale scalar / codebook LUT); the three
+      // 15-row top-5 tables are eager lineage cuts (RDD-scan leaves)
+      // so the overlap joins never re-derive the scans
+      "q_sim_sq8" -> Seq("Scan ExistingRDD", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"),
+      // nightly incremental curation (r11): merge loop on the
+      // checkpoint engine (RDD-scan leaves), frozen-cell assignment
+      // and append window per source; no stage may fall back to a
+      // cartesian product
+      "q_dataset_clean_incr" -> Seq("Window", "Scan ExistingRDD", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

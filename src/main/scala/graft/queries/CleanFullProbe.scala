@@ -44,14 +44,17 @@ object CleanFullProbe {
         Dedup.contractedClusters(m, verified).count())
       println(s"[probe] fine counts: verified=$nv clustered=$nc")
     } else {
-      val (docsQ, ranked, s1, semDrop, packed) =
-        t("DAG build (lazy)")(DatasetPipeline.stages(spark, sfDir))
-      val nq = t("stage1 quality survivors")(docsQ.count())
-      val nc = t("stage2 pairs+cliques+loop+rank")(ranked.count())
-      val n1 = t("stage2 survivor expansion")(s1.count())
-      val nd = t("stage3 semantic drops")(semDrop.count())
-      val np = t("stage4 pack window")(packed.count())
-      println(s"[probe] counts: quality=$nq clustered=$nc s1=$n1 semdrop=$nd packed=$np")
+      val st = t("DAG build (lazy)")(DatasetPipeline.stages(spark, sfDir))
+      val nq = t("stage1 quality survivors")(st.docsQ.count())
+      val nc = t("stage2 pairs+cliques+loop+rank")(st.ranked.count())
+      val n1 = t("stage2 survivor expansion")(st.s1.count())
+      val nd = t("stage3 trained-cell sem drops")(st.semDrop.count())
+      val n2 = t("stage3 survivor cut")(st.s2.count())
+      val nt = t("stage4 boilerplate strip")(st.toks.count())
+      val nk = t("stage5 token-budget filter")(st.kept.count())
+      val np = t("stage6 pack window")(st.packed.count())
+      println(s"[probe] counts: quality=$nq clustered=$nc s1=$n1 semdrop=$nd " +
+        s"s2=$n2 toks=$nt kept=$nk packed=$np")
     }
     spark.stop()
   }

@@ -6,8 +6,8 @@ import graft.functions.VectorFunctions
 
 /** The END-TO-END curation DAG — the repo's training-data pipeline
   * stages chained the way a 100 TB pre-training data job actually runs
-  * them (VERDICT r8 task 6 / r9 Next #3), each stage shrinking the
-  * next stage's input:
+  * them (VERDICT r8 task 6 / r9 Next #3 / r10 Next #2+#3), each stage
+  * shrinking the next stage's input:
   *
   *  1. TRAINED QUALITY FILTER ([[TextAnalysis.qualityScored]]): the
   *     logistic scorer trains on the RAW corpus (3 hash-agg gradient
@@ -20,34 +20,60 @@ import graft.functions.VectorFunctions
   *     ties). Running dedup after the cheap filter is the production
   *     ordering — pair-finding cost scales with what quality let
   *     through.
-  *  3. SEMANTIC DEDUP (the [[Dedup.dedupSemantic]] SemDeDup cell
-  *     construction): survivors THAT HAVE AN EMBEDDING partition into
-  *     K=8 centroid cells (centroids = lowest-id survivor embeddings,
-  *     the trained-codebook stand-in); a doc drops when a LOWER-id
-  *     cell-mate sits at cosine >= 0.3. Docs without an embedding
-  *     pass through — the coverage-gap policy of a real pipeline
-  *     where embedding is itself a budgeted stage (at sf0.1 only
-  *     2000 of 5000 docs are embedded).
-  *  4. SEQUENCE PACKING ([[Curation.packSequences]] shape): the final
+  *  3. SEMANTIC DEDUP on a TRAINED coarse quantizer (r11, VERDICT r10
+  *     Next #2 — the [[simIndexStore]] upgrade applied to the
+  *     flagship): survivors THAT HAVE AN EMBEDDING partition into K=8
+  *     k-means cells — two decimal-exact Lloyd steps
+  *     ([[Similarity.lloydStepFrom]]) from the lowest-8-id survivor
+  *     seed, assignment by 6-dp-rounded squared-L2 against the trained
+  *     8-row broadcast — and a doc drops when a LOWER-id cell-mate
+  *     sits at cosine >= 0.3 (the SemDeDup rule, quadratic pass
+  *     confined within cells). Docs without an embedding pass
+  *     through — the coverage-gap policy of a real pipeline where
+  *     embedding is itself a budgeted stage (at sf0.1 only 2000 of
+  *     5000 docs are embedded).
+  *  4. BOILERPLATE STRIP (r11, VERDICT r10 Next #3 — the
+  *     [[TextAnalysis.boilerplate]] phrase table applied as a
+  *     token-level filter): a bigram recurring across >= max(3,
+  *     ceil(ndocs/10)) of a SOURCE's surviving documents is template
+  *     text; every token position covered by such a bigram (both
+  *     positions of each occurrence) is struck, shrinking the doc's
+  *     packable token count. The phrase table is derived from the
+  *     stage-3 survivors themselves — a real crawl's per-source pass.
+  *  5. TOKEN-BUDGET THRESHOLD (the [[Curation.sampleTokenBudget]]
+  *     bucket cutoff as a map-side broadcast filter): per source,
+  *     integer TTR buckets `(distinct·1024) DIV total` are cum-summed
+  *     descending over the ≤1025-row bucket histogram of STRIPPED
+  *     token counts; the budget is 60% of the source's stripped
+  *     tokens, the first crossing bucket is kept whole, and the doc
+  *     filter is `bucket >= threshold` — the corpus is never sorted
+  *     or windowed for the cut.
+  *  6. SEQUENCE PACKING ([[Curation.packSequences]] shape): the final
   *     survivor set streams per-source into 512-token training
-  *     sequences via one per-shard prefix-sum window.
+  *     sequences (STRIPPED counts) via one per-shard prefix-sum
+  *     window.
   *
-  * Output: one row per doc that reaches the packed dataset — its
-  * quality score, its duplicate-cluster id (-1 if it never clustered;
-  * a clustered survivor is its cluster's keeper by construction), its
-  * token count and its packed seq_no. The DuckDB oracle replays the
-  * identical four stages (recursive walk for the components), so the
-  * gate verifies the WHOLE DAG end to end, not stage-by-stage.
+  * Output: one row per doc that reaches the packed dataset — quality
+  * score, duplicate-cluster id (-1 if never clustered; a clustered
+  * survivor is its cluster's keeper by construction), raw and
+  * stripped token counts, and packed seq_no. The DuckDB oracle
+  * replays the identical SIX stages (recursive walk for the
+  * components, unrolled Lloyd CTEs for the trained centroids), so
+  * the gate verifies the WHOLE DAG end to end, not stage-by-stage.
   *
   * Scale shape: stage 1 is corpus scans + 1-row broadcasts; stage 2
   * is the audited split-ladder (capped equi-joins) + the contracted
-  * one-job-per-round component loop; stage 3 confines its quadratic
-  * pass inside centroid cells over an already-shrunk survivor set;
-  * stage 4 is one per-shard window. Stage boundaries are EAGER
-  * LINEAGE CUTS (`localCheckpoint`) — at 100 TB these are the
-  * materialized inter-stage tables. A cached-but-uncut boundary is
-  * not enough: a cached DF still carries its full analyzed plan, and
-  * every downstream action re-canonicalizes that plan for the cache
+  * one-job-per-round component loop; stage 3 trains against 8-row
+  * broadcast coarse tables (each Lloyd step is one fan-out + one
+  * hash-agg) and confines its quadratic pass inside centroid cells
+  * over an already-shrunk survivor set; stage 4 is one bigram
+  * Generate pass with vocabulary-sized downstream joins; stage 5 is
+  * a bucket-histogram hash-agg + a broadcast threshold filter; stage
+  * 6 is one per-shard window. Stage boundaries are EAGER LINEAGE
+  * CUTS (`localCheckpoint`) — at 100 TB these are the materialized
+  * inter-stage tables. A cached-but-uncut boundary is not enough: a
+  * cached DF still carries its full analyzed plan, and every
+  * downstream action re-canonicalizes that plan for the cache
   * lookup — measured SECONDS of driver time per action at this DAG's
   * depth (and 5-24 s per component-loop round before
   * [[Dedup.componentLabels]] checkpointed its edge table). Stage-level
@@ -66,13 +92,20 @@ object DatasetPipeline {
        |    * sqrt(list_reduce(list_transform(range(1, 65),
        |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
 
-  /** Shared Spark stage chain, returning each stage's output so the
-    * lane and [[CleanFullProbe]] run the identical DAG:
-    * (docsQ, clusterRanked, s1, semDrop, packed). */
+  /** Stage outputs, returned so the lane and [[CleanFullProbe]] /
+    * [[graft.DatasetPipelineSpec]] run the identical DAG. */
+  private[queries] case class Stages(
+      docsQ: org.apache.spark.sql.DataFrame,   // stage-1 survivors + score
+      ranked: org.apache.spark.sql.DataFrame,  // stage-2 cluster ranking
+      s1: org.apache.spark.sql.DataFrame,      // stage-2 survivors
+      semDrop: org.apache.spark.sql.DataFrame, // stage-3 drops
+      s2: org.apache.spark.sql.DataFrame,      // stage-3 survivors
+      toks: org.apache.spark.sql.DataFrame,    // stage-4 stripped counts
+      kept: org.apache.spark.sql.DataFrame,    // stage-5 budget survivors
+      packed: org.apache.spark.sql.DataFrame)  // stage-6 output
+
   private[queries] def stages(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame) = {
+      : Stages = {
     import org.apache.spark.sql.expressions.Window
     VectorFunctions.register(s)
     // stage 1 — trained quality filter (scorer trains on the raw corpus)
@@ -95,40 +128,95 @@ object DatasetPipeline {
     val s1 = docsQ
       .join(ranked.filter(col("rn") > 1).select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // stage 3 — SemDeDup cells over the embedded subset of survivors
+    // stage 3 — SemDeDup cells over the embedded subset of survivors,
+    // cells from a TRAINED K=8 coarse quantizer (two decimal-exact
+    // Lloyd steps from the lowest-8-id survivor seed). The 8-row
+    // trained tables are LINEAGE CUTS, not persists: a cached coarse
+    // table still carries the nested Lloyd chain in its analyzed plan
+    // and every downstream action re-canonicalizes it.
     val e1 = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .join(s1.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       .persist(lvl)
-    val c = e1.orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val asg = e1.join(broadcast(c))
-      .withColumn("cos_sim", expr("cosine_sim(ce, embedding)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+    val coS = e1.orderBy(col("vec_id")).limit(8)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
+        col("embedding").as("ke"))
+    val va0 = Similarity.coarseAssign(e1, coS).persist(lvl)
+    val co1 = Similarity.lloydStepFrom(e1, va0).localCheckpoint(true)
+    val va1 = Similarity.coarseAssign(e1, co1).persist(lvl)
+    val co2 = Similarity.lloydStepFrom(e1, va1).localCheckpoint(true)
+    val asg = Similarity.coarseAssign(e1, co2)
+      .select(col("vec_id"), col("list"))
+      .join(e1, Seq("vec_id"))
       .persist(lvl)
-    val semDrop = asg.select(col("vec_id"), col("cid"), col("embedding").as("ea"))
-      .join(asg.select(col("vec_id").as("mate"), col("cid").as("cid2"),
+    val semDrop = asg.select(col("vec_id"), col("list"), col("embedding").as("ea"))
+      .join(asg.select(col("vec_id").as("mate"), col("list").as("list2"),
         col("embedding").as("eb")),
-        col("cid") === col("cid2") && col("mate") < col("vec_id"))
+        col("list") === col("list2") && col("mate") < col("vec_id"))
       .filter(expr("cosine_sim(ea, eb)") >= 0.3)
       .select(col("vec_id").as("doc_id")).distinct()
     val s2 = s1.join(semDrop, Seq("doc_id"), "left_anti")
-    // stage 4 — per-source 512-token-budget sequence packing
+      .localCheckpoint(true)
+    // stage 4 — per-source boilerplate bigram table over the survivors,
+    // applied as a token-level strike: positions {i, i+1} of every
+    // boilerplate bigram occurrence are struck from the packable count
+    val wt = s2.select(col("doc_id"), col("lang"), col("source"),
+        expr(Tokenize.sparkTrim).as("ws"))
+      .persist(lvl)
+    val bgr = wt.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('i', i, 'ngram',
+          |         concat(element_at(ws, i), ' ', element_at(ws, i + 1))))""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("source"), col("t.i").as("i"), col("t.ngram").as("ngram"))
+      .persist(lvl)
+    val g3b = bgr.select(col("source"), col("doc_id"), col("ngram")).distinct()
+    val ndb = g3b.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    val bo = g3b.groupBy(col("source"), col("ngram"))
+      .agg(count(lit(1)).as("docfreq"))
+      .join(ndb, Seq("source"))
+      .filter(col("docfreq") >= greatest(lit(3L), expr("(ndocs + 9) DIV 10")))
+      .select(col("source"), col("ngram"))
+    val struck = bgr.join(bo, Seq("source", "ngram"))
+      .select(col("doc_id"), explode(expr("array(i, i + 1)")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_struck"))
+    val toks = wt.join(struck, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("ws")).cast("long").as("n_tok_raw"),
+        (size(col("ws")).cast("long") - coalesce(col("n_struck"), lit(0L))).as("n_tok"),
+        expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1024) DIV CAST(size(ws) AS BIGINT)")
+          .as("bucket"))
+      .localCheckpoint(true)
+    // stage 5 — per-source token budget over the STRIPPED counts:
+    // bucket-histogram cum-sum (≤1025 rows per source), threshold
+    // applied as a broadcast map-side filter
+    val bkt = toks.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tok")).as("btok"))
+    val ttb = bkt.groupBy(col("source")).agg(sum(col("btok")).as("ttok"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = bkt.join(ttb, Seq("source"))
+      .withColumn("budget", expr("(ttok * 6) DIV 10"))
+      .withColumn("cum", sum(col("btok")).over(wb))
+      .filter(col("cum") - col("btok") < col("budget"))
+      .groupBy(col("source")).agg(min(col("bucket")).as("thr_bucket"))
+    val kept = toks.join(broadcast(thr), Seq("source"))
+      .filter(col("bucket") >= col("thr_bucket"))
+    // stage 6 — per-source 512-token-budget sequence packing over the
+    // stripped counts
     val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = s2
-      .select(col("doc_id"), col("lang"), col("source"), col("score"),
-        size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
+    val packed = kept
       .withColumn("seq_no",
         floor((sum(col("n_tok")).over(wp) - col("n_tok")) / lit(512.0)).cast("long"))
+      .join(docsQ.select(col("doc_id"), col("score")), Seq("doc_id"))
       .join(ranked.filter(col("rn") === 1)
         .select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"), col("seq_no"),
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tok_raw"), col("n_tok"), col("seq_no"),
         (col("score") + lit(0.0)).as("score"),
         coalesce(col("cluster_id"), lit(-1L)).cast("long").as("cluster_id"))
-    (docsQ, ranked, s1, semDrop, packed)
+    Stages(docsQ, ranked, s1, semDrop, s2, toks, kept, packed)
   }
 
   val datasetCleanFull: QueryDef = QueryDef(
@@ -157,31 +245,387 @@ object DatasetPipeline {
        |  WHERE dd.doc_id IS NULL),
        |e1 AS MATERIALIZED (SELECT e.vec_id, e.embedding
        |  FROM embeddings e JOIN s1 ON s1.doc_id = e.vec_id),
-       |c AS (SELECT vec_id AS cid, embedding AS ce
-       |  FROM e1 ORDER BY vec_id LIMIT 8),
-       |sims AS (SELECT e1.vec_id, cid, ${duckCos("embedding", "ce")} AS cos_sim
-       |  FROM e1, c),
-       |asg AS MATERIALIZED (SELECT a.vec_id, a.cid, e.embedding
-       |  FROM (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rk
-       |    FROM sims) WHERE rk = 1) a JOIN e1 e USING (vec_id)),
-       |semdrop AS (SELECT DISTINCT a.vec_id FROM asg a
-       |  JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |coS AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM e1 ORDER BY vec_id LIMIT 8)),
+       |${Similarity.duckLloyd("coS", "1", "e1")},
+       |${Similarity.duckLloyd("co1", "2", "e1")},
+       |asgf AS MATERIALIZED (SELECT a.vec_id, a.list, e.embedding
+       |  FROM (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
+       |    FROM (SELECT e.vec_id, k, ${Similarity.duckD(64, "embedding", "ke")} AS rd2
+       |      FROM e1 e CROSS JOIN co2) GROUP BY vec_id) a
+       |  JOIN e1 e USING (vec_id)),
+       |semdrop AS (SELECT DISTINCT a.vec_id FROM asgf a
+       |  JOIN asgf b ON a.list = b.list AND b.vec_id < a.vec_id
        |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3),
-       |s2 AS (SELECT s1.* FROM s1
+       |s2 AS MATERIALIZED (SELECT s1.* FROM s1
        |  LEFT JOIN semdrop sd ON sd.vec_id = s1.doc_id WHERE sd.vec_id IS NULL),
-       |t AS (SELECT doc_id, lang, source,
-       |  CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM s2)
-       |SELECT t.doc_id, t.lang, t.source, t.n_tok,
-       |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY t.doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no,
+       |wt AS MATERIALIZED (SELECT doc_id, lang, source,
+       |  ${Tokenize.duckTrim} AS ws FROM s2),
+       |bgr AS MATERIALIZED (SELECT doc_id, source, i, ws[i] || ' ' || ws[i+1] AS ngram
+       |  FROM wt, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)),
+       |g3b AS (SELECT source, doc_id, ngram FROM bgr GROUP BY 1, 2, 3),
+       |ndb AS (SELECT source, COUNT(DISTINCT doc_id) AS ndocs FROM g3b GROUP BY 1),
+       |bo AS (SELECT df.source, df.ngram
+       |  FROM (SELECT source, ngram, COUNT(*) AS docfreq FROM g3b GROUP BY 1, 2) df
+       |  JOIN ndb ON ndb.source = df.source
+       |  WHERE df.docfreq >= greatest(3, (ndb.ndocs + 9) // 10)),
+       |struck AS (SELECT doc_id, COUNT(DISTINCT p) AS n_struck FROM (
+       |  SELECT bgr.doc_id, unnest([bgr.i, bgr.i + 1]) AS p
+       |  FROM bgr JOIN bo ON bo.source = bgr.source AND bo.ngram = bgr.ngram) t
+       |  GROUP BY 1),
+       |toks AS MATERIALIZED (SELECT wt.doc_id, wt.lang, wt.source,
+       |    CAST(len(ws) AS BIGINT) AS n_tok_raw,
+       |    CAST(len(ws) AS BIGINT) - CAST(coalesce(st.n_struck, 0) AS BIGINT) AS n_tok,
+       |    (CAST(len(list_distinct(ws)) AS BIGINT) * 1024) // CAST(len(ws) AS BIGINT) AS bucket
+       |  FROM wt LEFT JOIN struck st ON st.doc_id = wt.doc_id),
+       |bkt AS (SELECT source, bucket, SUM(n_tok) AS btok FROM toks GROUP BY 1, 2),
+       |ttb AS (SELECT source, SUM(btok) AS ttok FROM bkt GROUP BY 1),
+       |thr AS (SELECT source, MIN(bucket) AS thr_bucket FROM (
+       |  SELECT bkt.source, bucket, btok, (ttb.ttok * 6) // 10 AS budget,
+       |    SUM(btok) OVER (PARTITION BY bkt.source ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM bkt JOIN ttb ON ttb.source = bkt.source) ck
+       |  WHERE cum - btok < budget GROUP BY 1),
+       |kept AS (SELECT t.* FROM toks t
+       |  JOIN thr ON thr.source = t.source AND t.bucket >= thr.thr_bucket)
+       |SELECT k.doc_id, k.lang, k.source, k.n_tok_raw, k.n_tok,
+       |  CAST(floor((sum(k.n_tok) OVER (PARTITION BY k.source ORDER BY k.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k.n_tok) / 512.0) AS BIGINT) AS seq_no,
        |  qk.score + 0.0 AS score,
-       |  CAST(coalesce(k.cluster_id, -1) AS BIGINT) AS cluster_id
-       |FROM t JOIN qk ON qk.doc_id = t.doc_id
-       |LEFT JOIN (SELECT doc_id, cluster_id FROM ranked WHERE rn = 1) k
-       |  ON k.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
-    stages(s, dir)._5
+       |  CAST(coalesce(kk.cluster_id, -1) AS BIGINT) AS cluster_id
+       |FROM kept k JOIN qk ON qk.doc_id = k.doc_id
+       |LEFT JOIN (SELECT doc_id, cluster_id FROM ranked WHERE rn = 1) kk
+       |  ON kk.doc_id = k.doc_id""".stripMargin) { (s, dir) =>
+    stages(s, dir).packed
   }
 
-  val defs: Seq[QueryDef] = Seq(datasetCleanFull)
+  /** Intermediate tables of [[datasetCleanIncr]], exposed for the
+    * spec's O(new)/append-contract pins. */
+  private[queries] case class IncrStages(
+      deltaPairs: org.apache.spark.sql.DataFrame, // nightly candidate pairs (verified)
+      packedOld: org.apache.spark.sql.DataFrame,  // day-0 store content
+      packedNew: org.apache.spark.sql.DataFrame,  // appended nightly rows
+      out: org.apache.spark.sql.DataFrame)        // merged store
+
+  /** NIGHTLY INCREMENTAL CURATION — the end-to-end composition of the
+    * repo's incremental machinery (r11, VERDICT r10 Next #5): day-0
+    * runs the curation DAG over the OLD generation (doc_id % 10 <> 0)
+    * and materializes the packed store plus three FROZEN artifacts —
+    * the trained quality weights, the old cluster labels, and the
+    * trained K=8 SemDeDup centroids; the nightly batch (doc_id % 10
+    * = 0) then flows through:
+    *
+    *  1. FROZEN quality scorer ([[TextAnalysis.qualityScoredFrozen]]):
+    *     weights trained on the old generation only, new docs scored
+    *     by the 1-row broadcast — O(new), and day-0 keep decisions
+    *     never shift.
+    *  2. INCREMENTAL cluster contraction (the [[Dedup.dedupClustersIncr]]
+    *     merge): old clusters enter as supernodes via the label map;
+    *     edges are DELTA pairs only — capped-band candidates touching
+    *     a new doc, exact-Jaccard verified; old×old is never
+    *     re-paired. APPEND-ONLY survivorship: a new doc drops if its
+    *     merged cluster contains ANY old doc (that cluster was
+    *     represented at day-0 — its keeper is already in the store);
+    *     new-only clusters keep their longest member. This is where
+    *     incremental LEGITIMATELY diverges from a full recompute (the
+    *     documented caveat): a full rerun might crown a longer NEW
+    *     doc keeper of an old cluster, but an append-only store
+    *     cannot un-pack yesterday's keeper — so the oracle replays
+    *     the INCREMENTAL semantics, exactly as [[Dedup.dedupClustersIncr]]'s
+    *     does.
+    *  3. FROZEN-centroid SemDeDup: new embedded survivors are
+    *     assigned to the day-0 trained cells (an 8-row broadcast —
+    *     never re-trained, the [[Similarity.simIndexAppend]] frozen-
+    *     codebook argument applied to cells); a new doc drops if a
+    *     STORED cell-mate or a lower-id NEW cell-mate sits at cosine
+    *     >= 0.3. Unembedded docs pass through (coverage-gap policy).
+    *  4. APPEND packing: new survivors pack per-source in doc_id
+    *     order STARTING AT the store's per-source token offset —
+    *     appended seq_nos continue the day-0 sequence, nothing old is
+    *     rewritten.
+    *
+    * Output: the merged store — every day-0 row plus the appended
+    * rows, `is_new` marking the nightly generation (the
+    * [[Similarity.simIndexAppend]] serving shape). The DuckDB oracle
+    * replays the whole two-generation construction (two recursive
+    * walks: old components, merged components) — hash equality IS
+    * the incremental-equals-spec proof.
+    *
+    * Scale shape: new-batch scoring is one map pass against a 1-row
+    * broadcast; delta candidates are band equi-joins with one side
+    * new-batch-sized (the `d1 % 10 = 0 OR d2 % 10 = 0` predicate —
+    * old×old candidates never form); the merge loop runs on the
+    * contracted graph (supernodes + touched new docs); the frozen
+    * cell assignment is O(new embedded); the append window sees only
+    * the new batch. Day-0 cost stands in for reading the persisted
+    * store ([[Dedup.dedupIncrementalStore]] pattern) — in production
+    * every `o*`/`s2o` table is a catalog scan. */
+  private[queries] def stagesIncr(s: org.apache.spark.sql.SparkSession, dir: String)
+      : IncrStages = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    // frozen scorer; quality survivors of BOTH generations
+    val qk = TextAnalysis.qualityScoredFrozen(s, dir)
+      .filter(col("score") >= 0.5).select(col("doc_id"), col("score"))
+    val aq = Tables.documents(s, dir).join(qk, Seq("doc_id"))
+      .localCheckpoint(true)
+    val w = aq.select(col("doc_id"),
+        expr(s"array_distinct(${Tokenize.spark})").as("ws"))
+      .persist(lvl)
+    val bands = w.select(col("doc_id"), expr(
+        """transform(sequence(0, 7),
+          |  s -> array_min(transform(ws,
+          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .persist(lvl)
+    def verify(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      cand
+        .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
+        .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
+        .filter(expr(
+          "CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)") >= 0.5)
+        .select(col("d1"), col("d2"))
+    // day-0 state: components over the OLD generation's capped pairs
+    // (stands in for reading the persisted label table)
+    val ob = bands.filter(col("doc_id") % 10 =!= 0)
+    val osized = ob.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val ocand = ob.select(col("doc_id").as("d1"), col("bk"))
+      .join(ob.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .join(osized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+    val olabels = componentLabelsOf(verify(ocand))
+    // nightly delta: capped-bucket candidates touching a new doc,
+    // bucket caps from TODAY'S full band table — old×old never forms
+    val fsized = bands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val icand = bands.select(col("doc_id").as("d1"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2")
+          && (col("d1") % 10 === 0 || col("d2") % 10 === 0))
+      .join(fsized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+    val ipairs = verify(icand).persist(lvl)
+    // merge: old clusters as supernodes, delta pairs as edges
+    val m = w.select(col("doc_id"))
+      .join(olabels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+      .persist(lvl)
+    val merged = Dedup.contractedClusters(m, ipairs).persist(lvl)
+    // day-0 survivorship over OLD clusters
+    val oranked = olabels.select(col("node").as("doc_id"), col("lbl").as("prior"))
+      .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("prior")).orderBy(col("n_words").desc, col("doc_id"))))
+    val s1o = aq.filter(col("doc_id") % 10 =!= 0)
+      .join(oranked.filter(col("rn") > 1).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // day-0 SemDeDup: train the K=8 cells on old embedded survivors
+    val e1o = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(s1o.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .persist(lvl)
+    val coS = e1o.orderBy(col("vec_id")).limit(8)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
+        col("embedding").as("ke"))
+    val va0 = Similarity.coarseAssign(e1o, coS).persist(lvl)
+    val co1 = Similarity.lloydStepFrom(e1o, va0).localCheckpoint(true)
+    val va1 = Similarity.coarseAssign(e1o, co1).persist(lvl)
+    val co2 = Similarity.lloydStepFrom(e1o, va1).localCheckpoint(true) // FROZEN cells
+    val asgo = Similarity.coarseAssign(e1o, co2)
+      .select(col("vec_id"), col("list")).join(e1o, Seq("vec_id")).persist(lvl)
+    val semdropo = asgo.select(col("vec_id"), col("list"), col("embedding").as("ea"))
+      .join(asgo.select(col("vec_id").as("mate"), col("list").as("list2"),
+        col("embedding").as("eb")),
+        col("list") === col("list2") && col("mate") < col("vec_id"))
+      .filter(expr("cosine_sim(ea, eb)") >= 0.3)
+      .select(col("vec_id").as("doc_id")).distinct()
+    val s2o = s1o.join(semdropo, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    // nightly stage 2: append-only survivorship against the merge
+    val hasOld = merged.filter(col("doc_id") % 10 =!= 0)
+      .select(col("cluster_id")).distinct()
+    val nmerged = merged.filter(col("doc_id") % 10 === 0).persist(lvl)
+    val nonly = nmerged.join(hasOld, Seq("cluster_id"), "left_anti")
+      .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
+    val ndrop = nmerged.join(hasOld, Seq("cluster_id"), "left_semi").select(col("doc_id"))
+      .union(nonly.filter(col("rn") > 1).select(col("doc_id"))).distinct()
+    val s1n = aq.filter(col("doc_id") % 10 === 0)
+      .join(ndrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // nightly stage 3: frozen-cell assignment, drop vs store + batch
+    val e1n = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(s1n.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val asgn = Similarity.coarseAssign(e1n, co2)
+      .select(col("vec_id"), col("list")).join(e1n, Seq("vec_id")).persist(lvl)
+    val sto = asgo.join(s2o.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val dropVsStore = asgn.select(col("vec_id"), col("list"), col("embedding").as("ea"))
+      .join(sto.select(col("list").as("list2"), col("embedding").as("eb")),
+        col("list") === col("list2"))
+      .filter(expr("cosine_sim(ea, eb)") >= 0.3)
+      .select(col("vec_id").as("doc_id"))
+    val dropInBatch = asgn.select(col("vec_id"), col("list"), col("embedding").as("ea"))
+      .join(asgn.select(col("vec_id").as("mate"), col("list").as("list2"),
+        col("embedding").as("eb")),
+        col("list") === col("list2") && col("mate") < col("vec_id"))
+      .filter(expr("cosine_sim(ea, eb)") >= 0.3)
+      .select(col("vec_id").as("doc_id"))
+    val s2n = s1n.join(dropVsStore.union(dropInBatch).distinct(),
+      Seq("doc_id"), "left_anti")
+    // packing: day-0 store, then append at the per-source token offset
+    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"), col("source"),
+        size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
+    val wto = toks(s2o).localCheckpoint(true)
+    val packo = wto.withColumn("seq_no",
+      floor((sum(col("n_tok")).over(wp) - col("n_tok")) / lit(512.0)).cast("long"))
+    val obase = wto.groupBy(col("source")).agg(sum(col("n_tok")).as("base_tok"))
+    val packn = toks(s2n)
+      .join(broadcast(obase), Seq("source"), "left")
+      .withColumn("seq_no",
+        floor((coalesce(col("base_tok"), lit(0L))
+          + sum(col("n_tok")).over(wp) - col("n_tok")) / lit(512.0)).cast("long"))
+      .drop("base_tok")
+    def out(df: org.apache.spark.sql.DataFrame, isNew: Boolean) =
+      df.join(qk, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          col("seq_no"), (col("score") + lit(0.0)).as("score"),
+          lit(isNew).as("is_new"))
+    IncrStages(ipairs, out(packo, isNew = false), out(packn, isNew = true),
+      out(packo, isNew = false).unionByName(out(packn, isNew = true)))
+  }
+
+  /** [[Dedup.componentLabels]] forwarded (it is private[queries] in
+    * Dedup's file; this alias keeps the call sites readable). */
+  private def componentLabelsOf(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = Dedup.componentLabels(pairs)
+
+  val datasetCleanIncr: QueryDef = QueryDef(
+    "q_dataset_clean_incr",
+    s"""WITH RECURSIVE ${TextAnalysis.duckQualityCtesFrozen},
+       |qk AS MATERIALIZED (SELECT doc_id, score FROM scored WHERE score >= 0.5),
+       |aq AS MATERIALIZED (SELECT d.* FROM documents d JOIN qk USING (doc_id)),
+       |w AS MATERIALIZED (SELECT doc_id, list_distinct(${Tokenize.duck}) AS ws FROM aq),
+       |sigx AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |bands AS MATERIALIZED (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+       |  FROM sigx, unnest(range(0, 4)) AS t(b)),
+       |obands AS (SELECT doc_id, bk FROM bands WHERE doc_id % 10 <> 0),
+       |osized AS (SELECT bk FROM obands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
+       |ocand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM obands a JOIN obands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN osized sz ON a.bk = sz.bk),
+       |opairs AS MATERIALIZED (SELECT c.d1, c.d2 FROM ocand c
+       |  JOIN w wa ON wa.doc_id = c.d1
+       |  JOIN w wb ON wb.doc_id = c.d2
+       |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5),
+       |fsized AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
+       |icand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN fsized sz ON a.bk = sz.bk
+       |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
+       |ipairs AS MATERIALIZED (SELECT c.d1, c.d2 FROM icand c
+       |  JOIN w wa ON wa.doc_id = c.d1
+       |  JOIN w wb ON wb.doc_id = c.d2
+       |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5),
+       |obi AS (SELECT d1 AS src, d2 AS dst FROM opairs UNION ALL SELECT d2, d1 FROM opairs),
+       |owalk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM obi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM owalk wk JOIN obi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |ocomp AS (SELECT node AS doc_id, MIN(lbl) AS prior FROM owalk GROUP BY node),
+       |alle AS (SELECT d1, d2 FROM opairs UNION SELECT d1, d2 FROM ipairs),
+       |bi AS (SELECT d1 AS src, d2 AS dst FROM alle UNION ALL SELECT d2, d1 FROM alle),
+       |walk(node, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM bi) t
+       |  UNION
+       |  SELECT b.dst, wk.lbl FROM walk wk JOIN bi b ON b.src = wk.node WHERE wk.lbl < b.dst),
+       |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+       |oranked AS MATERIALIZED (SELECT o.doc_id, prior,
+       |  row_number() OVER (PARTITION BY prior ORDER BY len(w.ws) DESC, o.doc_id) AS rn
+       |  FROM ocomp o JOIN w ON w.doc_id = o.doc_id),
+       |s1o AS MATERIALIZED (SELECT aq.* FROM aq
+       |  LEFT JOIN (SELECT doc_id FROM oranked WHERE rn > 1) dd ON dd.doc_id = aq.doc_id
+       |  WHERE aq.doc_id % 10 <> 0 AND dd.doc_id IS NULL),
+       |e1o AS MATERIALIZED (SELECT e.vec_id, e.embedding
+       |  FROM embeddings e JOIN s1o ON s1o.doc_id = e.vec_id),
+       |coS AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM e1o ORDER BY vec_id LIMIT 8)),
+       |${Similarity.duckLloyd("coS", "1", "e1o")},
+       |${Similarity.duckLloyd("co1", "2", "e1o")},
+       |asgo AS MATERIALIZED (SELECT a.vec_id, a.list, e.embedding
+       |  FROM (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
+       |    FROM (SELECT e.vec_id, k, ${Similarity.duckD(64, "embedding", "ke")} AS rd2
+       |      FROM e1o e CROSS JOIN co2) GROUP BY vec_id) a
+       |  JOIN e1o e USING (vec_id)),
+       |semdropo AS (SELECT DISTINCT a.vec_id FROM asgo a
+       |  JOIN asgo b ON a.list = b.list AND b.vec_id < a.vec_id
+       |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3),
+       |s2o AS MATERIALIZED (SELECT s1o.* FROM s1o
+       |  LEFT JOIN semdropo sd ON sd.vec_id = s1o.doc_id WHERE sd.vec_id IS NULL),
+       |hasold AS (SELECT DISTINCT cluster_id FROM comp WHERE doc_id % 10 <> 0),
+       |nmerged AS (SELECT doc_id, cluster_id FROM comp WHERE doc_id % 10 = 0),
+       |nonly AS (SELECT nm.doc_id,
+       |  row_number() OVER (PARTITION BY nm.cluster_id
+       |    ORDER BY len(w.ws) DESC, nm.doc_id) AS rn
+       |  FROM nmerged nm JOIN w ON w.doc_id = nm.doc_id
+       |  WHERE nm.cluster_id NOT IN (SELECT cluster_id FROM hasold)),
+       |ndrop AS (SELECT doc_id FROM nmerged
+       |    WHERE cluster_id IN (SELECT cluster_id FROM hasold)
+       |  UNION SELECT doc_id FROM nonly WHERE rn > 1),
+       |s1n AS MATERIALIZED (SELECT aq.* FROM aq
+       |  LEFT JOIN ndrop ON ndrop.doc_id = aq.doc_id
+       |  WHERE aq.doc_id % 10 = 0 AND ndrop.doc_id IS NULL),
+       |e1n AS MATERIALIZED (SELECT e.vec_id, e.embedding
+       |  FROM embeddings e JOIN s1n ON s1n.doc_id = e.vec_id),
+       |asgn AS MATERIALIZED (SELECT a.vec_id, a.list, e.embedding
+       |  FROM (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
+       |    FROM (SELECT e.vec_id, k, ${Similarity.duckD(64, "embedding", "ke")} AS rd2
+       |      FROM e1n e CROSS JOIN co2) GROUP BY vec_id) a
+       |  JOIN e1n e USING (vec_id)),
+       |sto AS (SELECT a.* FROM asgo a JOIN s2o ON s2o.doc_id = a.vec_id),
+       |ndrop3 AS (SELECT DISTINCT n.vec_id FROM asgn n
+       |    JOIN sto o ON o.list = n.list
+       |    WHERE ${duckCos("n.embedding", "o.embedding")} >= 0.3
+       |  UNION SELECT DISTINCT a.vec_id FROM asgn a
+       |    JOIN asgn b ON a.list = b.list AND b.vec_id < a.vec_id
+       |    WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3),
+       |s2n AS MATERIALIZED (SELECT s1n.* FROM s1n
+       |  LEFT JOIN ndrop3 ON ndrop3.vec_id = s1n.doc_id WHERE ndrop3.vec_id IS NULL),
+       |wto AS MATERIALIZED (SELECT doc_id, lang, source,
+       |  CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM s2o),
+       |packo AS (SELECT doc_id, lang, source, n_tok,
+       |  CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no
+       |  FROM wto),
+       |obase AS (SELECT source, SUM(n_tok) AS base_tok FROM wto GROUP BY 1),
+       |wtn AS (SELECT doc_id, lang, source,
+       |  CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM s2n),
+       |packn AS (SELECT wtn.doc_id, wtn.lang, wtn.source, wtn.n_tok,
+       |  CAST(floor((coalesce(ob.base_tok, 0)
+       |    + SUM(wtn.n_tok) OVER (PARTITION BY wtn.source ORDER BY wtn.doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wtn.n_tok) / 512.0) AS BIGINT) AS seq_no
+       |  FROM wtn LEFT JOIN obase ob ON ob.source = wtn.source)
+       |SELECT p.doc_id, p.lang, p.source, p.n_tok, p.seq_no,
+       |  qk.score + 0.0 AS score, FALSE AS is_new
+       |FROM packo p JOIN qk ON qk.doc_id = p.doc_id
+       |UNION ALL
+       |SELECT p.doc_id, p.lang, p.source, p.n_tok, p.seq_no,
+       |  qk.score + 0.0, TRUE
+       |FROM packn p JOIN qk ON qk.doc_id = p.doc_id""".stripMargin) { (s, dir) =>
+    stagesIncr(s, dir).out
+  }
+
+  val defs: Seq[QueryDef] = Seq(datasetCleanFull, datasetCleanIncr)
 }

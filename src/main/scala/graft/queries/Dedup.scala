@@ -479,13 +479,13 @@ object Dedup {
     * each word's j-th md5 hex digit high bit), over an `mds` column of
     * per-word md5s — hashing is hoisted out of the 16-bit loop, which
     * would otherwise recompute every word's md5 once per bit. */
-  private val simhashSparkSql =
+  private[queries] val simhashSparkSql =
     """array_join(transform(sequence(0, 15),
       |  j -> CASE WHEN aggregate(mds,
       |         0, (a, m) -> a + (CASE WHEN substring(m, j+1, 1) IN ('8','9','a','b','c','d','e','f')
       |                           THEN 1 ELSE -1 END)) > 0
       |       THEN '1' ELSE '0' END), '')""".stripMargin
-  private val md5WordsSparkSql = s"transform($wordsSql, x -> md5(x))"
+  private[queries] val md5WordsSparkSql = s"transform($wordsSql, x -> md5(x))"
   private val simhashDuckSql =
     """array_to_string(list_transform(range(0, 16),
       |    j -> CASE WHEN list_reduce(list_transform(ws,

@@ -118,6 +118,13 @@ object Retrieval {
         .withColumn("rk", row_number().over(wr))
         .filter(col("rk") <= POOL)
         .select(col("qid"), col("vec_id"), col("rel"), col("embedding"), col("rk"))
+        // DELIBERATE PIN (ADVICE r10): this checkpoint and `pairs` below
+        // are never released — QueryDef fns have no post-action hook, and
+        // unlike the Fixpoint loop there is no in-fn point where the
+        // blocks are provably dead (the returned plan reads them lazily).
+        // The leak is BOUNDED: |q|·POOL + |q|·POOL² rows (~1.2k) per
+        // invocation, unpersisted with the executor. RetrievalLeakSpec
+        // pins that bound.
         .localCheckpoint(true) // lineage cut: |q|·POOL rows, constant
       val pb = pool.select(col("qid").as("qb"), col("vec_id").as("vb"),
         col("embedding").as("eb"))
@@ -283,5 +290,131 @@ object Retrieval {
           .as("recip_rate"))
   }
 
-  val defs: Seq[QueryDef] = Seq(simMmr, simFiltered, knnRecip)
+  /** HYBRID RETRIEVAL — BM25 ⊕ vector RECIPROCAL-RANK FUSION (r11,
+    * VERDICT r10 Next #4): the serving pattern every production RAG
+    * stack runs. Per query doc (vec_id < 3, the retrieval-trio
+    * convention — these docs have both text and an embedding):
+    *
+    *  - LEXICAL leg: the query doc's distinct tokens of length >= 4
+    *    are its terms; every other doc is BM25-scored against them
+    *    (k1=1.2, b=0.75, the [[TextAnalysis.bm25]] formula and
+    *    determinism policy: 6-dp idf, 6-dp per-term contributions
+    *    summed DECIMAL(20,6)); top-20 by (score DESC, doc_id).
+    *  - VECTOR leg: exact cosine top-20 over the embedding table
+    *    (excl. self) — the swappable ANN pool contract ([[simMmr]]);
+    *    in production the [[Similarity]] IVF/ADC path feeds the
+    *    identical (qid, doc_id, rank) shape.
+    *  - FUSION: RRF with k=60, in INTEGER arithmetic so no float
+    *    drift — contribution = 10^12 DIV (60 + rank), summed as
+    *    BIGINT over the legs that returned the doc (a missing leg
+    *    contributes 0); final order (rrf DESC, doc_id), top-10.
+    *    Both source ranks are emitted next to the fused rank (−1 =
+    *    not in that leg's top-20), so the fusion win — docs neither
+    *    leg ranked first rising to the top — is measurable per row.
+    *
+    * Scale shape: the lexical leg is one exploded-token pass joined
+    * against a BROADCAST (qid, term, idf) table (df counts restricted
+    * to query terms — vocabulary-sized), the vector leg is one
+    * map-side scan against the broadcast query set; both top-ks fold
+    * below the shuffle as WindowGroupLimit; the fusion is a
+    * constant-size (≤|q|·20 per leg) full-outer join. Corpus size
+    * appears only in the two candidate scans. */
+  val hybridRrf: QueryDef = QueryDef(
+    "q_sim_hybrid_rrf",
+    s"""WITH docs0 AS (SELECT doc_id, ${graft.queries.Tokenize.duckTrim} AS ws FROM documents),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       |qterms AS (SELECT qid, tok FROM (
+       |  SELECT doc_id AS qid, unnest(list_distinct(ws)) AS tok
+       |  FROM docs0 WHERE doc_id < 3) t WHERE length(tok) >= 4),
+       |stats AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs0),
+       |ex AS (SELECT doc_id, unnest(ws) AS tok FROM docs0),
+       |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex
+       |  WHERE tok IN (SELECT DISTINCT tok FROM qterms) GROUP BY tok),
+       |ti AS (SELECT qid, qterms.tok,
+       |    round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+       |  FROM qterms JOIN dfq USING (tok), stats),
+       |tf AS (SELECT ti.qid, ex.doc_id, ti.tok, ti.idf, COUNT(*) AS tf
+       |  FROM ex JOIN ti ON ti.tok = ex.tok AND ex.doc_id <> ti.qid
+       |  GROUP BY 1, 2, 3, 4),
+       |c AS (SELECT f.qid, f.doc_id,
+       |    CAST(round(f.idf * f.tf * 2.2 /
+       |      (f.tf + 1.2 * (1 - 0.75 + 0.75 * len(dd.ws) / avgdl)), 6) AS DECIMAL(20,6)) AS contrib
+       |  FROM tf f JOIN docs0 dd ON dd.doc_id = f.doc_id, stats),
+       |ls AS (SELECT qid, doc_id, CAST(SUM(contrib) AS DOUBLE) AS s FROM c GROUP BY 1, 2),
+       |lex AS (SELECT qid, doc_id, CAST(rk AS BIGINT) AS lex_rank FROM (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rk
+       |  FROM ls) t WHERE rk <= 20),
+       |ve AS (SELECT qid, e.vec_id AS doc_id, ${duckCos("qe", "embedding")} AS cs
+       |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+       |vtop AS (SELECT qid, doc_id, CAST(rk AS BIGINT) AS vec_rank FROM (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, doc_id) AS rk
+       |  FROM ve) t WHERE rk <= 20),
+       |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    coalesce(1000000000000 // (60 + l.lex_rank), 0)
+       |      + coalesce(1000000000000 // (60 + v.vec_rank), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN vtop v
+       |    ON l.qid = v.qid AND l.doc_id = v.doc_id)
+       |SELECT qid, CAST(frk AS BIGINT) AS fused_rank, doc_id,
+       |  CAST(coalesce(lex_rank, -1) AS BIGINT) AS lex_rank,
+       |  CAST(coalesce(vec_rank, -1) AS BIGINT) AS vec_rank,
+       |  CAST(rrf AS BIGINT) AS rrf_score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frk
+       |  FROM fused) t WHERE frk <= 10""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(graft.queries.Tokenize.sparkTrim).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lexical leg: broadcast per-query term/idf table, one token pass
+    val qterms = toks.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), explode(expr("array_distinct(ws)")).as("tok"))
+      .filter(length(col("tok")) >= 4)
+    val stats = toks.agg(count(lit(1)).as("n"),
+      expr("CAST(SUM(size(ws)) AS DOUBLE) / COUNT(*)").as("avgdl"))
+    val ex = toks.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val dfq = ex.join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val ti = qterms.join(dfq, Seq("tok")).crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("qid"), col("tok").as("qtok"),
+        expr("round(ln((n - df + 0.5) / (df + 0.5) + 1), 6)").as("idf"))
+    val tf = ex.join(broadcast(ti),
+        col("tok") === col("qtok") && col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"), col("qtok"), col("idf"))
+      .agg(count(lit(1)).as("tf"))
+    val ls = tf
+      .join(toks.select(col("doc_id"), size(col("ws")).as("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("qid"), col("doc_id"), expr(
+        "CAST(round(idf * tf * 2.2D / (tf + 1.2D * (1D - 0.75D + 0.75D * dl / avgdl)), 6) AS DECIMAL(20,6))").as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(expr("CAST(SUM(contrib) AS DOUBLE)").as("s"))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("doc_id"))
+    val lex = ls.withColumn("rk", row_number().over(wl)).filter(col("rk") <= 20)
+      .select(col("qid"), col("doc_id"), col("rk").cast("long").as("lex_rank"))
+    // vector leg: one map-side scan against the broadcast query set
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wv = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("doc_id"))
+    val vtop = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cs", expr("cosine_sim(qe, embedding)"))
+      .select(col("qid"), col("vec_id").as("doc_id"), col("cs"))
+      .withColumn("rk", row_number().over(wv)).filter(col("rk") <= 20)
+      .select(col("qid"), col("doc_id"), col("rk").cast("long").as("vec_rank"))
+    // fusion: constant-size full-outer join, integer RRF (k=60)
+    val fused = lex.join(vtop, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        expr("coalesce(1000000000000 DIV (60 + lex_rank), 0) + coalesce(1000000000000 DIV (60 + vec_rank), 0)"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("frk", row_number().over(wf)).filter(col("frk") <= 10)
+      .select(col("qid"), col("frk").cast("long").as("fused_rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        col("rrf").cast("long").as("rrf_score"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simMmr, simFiltered, knnRecip, hybridRrf)
 }

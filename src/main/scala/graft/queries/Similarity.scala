@@ -346,12 +346,12 @@ object Similarity {
     * the shared deterministic distance of the PQ/IVF family (and of
     * [[simRecall]]'s exact reference, which must rank by the IDENTICAL
     * expression). */
-  private def duckD(n: Int, a: String, b: String, off: String = "0"): String =
+  private[queries] def duckD(n: Int, a: String, b: String, off: String = "0"): String =
     s"""round(list_reduce(list_transform(generate_series(1, $n),
        |      i -> (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))
        |         * (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))),
        |      (x, y) -> x + y), 6)""".stripMargin
-  private def sparkD(n: Int, a: String, b: String, off: String = "0"): String =
+  private[queries] def sparkD(n: Int, a: String, b: String, off: String = "0"): String =
     s"""round(aggregate(sequence(1, $n), 0D,
        |  (acc, i) -> acc + (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))
        |                  * (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))), 6)""".stripMargin
@@ -424,7 +424,7 @@ object Similarity {
 
   /** Per-vector 8-symbol PQ codes `(vec_id, j, cj)` against codebook
     * `cb` — likewise subset-parametric. */
-  private def pqCodesFor(emb: org.apache.spark.sql.DataFrame,
+  private[queries] def pqCodesFor(emb: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     emb.select(col("vec_id"), col("embedding").as("ve"))
       .crossJoin(broadcast(cb))
@@ -808,6 +808,147 @@ object Similarity {
         coalesce(col("nr"), lit(0L)).as("n_hit_rerank"))
   }
 
+  /** SQ8 vs PQ QUANTIZER ABLATION (r11, VERDICT r10 Next #6): the
+    * PQ-vs-scalar-quantization comparison every vector store
+    * documents, over the same 3 queries and the same exact reference
+    * as the ADC family. Two full-scan searches, isolating QUANTIZER
+    * error (no IVF probing in either leg):
+    *
+    *  - SQ8: symmetric scalar quantization with ONE global scale
+    *    (127 / corpus max|x| — order-insensitive, deterministic);
+    *    every vector AND the query quantize to 64 int8 codes, and
+    *    the distance is the PURE-INTEGER Σ(ca−cb)² — no libm, no
+    *    rounding anywhere in the search (the verdict's integer-dot
+    *    determinism requirement). 64 bytes/vector.
+    *  - PQ-ADC: the shipped 8×(16-centroid) codebook codes scored by
+    *    LUT over ALL vectors (the [[adcCandidates]] chain minus the
+    *    probe filter). 8 bytes/vector.
+    *
+    * Output per (method, query): exact-integer recall@5 against the
+    * 6-dp-rounded exact L2 top-5 (incl. self, the [[simRecall]]
+    * ivfpq convention) next to bytes_per_vector — the
+    * recall-vs-memory trade that decides which quantizer ships.
+    * Expected shape on these isotropic embeddings: SQ8 near-exact
+    * (8× the memory), PQ lossy — the reason IVF-PQ deployments add
+    * re-ranking while SQ8 deployments mostly don't.
+    *
+    * Scale shape: both legs are one map-side corpus pass against
+    * broadcast constants (a 1-row scale scalar; a 16-row codebook +
+    * 24-row LUT), top-5 folds below the shuffle as WindowGroupLimit,
+    * and the overlap joins are k×|queries| rows. Nothing all-pairs,
+    * nothing corpus-sized after the scans. */
+  val simSq8: QueryDef = QueryDef(
+    "q_sim_sq8",
+    s"""WITH mx AS (SELECT MAX(list_aggregate(list_transform(embedding,
+       |    x -> abs(CAST(x AS DOUBLE))), 'max')) AS m FROM embeddings),
+       |sc AS (SELECT 127.0 / m AS scale FROM mx),
+       |c8 AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT)) AS cs
+       |  FROM embeddings, sc),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+       |q8 AS (SELECT q_id, list_transform(qe,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT)) AS qs
+       |  FROM q, sc),
+       |sd AS (SELECT q_id, vec_id,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> (qs[i] - cs[i]) * (qs[i] - cs[i])), (x, y) -> x + y) AS d2
+       |  FROM q8 CROSS JOIN c8),
+       |stop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM sd)
+       |  WHERE rn <= 5),
+       |$duckSeedCb,
+       |pairs AS (SELECT e.vec_id, cb.c, e.embedding AS ve, cb.ce,
+       |    unnest(generate_series(0, 7)) AS j FROM embeddings e CROSS JOIN cb),
+       |pd AS (SELECT vec_id, c, j, ${duckD(8, "ve", "ce", "j*8")} AS rd2 FROM pairs),
+       |codes AS (SELECT vec_id, j, (min({'d': rd2, 'c': c})).c AS cj FROM pd GROUP BY vec_id, j),
+       |lp AS (SELECT q.q_id, cb.c, q.qe, cb.ce,
+       |    unnest(generate_series(0, 7)) AS j FROM q CROSS JOIN cb),
+       |lut AS (SELECT q_id, c, j, ${duckD(8, "qe", "ce", "j*8")} AS lut_d2 FROM lp),
+       |adcf AS (SELECT l.q_id, cd.vec_id,
+       |    round(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6) AS adc
+       |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.cj
+       |  GROUP BY 1, 2),
+       |ptop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adcf)
+       |  WHERE rn <= 5),
+       |ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |  FROM q CROSS JOIN embeddings e),
+       |etop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+       |  WHERE rn <= 5),
+       |hs AS (SELECT a.q_id, COUNT(*) AS n FROM stop a
+       |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1),
+       |hp AS (SELECT a.q_id, COUNT(*) AS n FROM ptop a
+       |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1)
+       |SELECT 'sq8' AS method, qq.q_id, CAST(5 AS BIGINT) AS k,
+       |  CAST(coalesce(hs.n, 0) AS BIGINT) AS n_hit,
+       |  CAST(64 AS BIGINT) AS bytes_per_vector
+       |FROM (SELECT DISTINCT q_id FROM etop) qq LEFT JOIN hs ON hs.q_id = qq.q_id
+       |UNION ALL
+       |SELECT 'pq_adc', qq.q_id, CAST(5 AS BIGINT), CAST(coalesce(hp.n, 0) AS BIGINT),
+       |  CAST(8 AS BIGINT)
+       |FROM (SELECT DISTINCT q_id FROM etop) qq LEFT JOIN hp ON hp.q_id = qq.q_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def headN(n: Int, idc: String, vc: String) =
+      emb.orderBy(col("vec_id")).limit(n)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+          col("embedding").as(vc))
+    val q = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    // SQ8 leg: global scale scalar, integer codes, integer distance
+    val sc = emb.agg(expr(
+      "MAX(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))))").as("m"))
+      .select(expr("127.0D / m").as("scale"))
+    val c8 = emb.crossJoin(broadcast(sc))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT))").as("cs"))
+    val q8 = q.crossJoin(broadcast(sc))
+      .select(col("q_id"), expr(
+        "transform(qe, x -> CAST(round(CAST(x AS DOUBLE) * scale, 0) AS BIGINT))").as("qs"))
+    // each top-5 table is a 15-row eager lineage cut: the three legs
+    // share emb/q lineage, and joining two window-derived selections
+    // over the SAME upstream plan invites analyzer attribute rebinding
+    // (the knnRecip lambda-attribute class) — the cut makes each leg a
+    // closed 15-row table before the overlap joins
+    def top5(df: org.apache.spark.sql.DataFrame, ord: String) =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col(ord), col("vec_id"))))
+        .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true)
+    val stop = top5(c8.crossJoin(broadcast(q8))
+      .select(col("q_id"), col("vec_id"), expr(
+        """aggregate(sequence(1, 64), 0L, (acc, i) ->
+          |  acc + (element_at(qs, i) - element_at(cs, i))
+          |      * (element_at(qs, i) - element_at(cs, i)))""".stripMargin).as("d2")), "d2")
+    // PQ-ADC leg: full-scan LUT scoring (no probe filter — quantizer
+    // error isolated from probe placement)
+    val cb = headN(16, "c", "ce")
+    val codes = pqCodesFor(emb, cb)
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("c"),
+        posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "qe", "ce", "j*8")})"""))
+          .as(Seq("j", "lut_d2")))
+      .select(col("q_id").as("lq"), col("c").as("lc"), col("j").as("lj"), col("lut_d2"))
+    val ptop = top5(codes.join(broadcast(lut),
+        col("lj") === col("j") && col("lc") === col("cj"))
+      .groupBy(col("lq").as("q_id"), col("vec_id"))
+      .agg(expr("round(CAST(SUM(CAST(lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6)").as("adc")), "adc")
+    // exact reference (incl. self, the simRecall ivfpq convention)
+    val etop = top5(emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2")), "d2")
+    def overlap(method: String, approx: org.apache.spark.sql.DataFrame, bytes: Long) = {
+      val hits = approx.join(broadcast(etop), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      etop.select(col("q_id")).distinct()
+        .join(broadcast(hits), Seq("q_id"), "left")
+        .select(lit(method).as("method"), col("q_id"), lit(5L).as("k"),
+          coalesce(col("n"), lit(0L)).as("n_hit"),
+          lit(bytes).as("bytes_per_vector"))
+    }
+    overlap("sq8", stop, 64L).unionByName(overlap("pq_adc", ptop, 8L))
+  }
+
   /** NPROBE RECALL SWEEP — the second ANN quality knob, completing
     * the story [[simRerank]] started: re-ranking recovers ADC
     * misranking INSIDE the probed lists; raising nprobe recovers true
@@ -923,7 +1064,7 @@ object Similarity {
     * `as$suf`, per-dimension decimal-exact means `cm$suf`, updated
     * coarse table `co$suf` — generic over K (K = |$prev|). Shared by
     * [[simIvfTrained]] and the trained-index [[simIndexStore]]. */
-  private def duckLloyd(prev: String, suf: String,
+  private[queries] def duckLloyd(prev: String, suf: String,
       base: String = "embeddings"): String =
     s"""as$suf AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
        |  FROM (SELECT e.vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
@@ -938,7 +1079,7 @@ object Similarity {
     * nearest-centroid assignment `(vec_id, list, d2)` against a
     * broadcast coarse table, and the decimal-exact per-dimension-mean
     * Lloyd update over a (persisted) assignment. */
-  private def coarseAssign(emb: org.apache.spark.sql.DataFrame,
+  private[queries] def coarseAssign(emb: org.apache.spark.sql.DataFrame,
       coarse: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     emb.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
@@ -946,7 +1087,7 @@ object Similarity {
       .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
       .select(col("vec_id"), col("b.c").as("list"), col("b.d").as("d2"))
 
-  private def lloydStepFrom(emb: org.apache.spark.sql.DataFrame,
+  private[queries] def lloydStepFrom(emb: org.apache.spark.sql.DataFrame,
       va: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     emb.join(va.select(col("vec_id"), col("list")), Seq("vec_id"))
       .select(col("list"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -1054,5 +1195,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
-    simIvfTrained, simIndexAppend)
+    simIvfTrained, simIndexAppend, simSq8)
 }

@@ -982,16 +982,20 @@ object TextAnalysis {
     * (order-insensitive), so both engines carry bit-identical
     * weights into every step. */
   // one gradient step in DuckDB: scored rows from `prev` weights ->
-  // the next 1-row weight table (weights ride along via max())
-  private def duckQualityStep(prev: String): String =
+  // the next 1-row weight table (weights ride along via max());
+  // `base` = the feature CTE the step trains on (the frozen-scorer
+  // variant trains on the old-generation subset only)
+  private def duckQualityStepOn(prev: String, base: String): String =
     s"""SELECT
        |  round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w0,
        |  round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w1,
        |  round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w2,
        |  round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6) AS w3
-       |FROM (SELECT f.*, w.*,
+       |FROM (SELECT b.*, w.*,
        |    round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS p
-       |  FROM f, $prev w)""".stripMargin
+       |  FROM $base b, $prev w)""".stripMargin
+
+  private def duckQualityStep(prev: String): String = duckQualityStepOn(prev, "f")
 
   /** DuckDB CTE chain shared by [[qualityTrain]] and
     * [[qualityCalibration]]: features + rule label `f`, weights
@@ -1038,6 +1042,66 @@ object TextAnalysis {
       "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
     for (_ <- 1 to 3) {
       wt = f.crossJoin(broadcast(wt))
+        .withColumn("p", expr(
+          "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
+        .agg(
+          expr("round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w0"),
+          expr("round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w1"),
+          expr("round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w2"),
+          expr("round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w3"))
+    }
+    f.crossJoin(broadcast(wt))
+      .withColumn("score", expr(
+        "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
+      .select(col("doc_id"), col("y"), col("score"))
+  }
+
+  /** FROZEN-SCORER variant of [[duckQualityCtes]] for the nightly
+    * incremental curation DAG ([[DatasetPipeline.datasetCleanIncr]]):
+    * features over the WHOLE corpus, the 3 gradient steps trained on
+    * the OLD generation only (doc_id % 10 <> 0 — the repo's standard
+    * nightly split), every doc scored by those frozen weights. This
+    * is the production nightly shape: re-training on old+new would
+    * shift every old doc's score and invalidate the day-0 keep
+    * decisions the store already contains. */
+  private[queries] val duckQualityCtesFrozen: String = {
+    val f = duckQualityCtes.split("\\n(?=wt0 AS)")(0) // the `f AS (...)` CTE incl. trailing comma
+    s"""$f
+       |fo AS (SELECT * FROM f WHERE doc_id % 10 <> 0),
+       |wt0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+       |               CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+       |wt1 AS (${duckQualityStepOn("wt0", "fo")}),
+       |wt2 AS (${duckQualityStepOn("wt1", "fo")}),
+       |wt3 AS (${duckQualityStepOn("wt2", "fo")}),
+       |scored AS (SELECT doc_id, y,
+       |  round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS score
+       |FROM f, wt3)""".stripMargin
+  }
+
+  /** Spark half of [[duckQualityCtesFrozen]]: per-doc (doc_id, y,
+    * score) where the 3-step training chain sees ONLY the old
+    * generation and the frozen weights score everything — new-batch
+    * scoring is O(new) given the 1-row broadcast weight table. */
+  private[queries] def qualityScoredFrozen(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val f = Tables.documents(s, dir).selectExpr(
+      "doc_id",
+      s"""round(coalesce(CAST(size(filter($wordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
+         |  / nullif(CAST(size($wordsSql) AS DOUBLE), 0), 0), 6) AS x1""".stripMargin,
+      """round(coalesce(CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE)
+        |  / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2""".stripMargin,
+      s"round(least(CAST(size($wordsSql) AS DOUBLE), 200) / 200, 6) AS x3",
+      s"""CASE WHEN size($wordsSql) BETWEEN 20 AND 80
+         |  AND coalesce(CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
+         |        / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
+         |  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fo = f.filter(col("doc_id") % 10 =!= 0)
+    var wt = f.sparkSession.range(1).selectExpr(
+      "CAST(0 AS DOUBLE) AS w0", "CAST(0 AS DOUBLE) AS w1",
+      "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
+    for (_ <- 1 to 3) {
+      wt = fo.crossJoin(broadcast(wt))
         .withColumn("p", expr(
           "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
         .agg(
@@ -1264,7 +1328,7 @@ object TextAnalysis {
     "q_text_novelty",
     s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
-       |g AS (SELECT (doc_id * 10) // n_docs AS decile,
+       |g AS (SELECT least((doc_id * 10) // n_docs, 9) AS decile,
        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
        |  FROM w CROSS JOIN n, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)),
        |occ AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
@@ -1283,7 +1347,10 @@ object TextAnalysis {
     val g = Tables.documents(s, dir)
       .selectExpr("doc_id", "ngrams_3(text)")
       .crossJoin(broadcast(nDocs))
-      .select(expr("(doc_id * 10) DIV n_docs").as("decile"), col("ngram"))
+      // least(..., 9): a 1-based doc_id regeneration would otherwise
+      // put the max doc_id in a spurious decile 10 in BOTH engines —
+      // the oracle could not catch that drift (ADVICE r10)
+      .select(expr("least((doc_id * 10) DIV n_docs, 9)").as("decile"), col("ngram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = g.groupBy(col("decile")).agg(count(lit(1)).as("n_grams"))
     val novel = g.groupBy(col("ngram")).agg(min(col("decile")).as("decile"))

@@ -12,10 +12,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   *     the r10 regression this spec exists to block re-cost the DAG
   *     ~10x in driver time).
   *  2. The coverage-gap policy: stage 3 may remove ONLY its semantic
-  *     drops — packed = stage-2 survivors minus semDrop exactly, so a
-  *     doc is never lost for merely lacking an embedding (an
-  *     inner-join against embeddings would shrink packed to the
-  *     embedded subset and fail the count identity).
+  *     drops — stage-3 survivors = stage-2 survivors minus semDrop
+  *     exactly, so a doc is never lost for merely lacking an
+  *     embedding (an inner-join against embeddings would shrink s2
+  *     to the embedded subset and fail the count identity).
+  *  3. Stage 4 strips tokens, never docs: the stripped-count table
+  *     covers every stage-3 survivor, raw >= stripped >= 0.
+  *  4. Stage 5 is the only post-dedup doc filter, and it is the
+  *     bucket-threshold rule: kept = toks where bucket >= its
+  *     source's threshold; packed rows = kept rows.
   */
 class DatasetPipelineSpec extends graft.SparkSpec {
 
@@ -32,14 +37,25 @@ class DatasetPipelineSpec extends graft.SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("stage 3 removes only its semantic drops (coverage-gap policy)") {
-    val (_, _, s1, semDrop, packed) = DatasetPipeline.stages(spark, sf())
-    val n1 = s1.count()
-    val nd = semDrop.count()
-    val np = packed.count()
+  test("stage contracts: coverage-gap cut, token-only strip, bucket-threshold keep") {
+    val st = DatasetPipeline.stages(spark, sf())
+    val n1 = st.s1.count()
+    val nd = st.semDrop.count()
+    val n2 = st.s2.count()
+    assert(n2 == n1 - nd,
+      s"stage-3 survivors ($n2) must equal stage-2 survivors ($n1) minus semantic drops ($nd)")
+    // stage 4 strips tokens, never docs
+    assert(st.toks.count() == n2,
+      "stripped-count table must cover every stage-3 survivor")
+    import org.apache.spark.sql.functions._
+    assert(st.toks.filter(col("n_tok") > col("n_tok_raw") || col("n_tok") < 0).isEmpty,
+      "stripped counts must satisfy 0 <= n_tok <= n_tok_raw")
+    // stage 5/6: packed rows = budget-kept rows, non-empty
+    val nk = st.kept.count()
+    val np = st.packed.count()
     assert(np > 0, "packed dataset must be non-empty at sf0.001")
-    assert(np == n1 - nd,
-      s"packed ($np) must equal stage-2 survivors ($n1) minus semantic drops ($nd)")
+    assert(np == nk, s"packed ($np) must equal budget-kept docs ($nk)")
+    assert(nk <= n2, "the budget filter can only shrink the survivor set")
     spark.catalog.clearCache()
   }
 }
