@@ -12,7 +12,10 @@ import json, os, subprocess, sys, glob
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 ONLY = sys.argv[2] if len(sys.argv) > 2 else ""
-OUT = "/tmp/verify_out"
+# Per-process output dir: concurrent check.py runs sharing one dir
+# rmtree each other mid-run — the r11 phantom-failure class ("produced
+# no output" / cross-contaminated parquet for queries that are green).
+OUT = f"/tmp/verify_out_{os.getpid()}"
 
 ADD_OPENS = []
 for p in ["java.base/java.lang", "java.base/java.lang.invoke",
@@ -96,4 +99,8 @@ def compare():
 
 if __name__ == "__main__":
     run_verify()
-    sys.exit(1 if compare() else 0)
+    failed = compare()
+    if not failed:  # keep artifacts only for failure debugging
+        import shutil
+        shutil.rmtree(OUT, ignore_errors=True)
+    sys.exit(1 if failed else 0)

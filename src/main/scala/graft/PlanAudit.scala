@@ -479,7 +479,20 @@ object PlanAudit {
       // checkpoint engine (RDD-scan leaves), frozen-cell assignment
       // and append window per source; no stage may fall back to a
       // cartesian product
-      "q_dataset_clean_incr" -> Seq("Window", "Scan ExistingRDD", "HashAggregate", "!CartesianProduct"))
+      "q_dataset_clean_incr" -> Seq("Window", "Scan ExistingRDD", "HashAggregate", "!CartesianProduct"),
+      // ranked-retrieval metrics (r11): the approximate side is the
+      // audited IVF-PQ plan; the exact reference is a 15-row lineage
+      // cut (RDD-scan leaf); metric aggregation is k×|queries| rows
+      "q_sim_rank_metrics" -> Seq("Scan ExistingRDD", "HashAggregate", "!CartesianProduct"),
+      // embedding generation drift (r11): ONE posexplode pass
+      // (persisted — min/max and bucket consumers share it), per-dim
+      // tables broadcast, nothing corpus-sized after the first agg
+      "q_embed_drift" -> Seq("Generate", "InMemoryTableScan", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"),
+      // residual IVF-PQ (r11): residual map is a broadcast fan-out,
+      // per-list LUT broadcasts into the inverted-list equi-join, the
+      // top-5 legs are lineage cuts — no cartesian, no corpus re-scan
+      // in the overlap stage
+      "q_sim_ivfpq_residual" -> Seq("Scan ExistingRDD", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

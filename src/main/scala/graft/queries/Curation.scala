@@ -865,9 +865,79 @@ object Curation {
                |  ELSE 0.0D END""".stripMargin).as("fisher"))
   }
 
+  /** PER-DIMENSION EMBEDDING GENERATION DRIFT (r11 — the monitoring
+    * companion of the frozen-artifact nightly lanes
+    * [[Similarity.simIndexAppend]] / [[DatasetPipeline.datasetCleanIncr]]):
+    * PSI of each embedding dimension between the old generation
+    * (vec_id % 10 <> 0) and the nightly batch, over 10 equi-width
+    * bins from the GLOBAL per-dim min/max. Frozen codebooks and
+    * frozen centroids are only safe while the incoming distribution
+    * matches what they were trained on — this is the gate that
+    * triggers the re-train (PSI > 0.2 on any dim ≙ the embedding
+    * model or upstream corpus moved). On this synthetic corpus the
+    * expected answer is ~0 everywhere (both generations draw from
+    * one distribution) — the honest null baseline; the lane's value
+    * is the machinery.
+    *
+    * Scale shape: ONE posexplode pass (×64 — the [[embedDimStats]]
+    * profile) → per-dim min/max hash-agg (64 rows, broadcast) → one
+    * (dim, bucket) hash-agg (≤640 rows); everything after is
+    * constant-size. The corpus is touched once.
+    *
+    * Determinism: the [[graft.queries.Profiling]] PSI recipe —
+    * Laplace-smoothed shares, ln rounded 6 dp before the product,
+    * terms rounded 6 dp and summed DECIMAL(20,6) per dim, `+ 0.0`
+    * on the near-zero results. */
+  val embedDrift: QueryDef = QueryDef(
+    "q_embed_drift",
+    """WITH x AS (SELECT vec_id % 10 = 0 AS is_new, i - 1 AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+      |b AS (SELECT is_new, x.dim,
+      |    CAST(least(9, floor((v - mn) / ((mx - mn) / 10.0))) AS BIGINT) AS bucket
+      |  FROM x JOIN mm ON mm.dim = x.dim),
+      |g AS (SELECT dim, bucket,
+      |    CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT dim, CAST(SUM(n_a) AS DOUBLE) AS ta,
+      |    CAST(SUM(n_b) AS DOUBLE) AS tb FROM g GROUP BY 1),
+      |terms AS (SELECT g.dim,
+      |    round(((n_a + 0.5) / (ta + 5) - (n_b + 0.5) / (tb + 5))
+      |      * round(ln(((n_a + 0.5) / (ta + 5)) / ((n_b + 0.5) / (tb + 5))), 6), 6) AS psi_term
+      |  FROM g JOIN t ON t.dim = g.dim)
+      |SELECT CAST(dim AS INT) AS dim,
+      |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0 AS psi,
+      |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2 AS drifted
+      |FROM terms GROUP BY 1""".stripMargin) { (s, dir) =>
+    val x = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 10 === 0).as("is_new"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("is_new"), col("dim"), col("vf").cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = x.groupBy(col("dim")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val g = x.join(broadcast(mm), Seq("dim"))
+      .select(col("is_new"), col("dim"),
+        expr("CAST(least(9, floor((v - mn) / ((mx - mn) / 10.0D))) AS BIGINT)").as("bucket"))
+      .groupBy(col("dim"), col("bucket"))
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_b"))
+    val t = g.groupBy(col("dim"))
+      .agg(expr("CAST(SUM(n_a) AS DOUBLE)").as("ta"),
+        expr("CAST(SUM(n_b) AS DOUBLE)").as("tb"))
+    g.join(broadcast(t), Seq("dim"))
+      .select(col("dim"), expr(
+        """round(((n_a + 0.5) / (ta + 5) - (n_b + 0.5) / (tb + 5))
+          |  * round(ln(((n_a + 0.5) / (ta + 5)) / ((n_b + 0.5) / (tb + 5))), 6), 6)""".stripMargin).as("psi_term"))
+      .groupBy(col("dim").cast("int").as("dim"))
+      .agg(expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0D").as("psi"),
+        expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2D").as("drifted"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
-    embedFisher)
+    embedFisher, embedDrift)
 }

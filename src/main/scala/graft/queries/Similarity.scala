@@ -808,6 +808,227 @@ object Similarity {
         coalesce(col("nr"), lit(0L)).as("n_hit_rerank"))
   }
 
+  /** RESIDUAL IVF-PQ vs RAW-VECTOR PQ (r11): production IVF-PQ (the
+    * FAISS IVFPQ layout) encodes the RESIDUAL x − centroid(list(x)),
+    * not the raw vector — residuals concentrate near zero, so the
+    * same codebook bits carry more precision, at the cost of a
+    * PER-PROBED-LIST LUT (the query's residual differs per list:
+    * nprobe × M × K entries instead of M × K). This lane runs BOTH
+    * encodings over the identical seed coarse table, probe sets
+    * (nprobe=2) and exact reference, and emits recall@5 side by
+    * side — the ablation that justifies the extra LUT work.
+    *
+    * Determinism: residuals are elementwise float→double subtraction
+    * (IEEE-exact, no rounding needed); every distance is the shared
+    * 6-dp-rounded fold; ADC sums DECIMAL(20,6); all argmins/rankings
+    * tie-break on the index. The three 15-row top-5 legs are eager
+    * lineage cuts (the [[simSq8]] shared-lineage lesson).
+    *
+    * Scale shape: identical to [[ivfPqSearch]] — the residual map is
+    * one broadcast-join fan-out (8-row coarse table), the residual
+    * codebook is 16 broadcast rows, the per-list LUT is
+    * |q|·nprobe·8·16 = 768 broadcast rows, candidates are the same
+    * inverted-list equi-join. Nothing new scales with the corpus. */
+  val simIvfPqResidual: QueryDef = QueryDef(
+    "q_sim_ivfpq_residual",
+    s"""WITH plain AS (SELECT q_id, vec_id FROM (
+       |${ivfPqSearch.oracle.get}) t),
+       |co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |ad AS (SELECT vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
+       |  FROM embeddings CROSS JOIN co),
+       |assign AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list FROM ad GROUP BY vec_id),
+       |rv AS (SELECT e.vec_id, a.list,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(co.ke[i] AS DOUBLE)) AS r
+       |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN co ON co.k = a.list),
+       |cbr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r AS ce
+       |  FROM (SELECT * FROM rv ORDER BY vec_id LIMIT 16)),
+       |pd AS (SELECT vec_id, c, j, ${duckD(8, "r", "ce", "j*8")} AS rd2
+       |  FROM rv CROSS JOIN cbr, unnest(generate_series(0, 7)) t(j)),
+       |codes AS (SELECT vec_id, j, (min({'d': rd2, 'c': c})).c AS cj FROM pd GROUP BY vec_id, j),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+       |qd AS (SELECT q_id, k, ${duckD(64, "qe", "ke")} AS rd2 FROM q CROSS JOIN co),
+       |probes AS (SELECT q_id, k AS list FROM (SELECT q_id, k,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn FROM qd) WHERE rn <= 2),
+       |qres AS (SELECT p.q_id, p.list,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(q.qe[i] AS DOUBLE) - CAST(co.ke[i] AS DOUBLE)) AS qr
+       |  FROM probes p JOIN q ON q.q_id = p.q_id JOIN co ON co.k = p.list),
+       |lut AS (SELECT q_id, list, c, j, ${duckD(8, "qr", "ce", "j*8")} AS lut_d2
+       |  FROM qres CROSS JOIN cbr, unnest(generate_series(0, 7)) t(j)),
+       |cand AS (SELECT a.vec_id, p.q_id, a.list
+       |  FROM assign a JOIN probes p ON a.list = p.list),
+       |adcr AS (SELECT cn.q_id, cn.vec_id,
+       |    round(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6) AS adc
+       |  FROM cand cn JOIN codes cd ON cn.vec_id = cd.vec_id
+       |  JOIN lut l ON l.q_id = cn.q_id AND l.list = cn.list
+       |            AND l.j = cd.j AND l.c = cd.cj
+       |  GROUP BY 1, 2),
+       |rtop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adcr)
+       |  WHERE rn <= 5),
+       |ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |  FROM q CROSS JOIN embeddings e),
+       |etop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+       |  WHERE rn <= 5),
+       |hp AS (SELECT a.q_id, COUNT(*) AS n FROM plain a
+       |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1),
+       |hr AS (SELECT a.q_id, COUNT(*) AS n FROM rtop a
+       |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1)
+       |SELECT qq.q_id, CAST(5 AS BIGINT) AS k,
+       |  CAST(coalesce(hp.n, 0) AS BIGINT) AS n_hit_plain,
+       |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_hit_residual
+       |FROM (SELECT DISTINCT q_id FROM etop) qq
+       |LEFT JOIN hp ON hp.q_id = qq.q_id
+       |LEFT JOIN hr ON hr.q_id = qq.q_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val co = emb.orderBy(col("vec_id")).limit(8)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
+        col("embedding").as("ke"))
+    val assign = coarseAssign(emb, co).select(col("vec_id"), col("list"))
+    val rv = emb.join(assign, Seq("vec_id"))
+      .join(broadcast(co), col("list") === col("k"))
+      .select(col("vec_id"), col("list"), expr(
+        "zip_with(embedding, ke, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbr = rv.orderBy(col("vec_id")).limit(16)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("c"),
+        col("r").as("ce"))
+      .localCheckpoint(true) // 16-row trained-artifact cut
+    val codes = rv.select(col("vec_id"), col("r").as("ve"))
+      .crossJoin(broadcast(cbr))
+      .select(col("vec_id"), col("c"),
+        posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "ve", "ce", "j*8")})"""))
+          .as(Seq("j", "rd2")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
+      .select(col("vec_id"), col("j"), col("b.c").as("cj"))
+    val q = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val probes = q.crossJoin(broadcast(co))
+      .select(col("q_id"), col("k"), expr(sparkD(64, "qe", "ke")).as("rd2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("k"))))
+      .filter(col("rn") <= 2).select(col("q_id"), col("k").as("list"))
+    val qres = probes.join(broadcast(q), Seq("q_id"))
+      .join(broadcast(co), col("list") === col("k"))
+      .select(col("q_id"), col("list"), expr(
+        "zip_with(qe, ke, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))").as("qr"))
+    val lut = qres.crossJoin(broadcast(cbr))
+      .select(col("q_id").as("lq"), col("list").as("ll"), col("c").as("lc"),
+        posexplode(expr(s"""transform(sequence(0, 7), j -> ${sparkD(8, "qr", "ce", "j*8")})"""))
+          .as(Seq("lj", "lut_d2")))
+    val adcr = assign.join(broadcast(probes), Seq("list"))
+      .select(col("q_id"), col("vec_id"), col("list"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("lq") === col("q_id") && col("ll") === col("list")
+          && col("lj") === col("j") && col("lc") === col("cj"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(expr("round(CAST(SUM(CAST(lut_d2 AS DECIMAL(20,6))) AS DOUBLE), 6)").as("adc"))
+    def top5(df: org.apache.spark.sql.DataFrame, ord: String) =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col(ord), col("vec_id"))))
+        .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true) // 15-row cut (the simSq8 shared-lineage lesson)
+    val rtop = top5(adcr, "adc")
+    val plain = ivfPqSearch.fn(s, dir).select(col("q_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val etop = top5(emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2")), "d2")
+    def hits(a: org.apache.spark.sql.DataFrame, as: String) =
+      a.join(broadcast(etop), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(as))
+    etop.select(col("q_id")).distinct()
+      .join(broadcast(hits(plain, "np")), Seq("q_id"), "left")
+      .join(broadcast(hits(rtop, "nr")), Seq("q_id"), "left")
+      .select(col("q_id"), lit(5L).as("k"),
+        coalesce(col("np"), lit(0L)).as("n_hit_plain"),
+        coalesce(col("nr"), lit(0L)).as("n_hit_residual"))
+  }
+
+  /** RANKED-RETRIEVAL METRICS — nDCG@5 and MRR of the shipped IVF-PQ
+    * search against the exact reference (r11): recall@k
+    * ([[simRecall]]) counts set overlap but is blind to ORDER — a
+    * result list with the best neighbor at rank 5 scores the same as
+    * one with it at rank 1. nDCG and MRR are the order-aware metrics
+    * every retrieval eval reports next to recall. Graded relevance =
+    * 6 − exact_rank for the exact top-5 (5..1), 0 otherwise; MRR =
+    * 1/rank of the first relevant hit in the approximate list.
+    *
+    * Determinism — NO LIBM AT ALL: the five positional discounts
+    * 1/log2(i+1) and the ideal DCG are SHARED 6-dp LITERALS (the
+    * position space is 1..5, so the whole discount table is five
+    * constants); every per-position term is rounded 6 dp and summed
+    * DECIMAL(20,6); nDCG is one final rounded division by the
+    * literal IDCG.
+    *
+    * Scale shape: the approximate side is [[ivfPqSearch]] reused
+    * verbatim (its rank column IS the position); the exact reference
+    * is the one map-side broadcast-query pass; everything after is
+    * k×|queries| rows. */
+  val simRankMetrics: QueryDef = {
+    // round(1/log2(i+1), 6) for i = 1..5 — shared literals, no libm
+    val disc = "CASE rank WHEN 1 THEN 1.0 WHEN 2 THEN 0.63093 WHEN 3 THEN 0.5 " +
+      "WHEN 4 THEN 0.430677 ELSE 0.386853 END"
+    val idcg = "10.271927" // 5*1.0 + 4*0.63093 + 3*0.5 + 2*0.430677 + 1*0.386853
+    QueryDef(
+      "q_sim_rank_metrics",
+      s"""WITH apq AS (SELECT q_id, rank, vec_id FROM (
+         |${ivfPqSearch.oracle.get}) t),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+         |ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+         |  FROM q CROSS JOIN embeddings e),
+         |erank AS (SELECT q_id, vec_id, rn AS erk FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+         |  WHERE rn <= 5),
+         |jr AS (SELECT a.q_id, a.rank,
+         |    CASE WHEN e.erk IS NULL THEN 0 ELSE 6 - e.erk END AS rel
+         |  FROM apq a LEFT JOIN erank e ON e.q_id = a.q_id AND e.vec_id = a.vec_id),
+         |m AS (SELECT q_id,
+         |    CAST(COUNT(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS n_hit,
+         |    round(coalesce(1.0 / MIN(CASE WHEN rel > 0 THEN rank END), 0), 6) + 0.0 AS mrr,
+         |    round(CAST(SUM(CAST(round(rel * $disc, 6) AS DECIMAL(20,6))) AS DOUBLE)
+         |          / $idcg, 6) + 0.0 AS ndcg
+         |  FROM jr GROUP BY 1)
+         |SELECT qq.q_id, CAST(5 AS BIGINT) AS k,
+         |  coalesce(m.n_hit, 0) AS n_hit,
+         |  coalesce(m.mrr, 0.0) + 0.0 AS mrr,
+         |  coalesce(m.ndcg, 0.0) + 0.0 AS ndcg
+         |FROM (SELECT DISTINCT q_id FROM erank) qq
+         |LEFT JOIN m ON m.q_id = qq.q_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val apq = ivfPqSearch.fn(s, dir).select(col("q_id"), col("rank"), col("vec_id"))
+      val q = emb.orderBy(col("vec_id")).limit(3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val erank = emb.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2"))
+        .withColumn("erk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("erk") <= 5).select(col("q_id"), col("vec_id"), col("erk"))
+        .localCheckpoint(true) // 15-row cut: shared emb/q lineage (the q_sim_sq8 lesson)
+      val m = apq.join(broadcast(erank), Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("rank"),
+          expr("CASE WHEN erk IS NULL THEN 0 ELSE 6 - erk END").as("rel"))
+        .groupBy(col("q_id"))
+        .agg(
+          count(when(col("rel") > 0, lit(1))).as("n_hit"),
+          expr("round(coalesce(1.0D / MIN(CASE WHEN rel > 0 THEN rank END), 0), 6) + 0.0D").as("mrr"),
+          expr(s"round(CAST(SUM(CAST(round(rel * $disc, 6) AS DECIMAL(20,6))) AS DOUBLE) / $idcg, 6) + 0.0D").as("ndcg"))
+      erank.select(col("q_id")).distinct()
+        .join(broadcast(m), Seq("q_id"), "left")
+        .select(col("q_id"), lit(5L).as("k"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(mrr, 0.0D) + 0.0D").as("mrr"),
+          expr("coalesce(ndcg, 0.0D) + 0.0D").as("ndcg"))
+    }
+  }
+
   /** SQ8 vs PQ QUANTIZER ABLATION (r11, VERDICT r10 Next #6): the
     * PQ-vs-scalar-quantization comparison every vector store
     * documents, over the same 3 queries and the same exact reference
@@ -1195,5 +1416,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
-    simIvfTrained, simIndexAppend, simSq8)
+    simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual)
 }
