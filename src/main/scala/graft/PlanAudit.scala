@@ -492,7 +492,28 @@ object PlanAudit {
       // per-list LUT broadcasts into the inverted-list equi-join, the
       // top-5 legs are lineage cuts — no cartesian, no corpus re-scan
       // in the overlap stage
-      "q_sim_ivfpq_residual" -> Seq("Scan ExistingRDD", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"))
+      "q_sim_ivfpq_residual" -> Seq("Scan ExistingRDD", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"),
+      // binary quantization + rescore (r11): Hamming scan is a map
+      // pass over packed codes; the 96-row candidate set broadcasts
+      // into the corpus for rescore; selection legs are lineage cuts
+      "q_sim_binary" -> Seq("Scan ExistingRDD", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"),
+      // Matryoshka prefix-dim ablation (r11): every leg is a
+      // broadcast-query map pass; 15-row lineage-cut selections
+      "q_sim_matryoshka" -> Seq("Scan ExistingRDD", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"),
+      // normalization-ladder dedup (r11): one map pass to 3 md5 keys,
+      // three hash-aggs, key-equi-joins back — never a cartesian and
+      // the full text never shuffles
+      "q_dedup_norm_ladder" -> Seq("HashAggregate", "!CartesianProduct", "!NestedLoop"),
+      // shard planner (r11): map pass to cells, ≤16-row agg + window,
+      // 1-row total broadcast — corpus never sorts
+      "q_sim_shard_plan" -> Seq("HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"),
+      // PMI collocations (r11): one NGramGenerator pass (persisted
+      // vocab-sized counts), vocab-keyed probability joins, top-20 as
+      // TakeOrderedAndProject — the pair table never globally sorts
+      "q_text_pmi" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"),
+      // corpus text drift (r11): one map pass (persisted), per-source
+      // min/max and totals broadcast back, bucket hash-agg
+      "q_corpus_drift" -> Seq("InMemoryTableScan", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -935,9 +935,72 @@ object Curation {
         expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2D").as("drifted"))
   }
 
+  /** CORPUS TEXT DRIFT (r11, the documents-side twin of
+    * [[embedDrift]]): per SOURCE, PSI between the old generation
+    * (doc_id % 10 != 0) and the nightly batch (doc_id % 10 = 0) over
+    * the token-length distribution — the text-side re-crawl/re-train
+    * gate (a crawler change, a template update, or an upstream filter
+    * shows up as a length-distribution shift long before quality
+    * metrics move). Same 10-bin Laplace-smoothed PSI recipe as
+    * embedDrift with one upgrade: lengths are integers, so the
+    * buckets are PURE-INTEGER `((len−mn)·10) DIV (mx−mn+1)` — no
+    * float bucket edges at all, and the +1 makes a degenerate
+    * constant-length source safe (everything lands in bucket 0).
+    *
+    * Scale shape: one map pass to (source, gen, len), per-source
+    * min/max broadcast back, (source × 10)-bucket hash-agg,
+    * constant-size PSI fold — the corpus is touched once. */
+  val corpusDrift: QueryDef = QueryDef(
+    "q_corpus_drift",
+    s"""WITH x AS (SELECT source, doc_id % 10 = 0 AS is_new,
+       |    CAST(len(${graft.queries.Tokenize.duckTrim}) AS BIGINT) AS v
+       |  FROM documents),
+       |mm AS (SELECT source, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+       |b AS (SELECT is_new, x.source,
+       |    ((v - mn) * 10) // (mx - mn + 1) AS bucket
+       |  FROM x JOIN mm ON mm.source = x.source),
+       |g AS (SELECT source, bucket,
+       |    CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM b GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(SUM(n_a) AS DOUBLE) AS ta,
+       |    CAST(SUM(n_b) AS DOUBLE) AS tb FROM g GROUP BY 1),
+       |terms AS (SELECT g.source, t.ta, t.tb,
+       |    round(((n_a + 0.5) / (ta + 5) - (n_b + 0.5) / (tb + 5))
+       |      * round(ln(((n_a + 0.5) / (ta + 5)) / ((n_b + 0.5) / (tb + 5))), 6), 6) AS psi_term
+       |  FROM g JOIN t ON t.source = g.source)
+       |SELECT source, CAST(ta AS BIGINT) AS n_old, CAST(tb AS BIGINT) AS n_new,
+       |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0 AS psi,
+       |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2 AS drifted
+       |FROM terms GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val x = graft.Tables.documents(s, dir)
+      .select(col("source"), (col("doc_id") % 10 === 0).as("is_new"),
+        expr(s"CAST(size(${graft.queries.Tokenize.sparkTrim}) AS BIGINT)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = x.groupBy(col("source")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val g = x.join(broadcast(mm), Seq("source"))
+      .select(col("is_new"), col("source"),
+        expr("((v - mn) * 10) DIV (mx - mn + 1)").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_b"))
+    val t = g.groupBy(col("source"))
+      .agg(expr("CAST(SUM(n_a) AS DOUBLE)").as("ta"),
+        expr("CAST(SUM(n_b) AS DOUBLE)").as("tb"))
+    g.join(broadcast(t), Seq("source"))
+      .select(col("source"), col("ta"), col("tb"), expr(
+        """round(((n_a + 0.5) / (ta + 5) - (n_b + 0.5) / (tb + 5))
+          |  * round(ln(((n_a + 0.5) / (ta + 5)) / ((n_b + 0.5) / (tb + 5))), 6), 6)""".stripMargin).as("psi_term"))
+      .groupBy(col("source"), col("ta"), col("tb"))
+      .agg(expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0D").as("psi"),
+        expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2D").as("drifted"))
+      .select(col("source"), col("ta").cast("long").as("n_old"),
+        col("tb").cast("long").as("n_new"), col("psi"), col("drifted"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
-    embedFisher, embedDrift)
+    embedFisher, embedDrift, corpusDrift)
 }

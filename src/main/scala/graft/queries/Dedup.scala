@@ -1497,10 +1497,98 @@ object Dedup {
         col("min_jaccard"))
   }
 
+  /** NORMALIZATION-LADDER EXACT DEDUP (r11): exact dedup at three
+    * canonicalization tiers — the C4/CCNet preprocessing insight that
+    * "exact" duplicate counts depend entirely on how much you
+    * normalize first, and the cheap win before any MinHash machinery:
+    *
+    *  - tier 0: raw text, byte-identical.
+    *  - tier 1: lowercase + whitespace collapsed to single spaces +
+    *    trimmed (case/formatting variants).
+    *  - tier 2: tier 1 with every non-[a-z0-9 ] char stripped and
+    *    spaces re-collapsed (punctuation/markup variants).
+    *
+    * Tiers are strictly coarser (equal text ⇒ equal normal forms), so
+    * per-tier duplicate sets are nested and `n_new_dup_docs` is the
+    * INCREMENTAL catch of each rung — the number that tells a data
+    * team whether cheap canonicalization is worth running before the
+    * expensive near-dup pass.
+    *
+    * Scale shape: one map-side pass computes all three keys as
+    * md5 digests (32-byte shuffle keys — the full text never
+    * shuffles), three hash-aggs count key multiplicity, per-doc flags
+    * come back via three key-equi-joins, and the final aggregate is 3
+    * rows. No windows, nothing quadratic; the ladder is exactly as
+    * scalable as exact dedup. */
+  val dedupNormLadder: QueryDef = {
+    // tier normal forms; DuckDB regexp_replace needs the 'g' flag
+    // (first-match-only default) where Spark replaces all
+    val sparkT1 = "trim(regexp_replace(lower(text), '[ \\\\t\\\\r\\\\n]+', ' '))"
+    val duckT1 = "trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))"
+    def sparkT2(t1: String) =
+      s"trim(regexp_replace(regexp_replace($t1, '[^a-z0-9 ]', ''), ' +', ' '))"
+    def duckT2(t1: String) =
+      s"trim(regexp_replace(regexp_replace($t1, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    QueryDef(
+      "q_dedup_norm_ladder",
+      s"""WITH keyed AS (SELECT doc_id, md5(text) AS k0,
+         |    md5($duckT1) AS k1, md5(${duckT2(duckT1)}) AS k2
+         |  FROM documents),
+         |c0 AS (SELECT k0, COUNT(*) AS n0 FROM keyed GROUP BY 1),
+         |c1 AS (SELECT k1, COUNT(*) AS n1 FROM keyed GROUP BY 1),
+         |c2 AS (SELECT k2, COUNT(*) AS n2 FROM keyed GROUP BY 1),
+         |f AS (SELECT doc_id, n0 > 1 AS d0, n1 > 1 AS d1, n2 > 1 AS d2
+         |  FROM keyed JOIN c0 USING (k0) JOIN c1 USING (k1) JOIN c2 USING (k2)),
+         |g AS (SELECT 0 AS tier, COUNT(*) AS n_dup_groups FROM c0 WHERE n0 > 1
+         |  UNION ALL SELECT 1, COUNT(*) FROM c1 WHERE n1 > 1
+         |  UNION ALL SELECT 2, COUNT(*) FROM c2 WHERE n2 > 1),
+         |d AS (SELECT 0 AS tier,
+         |    CAST(COUNT(CASE WHEN d0 THEN 1 END) AS BIGINT) AS n_dup_docs,
+         |    CAST(COUNT(CASE WHEN d0 THEN 1 END) AS BIGINT) AS n_new_dup_docs
+         |  FROM f
+         |  UNION ALL SELECT 1, COUNT(CASE WHEN d1 THEN 1 END),
+         |    COUNT(CASE WHEN d1 AND NOT d0 THEN 1 END) FROM f
+         |  UNION ALL SELECT 2, COUNT(CASE WHEN d2 THEN 1 END),
+         |    COUNT(CASE WHEN d2 AND NOT d1 THEN 1 END) FROM f)
+         |SELECT CAST(g.tier AS BIGINT) AS tier,
+         |  CAST(g.n_dup_groups AS BIGINT) AS n_dup_groups,
+         |  d.n_dup_docs, d.n_new_dup_docs
+         |FROM g JOIN d ON d.tier = g.tier""".stripMargin) { (s, dir) =>
+      val keyed = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("k0"),
+          md5(expr(sparkT1)).as("k1"), md5(expr(sparkT2(sparkT1))).as("k2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def cnt(k: String, n: String) =
+        keyed.groupBy(col(k)).agg(count(lit(1)).as(n))
+      val c0 = cnt("k0", "n0"); val c1 = cnt("k1", "n1"); val c2 = cnt("k2", "n2")
+      val f = keyed.join(c0, Seq("k0")).join(c1, Seq("k1")).join(c2, Seq("k2"))
+        .select(col("doc_id"), (col("n0") > 1).as("d0"),
+          (col("n1") > 1).as("d1"), (col("n2") > 1).as("d2"))
+      def gRow(tier: Int, c: org.apache.spark.sql.DataFrame, n: String) =
+        c.filter(col(n) > 1).agg(count(lit(1)).as("n_dup_groups"))
+          .select(lit(tier.toLong).as("tier"), col("n_dup_groups"))
+      val g = gRow(0, c0, "n0").unionByName(gRow(1, c1, "n1")).unionByName(gRow(2, c2, "n2"))
+      val d = f.agg(
+          count(when(col("d0"), lit(1))).as("dd0"),
+          count(when(col("d1"), lit(1))).as("dd1"),
+          count(when(col("d2"), lit(1))).as("dd2"),
+          count(when(col("d1") && !col("d0"), lit(1))).as("nn1"),
+          count(when(col("d2") && !col("d1"), lit(1))).as("nn2"))
+        .select(explode(array(
+          struct(lit(0L).as("tier"), col("dd0").as("n_dup_docs"), col("dd0").as("n_new_dup_docs")),
+          struct(lit(1L).as("tier"), col("dd1").as("n_dup_docs"), col("nn1").as("n_new_dup_docs")),
+          struct(lit(2L).as("tier"), col("dd2").as("n_dup_docs"), col("nn2").as("n_new_dup_docs")))).as("r"))
+        .select(col("r.tier"), col("r.n_dup_docs"), col("r.n_new_dup_docs"))
+      g.join(broadcast(d), Seq("tier"))
+        .select(col("tier"), col("n_dup_groups"), col("n_dup_docs"), col("n_new_dup_docs"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
-    dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof, sourceMatrix)
+    dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof, sourceMatrix,
+    dedupNormLadder)
 }

@@ -1414,7 +1414,267 @@ object Similarity {
     }
   }
 
+  /** BINARY QUANTIZATION + RESCORE (r11): the 1-bit-per-dim extreme of
+    * the quantizer ladder (PQ 8 B → SQ8 64 B → BQ 8 B at 1 bit/dim),
+    * the memory floor every production vector store now documents
+    * (sign-bit codes + Hamming scan + exact rescore of an oversampled
+    * candidate set). Two legs over the SQ8 queries and the same exact
+    * L2 reference:
+    *
+    *  - bq: each vector packs to TWO 32-bit words (sign bit per dim;
+    *    two words because a 64-bit pack's last shift overflows signed
+    *    Long under ANSI). Distance = popcount(xor(hi)) +
+    *    popcount(xor(lo)) — PURE-INTEGER, no libm, ties broken by
+    *    vec_id. Top-5 straight off the Hamming scan.
+    *  - bq_rescore: Hamming top-32 (4× oversample) re-ranked by exact
+    *    6-dp L2 on the full vectors, then top-5 — the shipped BQ
+    *    serving shape (index stays 8 B/vec; rescore reads 32 full
+    *    vectors per query).
+    *
+    * Output per (method, query): integer recall@5 vs the exact top-5
+    * (incl. self, the [[simRecall]] convention) + bytes_per_vector.
+    * The gap between the two rows is the measured value of rescoring.
+    *
+    * Scale shape: pack is one map-side pass (codes are 16 B/vec —
+    * at 100 TB the packed table is the only thing the scan touches);
+    * both searches are broadcast-query map passes folding to top-k
+    * below the shuffle; rescore joins 32·|q| ids back to the corpus
+    * by key; overlap joins are k×|q| rows. The three selection legs
+    * are 15/96-row eager lineage cuts (the [[simSq8]] shared-lineage
+    * lesson). */
+  val simBinary: QueryDef = {
+    // seedless list_reduce (x*2+y) == seeded-0 fold for bit packing:
+    // ((0*2+b1)*2+b2)... = (b1*2+b2)... — first element as acc is exact
+    def duckPack(v: String, off: Int) =
+      s"""list_reduce(list_transform(range(1, 33),
+         |    i -> CASE WHEN $v[$off+i] >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    (x, y) -> x * 2 + y)""".stripMargin
+    def sparkPack(v: String, off: Int) =
+      s"""aggregate(sequence(1, 32), 0L,
+         |  (acc, i) -> acc * 2L + IF(element_at($v, $off+i) >= 0, 1L, 0L))""".stripMargin
+    QueryDef(
+      "q_sim_binary",
+      s"""WITH c AS (SELECT vec_id, ${duckPack("embedding", 0)} AS hi,
+         |    ${duckPack("embedding", 32)} AS lo FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+         |qc AS (SELECT q_id, ${duckPack("qe", 0)} AS qhi,
+         |    ${duckPack("qe", 32)} AS qlo FROM q),
+         |hd AS (SELECT q_id, vec_id,
+         |    CAST(bit_count(xor(qhi, hi)) AS BIGINT)
+         |      + CAST(bit_count(xor(qlo, lo)) AS BIGINT) AS d
+         |  FROM qc CROSS JOIN c),
+         |btop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn FROM hd)
+         |  WHERE rn <= 5),
+         |cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn FROM hd)
+         |  WHERE rn <= 32),
+         |rr AS (SELECT cand.q_id, cand.vec_id,
+         |    ${duckD(64, "qe", "embedding")} AS d2
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+         |  JOIN q ON q.q_id = cand.q_id),
+         |rtop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM rr)
+         |  WHERE rn <= 5),
+         |ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+         |  FROM q CROSS JOIN embeddings e),
+         |etop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+         |  WHERE rn <= 5),
+         |hb AS (SELECT a.q_id, COUNT(*) AS n FROM btop a
+         |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1),
+         |hr AS (SELECT a.q_id, COUNT(*) AS n FROM rtop a
+         |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1)
+         |SELECT 'bq' AS method, qq.q_id, CAST(5 AS BIGINT) AS k,
+         |  CAST(coalesce(hb.n, 0) AS BIGINT) AS n_hit,
+         |  CAST(8 AS BIGINT) AS bytes_per_vector
+         |FROM (SELECT DISTINCT q_id FROM etop) qq LEFT JOIN hb ON hb.q_id = qq.q_id
+         |UNION ALL
+         |SELECT 'bq_rescore', qq.q_id, CAST(5 AS BIGINT), CAST(coalesce(hr.n, 0) AS BIGINT),
+         |  CAST(8 AS BIGINT)
+         |FROM (SELECT DISTINCT q_id FROM etop) qq LEFT JOIN hr ON hr.q_id = qq.q_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb.orderBy(col("vec_id")).limit(3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = emb.select(col("vec_id"),
+        expr(sparkPack("embedding", 0)).as("hi"),
+        expr(sparkPack("embedding", 32)).as("lo"))
+      val qc = q.select(col("q_id"),
+        expr(sparkPack("qe", 0)).as("qhi"),
+        expr(sparkPack("qe", 32)).as("qlo"))
+      val hd = c.crossJoin(broadcast(qc))
+        .select(col("q_id"), col("vec_id"), expr(
+          "CAST(bit_count(qhi ^ hi) AS BIGINT) + CAST(bit_count(qlo ^ lo) AS BIGINT)").as("d"))
+      def topN(df: org.apache.spark.sql.DataFrame, ord: String, n: Int) =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col(ord), col("vec_id"))))
+          .filter(col("rn") <= n).select(col("q_id"), col("vec_id"))
+          .localCheckpoint(true) // constant-size leg over shared emb/q lineage
+      val btop = topN(hd, "d", 5)
+      val cand = topN(hd, "d", 32)
+      // 96-row candidate set broadcasts INTO the corpus (an ExistingRDD
+      // leaf has no stats — leaving this to AQE risks a sort-merge join
+      // shuffling the whole corpus for 96 lookups)
+      val rtop = topN(emb
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2")),
+        "d2", 5)
+      val etop = topN(emb.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("d2")),
+        "d2", 5)
+      def overlap(method: String, approx: org.apache.spark.sql.DataFrame) = {
+        val hits = approx.join(broadcast(etop), Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+        etop.select(col("q_id")).distinct()
+          .join(broadcast(hits), Seq("q_id"), "left")
+          .select(lit(method).as("method"), col("q_id"), lit(5L).as("k"),
+            coalesce(col("n"), lit(0L)).as("n_hit"),
+            lit(8L).as("bytes_per_vector"))
+      }
+      overlap("bq", btop).unionByName(overlap("bq_rescore", rtop))
+    }
+  }
+
+  /** MATRYOSHKA PREFIX-DIMENSION ABLATION (r11): search with only the
+    * FIRST d dims of each embedding (d = 8/16/32 of 64) against the
+    * full-dimension exact reference — the truncation trade published
+    * as Matryoshka representation learning (Kusupati et al. 2022) and
+    * now a first-class serving option in every embedding API: a
+    * prefix-truncated index is d/64 the bytes and the recall curve
+    * below tells you what that costs on THESE embeddings (isotropic
+    * synthetic vectors — expect near-uniform information per dim, so
+    * recall ∝ d; real MRL-trained embeddings front-load and hold
+    * recall at small d — the lane measures exactly that difference).
+    *
+    * Determinism: every leg is the shared 6-dp-rounded L2 ([[duckD]]/
+    * [[sparkD]] with prefix length), integer recall, vec_id ties.
+    *
+    * Scale shape: one broadcast-query map pass per d over the
+    * prefix (the scan reads d/64 of the vector bytes at scale when
+    * the index is stored truncated), top-5 below the shuffle,
+    * constant-size overlap joins; each selection is a 15-row eager
+    * lineage cut. */
+  val simMatryoshka: QueryDef = {
+    val dims = Seq(8, 16, 32)
+    def duckLeg(d: Int) =
+      s"""d$d AS (SELECT q_id, e.vec_id, ${duckD(d, "qe", "embedding")} AS dd
+         |  FROM q CROSS JOIN embeddings e),
+         |t$d AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dd, vec_id) AS rn FROM d$d)
+         |  WHERE rn <= 5),
+         |h$d AS (SELECT a.q_id, COUNT(*) AS n FROM t$d a
+         |  JOIN etop e ON a.q_id = e.q_id AND a.vec_id = e.vec_id GROUP BY 1)""".stripMargin
+    def duckSel(d: Int) =
+      s"""SELECT 'mrl$d' AS method, qq.q_id, CAST($d AS BIGINT) AS n_dims,
+         |  CAST(5 AS BIGINT) AS k, CAST(coalesce(h$d.n, 0) AS BIGINT) AS n_hit,
+         |  CAST(${d * 4} AS BIGINT) AS bytes_per_vector
+         |FROM (SELECT DISTINCT q_id FROM etop) qq LEFT JOIN h$d ON h$d.q_id = qq.q_id""".stripMargin
+    QueryDef(
+      "q_sim_matryoshka",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+         |ed AS (SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+         |  FROM q CROSS JOIN embeddings e),
+         |etop AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn FROM ed)
+         |  WHERE rn <= 5),
+         |${dims.map(duckLeg).mkString(",\n")}
+         |${dims.map(duckSel).mkString("\nUNION ALL\n")}""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = emb.orderBy(col("vec_id")).limit(3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      def top5(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("dd"), col("vec_id"))))
+          .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+          .localCheckpoint(true) // 15-row cut over shared emb/q lineage
+      val etop = top5(emb.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"), expr(sparkD(64, "qe", "embedding")).as("dd")))
+      dims.map { d =>
+        val td = top5(emb.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"), expr(sparkD(d, "qe", "embedding")).as("dd")))
+        val hits = td.join(broadcast(etop), Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+        etop.select(col("q_id")).distinct()
+          .join(broadcast(hits), Seq("q_id"), "left")
+          .select(lit(s"mrl$d").as("method"), col("q_id"), lit(d.toLong).as("n_dims"),
+            lit(5L).as("k"), coalesce(col("n"), lit(0L)).as("n_hit"),
+            lit(d.toLong * 4).as("bytes_per_vector"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** BALANCED INDEX-SHARD PLANNER (r11): assign the ANN index's
+    * inverted lists (cells) to a fixed number of serving shards so
+    * every shard holds ~equal vectors — the placement step between
+    * "index built" and "index served" on any multi-node deployment
+    * (a naive cell-id range split inherits the occupancy skew the
+    * [[simIndexStore]] occ_max column measures).
+    *
+    * Cells here are the 16 sign-bit buckets over dims 1-4 (the
+    * [[simLsh]] family's partition key); the planner is SNAKE
+    * (boustrophedon) assignment over cells ranked by occupancy
+    * descending — rank r (0-based) goes to shard r%S on even passes
+    * and S-1-r%S on odd passes, the standard one-pass balancing
+    * heuristic (greedy LPT needs a sequential fold; snake gets within
+    * a cell of it deterministically and is pure window arithmetic).
+    *
+    * Output per shard: cell count, vector count, the comma-joined
+    * cell list (the shard map a router would load), and
+    * load_x_ideal = n_vecs·S/total — the skew a serving SLA reads.
+    *
+    * Scale shape: one map-side pass to cell keys, one hash-agg to
+    * ≤16 rows, a window + final agg over those 16 rows (bounded, the
+    * novelty-curve exemption), one 1-row total broadcast. The corpus
+    * never sorts, nothing is quadratic. */
+  val simShardPlan: QueryDef = {
+    val S = 4
+    QueryDef(
+      "q_sim_shard_plan",
+      s"""WITH cells AS (SELECT vec_id,
+         |    CAST(list_reduce(list_transform(range(1, 5),
+         |      i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |      (x, y) -> x * 2 + y) AS BIGINT) AS cell
+         |  FROM embeddings),
+         |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS total FROM occ),
+         |rk AS (SELECT cell, n,
+         |    row_number() OVER (ORDER BY n DESC, cell) - 1 AS idx FROM occ),
+         |asn AS (SELECT cell, n,
+         |    CASE WHEN (idx // $S) % 2 = 0 THEN idx % $S
+         |         ELSE $S - 1 - idx % $S END AS shard FROM rk)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |  string_agg(CAST(cell AS VARCHAR), ',' ORDER BY cell) AS cells,
+         |  round(CAST(SUM(n) AS DOUBLE) * $S / total, 6) + 0.0 AS load_x_ideal
+         |FROM asn CROSS JOIN tot
+         |GROUP BY shard, total""".stripMargin) { (s, dir) =>
+      val cells = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(
+          """CAST(aggregate(sequence(1, 4), 0L,
+            |  (acc, i) -> acc * 2L + IF(element_at(embedding, i) >= 0, 1L, 0L)) AS BIGINT)"""
+            .stripMargin).as("cell"))
+      val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val tot = occ.agg(sum(col("n")).as("total"))
+      val asn = occ
+        .withColumn("idx", row_number().over(
+          Window.orderBy(col("n").desc, col("cell"))) - 1) // ≤16 rows: bounded
+        .withColumn("shard", expr(
+          s"CAST(CASE WHEN (idx DIV $S) % 2 = 0 THEN idx % $S ELSE $S - 1 - idx % $S END AS BIGINT)"))
+      asn.crossJoin(broadcast(tot))
+        .groupBy(col("shard"), col("total"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+          array_join(sort_array(collect_list(col("cell"))).cast("array<string>"), ",").as("cells"),
+          expr(s"round(CAST(SUM(n) AS DOUBLE) * $S / total, 6) + 0.0").as("load_x_ideal"))
+        .select(col("shard"), col("n_cells"), col("n_vecs"), col("cells"), col("load_x_ideal"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
-    simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual)
+    simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual,
+    simBinary, simMatryoshka, simShardPlan)
 }

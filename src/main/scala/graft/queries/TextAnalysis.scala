@@ -1367,8 +1367,77 @@ object TextAnalysis {
         expr("round(CAST(new_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) + 0.0"))
   }
 
+  /** PMI COLLOCATIONS (r11): top-20 bigram collocations by pointwise
+    * mutual information with a count floor — the phrase-mining
+    * primitive behind tokenizer vocab seeding, stopword-phrase lists
+    * and feature engineering (Church & Hanks 1990). PMI(a b) =
+    * ln( P(a b) / (P(a)·P(b)) ) with unigram probabilities from token
+    * counts and bigram probabilities from adjacent-pair counts; pairs
+    * seen < 5 times are noise and filtered before ranking (the
+    * standard floor — rare pairs otherwise dominate PMI).
+    *
+    * Determinism: counts are exact integers; the single libm call
+    * (ln) is rounded 6 dp per the repo policy, with the argument
+    * assembled in DOUBLE by an identical left-associative expression
+    * in both engines; ties in rounded PMI break on the ngram string.
+    *
+    * Scale shape: bigrams stream from the custom NGramGenerator (one
+    * Generate pass, no per-row shingle array), unigram and bigram
+    * counts are hash-aggs to vocabulary size, the two probability
+    * joins are vocab-keyed equi-joins, totals are 1-row broadcasts,
+    * and the top-20 is TakeOrderedAndProject (never a global sort of
+    * the pair table). The corpus is touched twice (words + bigrams),
+    * both map-side. */
+  val pmiCollocations: QueryDef = QueryDef(
+    "q_text_pmi",
+    s"""WITH w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
+       |uni AS (SELECT u.w1 AS w, COUNT(*) AS cu
+       |  FROM w, unnest(ws) AS u(w1) GROUP BY 1),
+       |n1 AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t1 FROM uni),
+       |big AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram,
+       |    ws[i] AS wa, ws[i+1] AS wb, COUNT(*) AS cb
+       |  FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+       |  GROUP BY 1, 2, 3),
+       |n2 AS (SELECT CAST(SUM(cb) AS DOUBLE) AS t2 FROM big),
+       |sc AS (SELECT ngram, cb,
+       |    round(ln((CAST(cb AS DOUBLE) * t1 * t1) / (t2 * ua.cu * ub.cu)), 6) + 0.0 AS pmi
+       |  FROM big JOIN uni ua ON ua.w = big.wa
+       |  JOIN uni ub ON ub.w = big.wb
+       |  CROSS JOIN n1 CROSS JOIN n2
+       |  WHERE cb >= 5)
+       |SELECT ngram, CAST(cb AS BIGINT) AS n_pair, pmi,
+       |  CAST(row_number() OVER (ORDER BY pmi DESC, ngram) AS BIGINT) AS rk
+       |FROM (SELECT * FROM sc ORDER BY pmi DESC, ngram LIMIT 20) t""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(expr(Tokenize.sparkTrim)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n1 = uni.agg(expr("CAST(SUM(cu) AS DOUBLE)").as("t1"))
+    // one Generate pass for bigrams: the unfiltered total AND the
+    // floored pair table both read the persisted vocab-sized counts
+    val bigAll = docs.selectExpr("ngrams_2(text)")
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = bigAll.filter(col("cb") >= 5)
+      .select(col("ngram"), col("cb"),
+        expr("element_at(split(ngram, ' '), 1)").as("wa"),
+        expr("element_at(split(ngram, ' '), 2)").as("wb"))
+    val n2 = bigAll.agg(expr("CAST(SUM(cb) AS DOUBLE)").as("t2"))
+    val sc = big
+      .join(uni.select(col("w").as("wa"), col("cu").as("cua")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("cu").as("cub")), Seq("wb"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("ngram"), col("cb"),
+        expr("round(ln((CAST(cb AS DOUBLE) * t1 * t1) / (t2 * cua * cub)), 6) + 0.0D").as("pmi"))
+    val top = sc.orderBy(col("pmi").desc, col("ngram")).limit(20)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("pmi").desc, col("ngram")))
+      .cast("long")) // window over the 20 already-limited rows: bounded
+      .select(col("ngram"), col("cb").as("n_pair"), col("pmi"), col("rk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
-    qualityCalibration, boilerplate, noveltyCurve)
+    qualityCalibration, boilerplate, noveltyCurve, pmiCollocations)
 }
