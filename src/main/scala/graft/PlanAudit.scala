@@ -513,7 +513,11 @@ object PlanAudit {
       "q_text_pmi" -> Seq("Generate", "InMemoryTableScan", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"),
       // corpus text drift (r11): one map pass (persisted), per-source
       // min/max and totals broadcast back, bucket hash-agg
-      "q_corpus_drift" -> Seq("InMemoryTableScan", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"))
+      "q_corpus_drift" -> Seq("InMemoryTableScan", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"),
+      // incremental novelty (r11): gram-keyed LEFT ANTI set difference,
+      // distinct hash-aggs — never a cartesian, nothing re-scans the
+      // corpus after the Generate passes
+      "q_text_novelty_incr" -> Seq("Generate", "LeftAnti", "HashAggregate", "!CartesianProduct", "!NestedLoop"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -1085,10 +1085,99 @@ object Streaming {
         col("ov").as("old_value"), col("nv").as("new_value"))
   }
 
+  /** STREAMING DRIFT MONITOR (r11): per-micro-batch PSI of the
+    * event-type distribution against a FROZEN baseline — the
+    * monitoring gate ([[graft.queries.Curation.corpusDrift]] /
+    * q_embed_drift) run the way production runs it: as a stream over
+    * the live feed, one drift score per micro-batch, alerting the
+    * moment a batch's mix shifts instead of at the nightly batch job.
+    *
+    * Mechanics: the 4-slice mtime-pinned feed (batch i = event_id%4
+    * = i under maxFilesPerTrigger=1, the [[streamBatchMetrics]]
+    * convention); `foreachBatch` reduces each batch to its ≤5-row
+    * per-type count table and stages it under a generation dir with
+    * the [[streamIvm]] `_SUCCESS` replay guard (a replayed batch id
+    * adopts its completed generation — counts are never
+    * double-appended). The PSI arithmetic runs ONCE, batch-side,
+    * after drain over the union of the staged count tables and the
+    * baseline — the per-batch stream work is O(types), and the
+    * deterministic fold (6-dp ln terms, DECIMAL sum — the shared
+    * drift recipe) never depends on stream timing.
+    *
+    * Scale shape: each micro-batch's count is its own partial+final
+    * hash-agg; staged state is O(batches × types) rows; the baseline
+    * join is a broadcast of ≤\|types\| rows. */
+  val streamDrift: QueryDef = QueryDef(
+    "q_stream_drift",
+    """WITH base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_base FROM events GROUP BY 1),
+      |tb AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tot_base FROM base),
+      |bc AS (SELECT CAST(event_id % 4 AS BIGINT) AS batch_id, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |tots AS (SELECT batch_id, CAST(SUM(n) AS DOUBLE) AS tot FROM bc GROUP BY 1),
+      |grid AS (SELECT t.batch_id, b.event_type, b.n_base, COALESCE(bc.n, 0) AS n
+      |  FROM base b CROSS JOIN (SELECT DISTINCT batch_id FROM bc) t
+      |  LEFT JOIN bc ON bc.batch_id = t.batch_id AND bc.event_type = b.event_type),
+      |terms AS (SELECT g.batch_id,
+      |    round(((g.n + 0.5) / (t.tot + 5) - (g.n_base + 0.5) / (tb.tot_base + 5))
+      |      * round(ln(((g.n + 0.5) / (t.tot + 5)) / ((g.n_base + 0.5) / (tb.tot_base + 5))), 6), 6) AS psi_term,
+      |    g.n
+      |  FROM grid g JOIN tots t ON t.batch_id = g.batch_id CROSS JOIN tb)
+      |SELECT batch_id, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0 AS psi,
+      |  round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2 AS drifted
+      |FROM terms GROUP BY 1""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      val srcDir = writeSlices(s,
+        ev.withColumn("slice", pmod(col("event_id"), lit(4)).cast("int")),
+        4, scratch("sdrift_src"), "sdrift")
+      val stateRoot = scratch("sdrift_state")
+      val q = s.readStream
+        .schema("event_id BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = s"$stateRoot/gen_$id"
+          // replay guard (the streamIvm idempotence shape): a completed
+          // generation is adopted, never re-counted
+          if (!new java.io.File(gen, "_SUCCESS").exists()) {
+            batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite").parquet(gen)
+          }
+          ()
+        }
+        .option("checkpointLocation", scratch("sdrift_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      // deterministic batch-side fold over the staged O(batches×types)
+      // count tables — stream timing never touches the arithmetic
+      val bc = s.read.parquet(s"$stateRoot/gen_*")
+        .select(col("batch_id"), col("event_type"), col("n"))
+      val base = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_base"))
+      val tb = base.agg(expr("CAST(SUM(n_base) AS DOUBLE)").as("tot_base"))
+      val tots = bc.groupBy(col("batch_id")).agg(expr("CAST(SUM(n) AS DOUBLE)").as("tot"))
+      val grid = base.crossJoin(broadcast(bc.select(col("batch_id")).distinct()))
+        .join(bc, Seq("batch_id", "event_type"), "left")
+        .select(col("batch_id"), col("event_type"), col("n_base"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      grid.join(broadcast(tots), Seq("batch_id")).crossJoin(broadcast(tb))
+        .select(col("batch_id"), col("n"), expr(
+          """round(((n + 0.5) / (tot + 5) - (n_base + 0.5) / (tot_base + 5))
+            |  * round(ln(((n + 0.5) / (tot + 5)) / ((n_base + 0.5) / (tot_base + 5))), 6), 6)""".stripMargin).as("psi_term"))
+        .groupBy(col("batch_id"))
+        .agg(sum(col("n")).as("n_rows"),
+          expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0D").as("psi"),
+          expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) > 0.2D").as("drifted"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamDedupWm, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
-    streamIdempotent, streamTimetravel, streamCdf, streamEwma)
+    streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift)
 }

@@ -1436,8 +1436,57 @@ object TextAnalysis {
       .select(col("ngram"), col("cb").as("n_pair"), col("pmi"), col("rk"))
   }
 
+  /** INCREMENTAL NOVELTY (r11, the nightly twin of [[noveltyCurve]]):
+    * how much of tonight's batch (doc_id % 10 = 0, the repo's nightly
+    * convention) is CONTENT the corpus has never seen — per source,
+    * the batch's distinct 3-grams anti-joined against the old
+    * generation's global gram set. The per-source novelty rate is the
+    * crawl-quality number a nightly ingest dashboards: a source whose
+    * rate collapses is re-crawling yesterday's pages ([[corpusDrift]]
+    * watches the same batch for distribution shift; this lane watches
+    * it for redundancy).
+    *
+    * Scale shape: one Generate pass per generation, distinct
+    * hash-aggs to gram vocabulary size, one gram-keyed LEFT ANTI
+    * equi-join (the set-difference shape that needs no broadcast and
+    * no sort), |sources|-row output. All counts integer until the
+    * one rounded rate. */
+  val noveltyIncr: QueryDef = QueryDef(
+    "q_text_novelty_incr",
+    s"""WITH w AS (SELECT doc_id, source, $duckWordsTrimSql AS ws FROM documents),
+       |g AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+       |  FROM w, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS t(i)),
+       |oldg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 10 <> 0),
+       |bg AS (SELECT DISTINCT source, ngram FROM g WHERE doc_id % 10 = 0),
+       |newg AS (SELECT bg.source, bg.ngram FROM bg
+       |  WHERE NOT EXISTS (SELECT 1 FROM oldg WHERE oldg.ngram = bg.ngram)),
+       |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch_grams FROM bg GROUP BY 1),
+       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_grams FROM newg GROUP BY 1)
+       |SELECT a.source, a.n_batch_grams,
+       |  COALESCE(n.n_new_grams, 0) AS n_new_grams,
+       |  round(CAST(COALESCE(n.n_new_grams, 0) AS DOUBLE) / a.n_batch_grams, 6) + 0.0
+       |    AS novelty_rate
+       |FROM a LEFT JOIN n ON n.source = a.source""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val g = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", "ngrams_3(text)")
+      .select(col("doc_id"), col("source"), col("ngram"))
+    val oldg = g.filter(col("doc_id") % 10 =!= 0).select(col("ngram")).distinct()
+    val bg = g.filter(col("doc_id") % 10 === 0)
+      .select(col("source"), col("ngram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newg = bg.join(oldg, Seq("ngram"), "left_anti")
+    val a = bg.groupBy(col("source")).agg(count(lit(1)).as("n_batch_grams"))
+    val n = newg.groupBy(col("source")).agg(count(lit(1)).as("n_new_grams"))
+    a.join(n, Seq("source"), "left")
+      .select(col("source"), col("n_batch_grams"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
+        expr("round(CAST(coalesce(n_new_grams, 0L) AS DOUBLE) / n_batch_grams, 6) + 0.0D")
+          .as("novelty_rate"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
-    qualityCalibration, boilerplate, noveltyCurve, pmiCollocations)
+    qualityCalibration, boilerplate, noveltyCurve, pmiCollocations, noveltyIncr)
 }
