@@ -517,7 +517,10 @@ object PlanAudit {
       // incremental novelty (r11): gram-keyed LEFT ANTI set difference,
       // distinct hash-aggs — never a cartesian, nothing re-scans the
       // corpus after the Generate passes
-      "q_text_novelty_incr" -> Seq("Generate", "LeftAnti", "HashAggregate", "!CartesianProduct", "!NestedLoop"))
+      "q_text_novelty_incr" -> Seq("Generate", "LeftAnti", "HashAggregate", "!CartesianProduct", "!NestedLoop"),
+      // index deletion (r11): serves from the persisted store tables
+      // through a vec_id-keyed tombstone anti-join — never a cartesian
+      "q_sim_index_delete" -> Seq("pqa_del", "pqc_del", "LeftAnti", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

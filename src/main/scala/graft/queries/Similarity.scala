@@ -1673,8 +1673,67 @@ object Similarity {
     }
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN INDEX DELETION (r11, the governance
+    * companion of [[simIndexAppend]]'s nightly append): delete a
+    * vector set from the MATERIALIZED index in O(delete) — persist a
+    * tombstone table (vec_id % 37 = 0, ~2.7% of the corpus) and
+    * anti-join it out of the stored assign/codes tables at serve
+    * time; nothing re-encodes, nothing re-trains. The production
+    * honesty this lane documents: tombstoning removes the vectors
+    * from SERVING, but their influence on the (frozen) quantizer
+    * persists until the next re-train — which is exactly how real
+    * vector stores implement deletes, with quantizer staleness
+    * monitored by the [[simIvfTrained]] distortion columns.
+    *
+    * Correctness: PQ codes are per-vector independent given frozen
+    * codebooks, so tombstone-filter-at-serve ≡ full index REBUILD on
+    * the survivors with the same codebooks — the oracle recomputes
+    * the rebuild side (ranks survivors only) and hash equality is
+    * the tombstone-equals-rebuild proof (the [[simIndexAppend]]
+    * argument, run for deletion). Deleted query-side rows still
+    * query (queries are external to the store); vec_id 0 is itself
+    * tombstoned, so its own top hit visibly vanishes from serving.
+    *
+    * Scale shape: the tombstone write is O(delete); the serve-time
+    * anti-join is vec_id-keyed (AQE broadcasts a small delete set;
+    * a mass delete correctly shuffles — no forced broadcast on an
+    * SF-scaling set); search cost is the unchanged audited ADC
+    * chain. */
+  val simIndexDelete: QueryDef = QueryDef(
+    "q_sim_index_delete",
+    s"""WITH ${duckAdcCtes(2)},
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tombstones
+       |  FROM embeddings WHERE vec_id % 37 = 0)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc, nt.n_tombstones
+       |FROM (SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc WHERE vec_id % 37 <> 0) t CROSS JOIN nt
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (assign, codes) = pqIndex(s, dir)
+    graft.sources.CatalogSurface.saveTable(
+      assign, "graft_pqa_del", Scratch.path("pqa_del"))
+    graft.sources.CatalogSurface.saveTable(
+      codes, "graft_pqc_del", Scratch.path("pqc_del"))
+    // the O(delete) operation: persist the tombstone set
+    graft.sources.CatalogSurface.saveTable(
+      emb.filter(col("vec_id") % 37 === 0).select(col("vec_id")),
+      "graft_tomb_del", Scratch.path("tomb_del"))
+    val tomb = s.table("graft_tomb_del")
+    val sa = s.table("graft_pqa_del").join(tomb, Seq("vec_id"), "left_anti")
+    val sc = s.table("graft_pqc_del").join(tomb, Seq("vec_id"), "left_anti")
+    val (adc2, _) = adcCandidates(s, dir, 2, Some((sa, sc)))
+    val nt = tomb.agg(count(lit(1)).as("n_tombstones"))
+    adc2.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .crossJoin(broadcast(nt))
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"),
+        col("n_tombstones"))
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
     simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual,
-    simBinary, simMatryoshka, simShardPlan)
+    simBinary, simMatryoshka, simShardPlan, simIndexDelete)
 }
