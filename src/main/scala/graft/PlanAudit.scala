@@ -520,7 +520,11 @@ object PlanAudit {
       "q_text_novelty_incr" -> Seq("Generate", "LeftAnti", "HashAggregate", "!CartesianProduct", "!NestedLoop"),
       // index deletion (r11): serves from the persisted store tables
       // through a vec_id-keyed tombstone anti-join — never a cartesian
-      "q_sim_index_delete" -> Seq("pqa_del", "pqc_del", "LeftAnti", "HashAggregate", "!CartesianProduct"))
+      "q_sim_index_delete" -> Seq("pqa_del", "pqc_del", "LeftAnti", "HashAggregate", "!CartesianProduct"),
+      // MinHash calibration (r11): capped band buckets (LeftSemi size
+      // guard), doc-keyed verify joins, ≤9-row output — the candidate
+      // join must never go quadratic
+      "q_dedup_minhash_calib" -> Seq("LeftSemi", "InMemoryTableScan", "HashAggregate", "!CartesianProduct", "!NestedLoop"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

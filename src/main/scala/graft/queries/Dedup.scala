@@ -1584,11 +1584,97 @@ object Dedup {
     }
   }
 
+  /** MINHASH ESTIMATOR CALIBRATION (r11): how well does the 8-hash
+    * signature agreement fraction estimate true Jaccard on THIS
+    * corpus? Over the banded-LSH candidate pairs (uncapped by the
+    * 0.5 verify threshold — calibration needs the full range), bucket
+    * pairs by their integer slot-agreement count (0..8) and report
+    * the bucket's mean exact Jaccard and the mean absolute error of
+    * the n/8 estimate — the curve that justifies (or indicts) the
+    * band/row choice before anyone trusts the ladder's thresholds
+    * (E[agreement fraction] = J is the MinHash identity; the MAE
+    * column measures the 8-hash variance around it).
+    *
+    * Determinism: agreement counts are integers; eighths (n/8) are
+    * exact doubles; exact Jaccard is rounded 6 dp per pair before
+    * the DECIMAL-summed bucket means.
+    *
+    * Scale shape: rides the [[dedupLshPairs]] construction (map-side
+    * signatures, capped band buckets — candidates never go
+    * quadratic); the per-pair verify joins are doc-keyed; output is
+    * ≤9 rows. */
+  val dedupMinhashCalib: QueryDef = QueryDef(
+    "q_dedup_minhash_calib",
+    s"""WITH w AS (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |bands AS (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+       |  FROM sig, unnest(range(0, 4)) AS t(b)),
+       |sized AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN sized sz ON a.bk = sz.bk),
+       |pe AS (SELECT c.d1, c.d2,
+       |    CAST(len(list_filter(range(1, 9), i -> sa.sg[i] = sb.sg[i])) AS BIGINT) AS n_agree,
+       |    round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |      / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6) AS jacc
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.d1 JOIN sig sb ON sb.doc_id = c.d2
+       |  JOIN w wa ON wa.doc_id = c.d1 JOIN w wb ON wb.doc_id = c.d2)
+       |SELECT n_agree, round(n_agree / 8.0, 6) + 0.0 AS est_jaccard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(jacc AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_exact,
+       |  round(CAST(SUM(CAST(round(abs(n_agree / 8.0 - jacc), 6) AS DECIMAL(20,6))) AS DOUBLE)
+       |    / COUNT(*), 6) + 0.0 AS mae
+       |FROM pe GROUP BY 1""".stripMargin) { (s, dir) =>
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
+      .persist(mem)
+    val sig = w.select(col("doc_id"), expr(
+      """transform(sequence(0, 7),
+        |  s -> array_min(transform(ws,
+        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+      .persist(mem)
+    val bands = sig
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .persist(mem)
+    val sized = bands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val cand = bands.select(col("doc_id").as("d1"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .join(sized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct()
+    val pe = cand
+      .join(sig.select(col("doc_id").as("d1"), col("sg").as("sga")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sg").as("sgb")), Seq("d2"))
+      .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
+      .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
+      .select(
+        expr("CAST(size(filter(sequence(1, 8), i -> element_at(sga, i) = element_at(sgb, i))) AS BIGINT)")
+          .as("n_agree"),
+        expr("round(CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE), 6)")
+          .as("jacc"))
+    pe.groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("round(CAST(SUM(CAST(jacc AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("avg_exact"),
+        expr("round(CAST(SUM(CAST(round(abs(n_agree / 8.0D - jacc), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("mae"))
+      .select(col("n_agree"), expr("round(n_agree / 8.0D, 6) + 0.0D").as("est_jaccard"),
+        col("n_pairs"), col("avg_exact"), col("mae"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
     dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof, sourceMatrix,
-    dedupNormLadder)
+    dedupNormLadder, dedupMinhashCalib)
 }
