@@ -524,7 +524,11 @@ object PlanAudit {
       // MinHash calibration (r11): capped band buckets (LeftSemi size
       // guard), doc-keyed verify joins, ≤9-row output — the candidate
       // join must never go quadratic
-      "q_dedup_minhash_calib" -> Seq("LeftSemi", "InMemoryTableScan", "HashAggregate", "!CartesianProduct", "!NestedLoop"))
+      "q_dedup_minhash_calib" -> Seq("LeftSemi", "InMemoryTableScan", "HashAggregate", "!CartesianProduct", "!NestedLoop"),
+      // index compaction (r12): serving must read the COMPACTED
+      // generation (gen_1 store scans) with the tombstone anti-join
+      // GONE — the whole point of compacting — and never a cartesian
+      "q_sim_index_compact" -> Seq("gen_1", "HashAggregate", "!LeftAnti", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

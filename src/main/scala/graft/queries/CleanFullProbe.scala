@@ -46,15 +46,16 @@ object CleanFullProbe {
     } else {
       val st = t("DAG build (lazy)")(DatasetPipeline.stages(spark, sfDir))
       val nq = t("stage1 quality survivors")(st.docsQ.count())
-      val nc = t("stage2 pairs+cliques+loop+rank")(st.ranked.count())
-      val n1 = t("stage2 survivor expansion")(st.s1.count())
-      val nd = t("stage3 trained-cell sem drops")(st.semDrop.count())
-      val n2 = t("stage3 survivor cut")(st.s2.count())
-      val nt = t("stage4 boilerplate strip")(st.toks.count())
-      val nk = t("stage5 token-budget filter")(st.kept.count())
-      val np = t("stage6 pack window")(st.packed.count())
-      println(s"[probe] counts: quality=$nq clustered=$nc s1=$n1 semdrop=$nd " +
-        s"s2=$n2 toks=$nt kept=$nk packed=$np")
+      val ndc = t("stage2 decontamination")(st.docsD.count())
+      val nc = t("stage3 pairs+cliques+loop+rank")(st.ranked.count())
+      val n1 = t("stage3 survivor expansion")(st.s1.count())
+      val nd = t("stage4 trained-cell sem drops")(st.semDrop.count())
+      val n2 = t("stage4 survivor cut")(st.s2.count())
+      val nt = t("stage5 boilerplate strip")(st.toks.count())
+      val nk = t("stage6 token-budget filter")(st.kept.count())
+      val np = t("stage7 pack window")(st.packed.count())
+      println(s"[probe] counts: quality=$nq decontam=$ndc clustered=$nc s1=$n1 " +
+        s"semdrop=$nd s2=$n2 toks=$nt kept=$nk packed=$np")
     }
     spark.stop()
   }

@@ -12,15 +12,24 @@ import graft.functions.VectorFunctions
   *  1. TRAINED QUALITY FILTER ([[TextAnalysis.qualityScored]]): the
   *     logistic scorer trains on the RAW corpus (3 hash-agg gradient
   *     steps to a 1-row broadcast), survivors are score >= 0.5.
-  *  2. CLUSTER SURVIVORSHIP ([[Dedup.splitPipelineOn]] +
+  *  2. BENCHMARK DECONTAMINATION (r12, VERDICT r11 Next #2 — the
+  *     [[TextAnalysis.decontaminate]] rule run inside the DAG): the
+  *     held-out benchmark's distinct 8-gram hash set broadcasts (a
+  *     few MB even at 100 TB corpus scale); any survivor sharing >= 1
+  *     8-gram drops — including the benchmark docs themselves, which
+  *     self-collide, so the eval set never trains. FineWeb/Dolma run
+  *     exactly this stage; it sits before dedup because the broadcast
+  *     filter is the cheapest stage and leakage must not ride on
+  *     dedup's keep-one-survivor mercy.
+  *  3. CLUSTER SURVIVORSHIP ([[Dedup.splitPipelineOn]] +
   *     [[Dedup.contractedClusters]]): MinHash/LSH split-ladder pair
-  *     finding runs ON THE QUALITY SURVIVORS ONLY, signature-identical
-  *     cliques contract to one supernode before the component loop,
-  *     and each duplicate cluster keeps its longest member (doc_id
-  *     ties). Running dedup after the cheap filter is the production
-  *     ordering — pair-finding cost scales with what quality let
-  *     through.
-  *  3. SEMANTIC DEDUP on a TRAINED coarse quantizer (r11, VERDICT r10
+  *     finding runs ON THE DECONTAMINATED SURVIVORS ONLY,
+  *     signature-identical cliques contract to one supernode before
+  *     the component loop, and each duplicate cluster keeps its
+  *     longest member (doc_id ties). Running dedup after the cheap
+  *     filters is the production ordering — pair-finding cost scales
+  *     with what the filters let through.
+  *  4. SEMANTIC DEDUP on a TRAINED coarse quantizer (r11, VERDICT r10
   *     Next #2 — the [[simIndexStore]] upgrade applied to the
   *     flagship): survivors THAT HAVE AN EMBEDDING partition into K=8
   *     k-means cells — two decimal-exact Lloyd steps
@@ -32,15 +41,15 @@ import graft.functions.VectorFunctions
   *     through — the coverage-gap policy of a real pipeline where
   *     embedding is itself a budgeted stage (at sf0.1 only 2000 of
   *     5000 docs are embedded).
-  *  4. BOILERPLATE STRIP (r11, VERDICT r10 Next #3 — the
+  *  5. BOILERPLATE STRIP (r11, VERDICT r10 Next #3 — the
   *     [[TextAnalysis.boilerplate]] phrase table applied as a
   *     token-level filter): a bigram recurring across >= max(3,
   *     ceil(ndocs/10)) of a SOURCE's surviving documents is template
   *     text; every token position covered by such a bigram (both
   *     positions of each occurrence) is struck, shrinking the doc's
   *     packable token count. The phrase table is derived from the
-  *     stage-3 survivors themselves — a real crawl's per-source pass.
-  *  5. TOKEN-BUDGET THRESHOLD (the [[Curation.sampleTokenBudget]]
+  *     stage-4 survivors themselves — a real crawl's per-source pass.
+  *  6. TOKEN-BUDGET THRESHOLD (the [[Curation.sampleTokenBudget]]
   *     bucket cutoff as a map-side broadcast filter): per source,
   *     integer TTR buckets `(distinct·1024) DIV total` are cum-summed
   *     descending over the ≤1025-row bucket histogram of STRIPPED
@@ -48,7 +57,7 @@ import graft.functions.VectorFunctions
   *     tokens, the first crossing bucket is kept whole, and the doc
   *     filter is `bucket >= threshold` — the corpus is never sorted
   *     or windowed for the cut.
-  *  6. SEQUENCE PACKING ([[Curation.packSequences]] shape): the final
+  *  7. SEQUENCE PACKING ([[Curation.packSequences]] shape): the final
   *     survivor set streams per-source into 512-token training
   *     sequences (STRIPPED counts) via one per-shard prefix-sum
   *     window.
@@ -57,19 +66,21 @@ import graft.functions.VectorFunctions
   * score, duplicate-cluster id (-1 if never clustered; a clustered
   * survivor is its cluster's keeper by construction), raw and
   * stripped token counts, and packed seq_no. The DuckDB oracle
-  * replays the identical SIX stages (recursive walk for the
+  * replays the identical SEVEN stages (recursive walk for the
   * components, unrolled Lloyd CTEs for the trained centroids), so
   * the gate verifies the WHOLE DAG end to end, not stage-by-stage.
   *
   * Scale shape: stage 1 is corpus scans + 1-row broadcasts; stage 2
-  * is the audited split-ladder (capped equi-joins) + the contracted
-  * one-job-per-round component loop; stage 3 trains against 8-row
-  * broadcast coarse tables (each Lloyd step is one fan-out + one
-  * hash-agg) and confines its quadratic pass inside centroid cells
-  * over an already-shrunk survivor set; stage 4 is one bigram
-  * Generate pass with vocabulary-sized downstream joins; stage 5 is
-  * a bucket-histogram hash-agg + a broadcast threshold filter; stage
-  * 6 is one per-shard window. Stage boundaries are EAGER LINEAGE
+  * is one gram explode against a broadcast benchmark set (the corpus
+  * text never shuffles); stage 3 is the audited split-ladder (capped
+  * equi-joins) + the contracted one-job-per-round component loop;
+  * stage 4 trains against 8-row broadcast coarse tables (each Lloyd
+  * step is one fan-out + one hash-agg) and confines its quadratic
+  * pass inside centroid cells over an already-shrunk survivor set;
+  * stage 5 is one bigram Generate pass with vocabulary-sized
+  * downstream joins; stage 6 is a bucket-histogram hash-agg + a
+  * broadcast threshold filter; stage 7 is one per-shard window.
+  * Stage boundaries are EAGER LINEAGE
   * CUTS (`localCheckpoint`) — at 100 TB these are the materialized
   * inter-stage tables. A cached-but-uncut boundary is not enough: a
   * cached DF still carries its full analyzed plan, and every
@@ -96,13 +107,14 @@ object DatasetPipeline {
     * [[graft.DatasetPipelineSpec]] run the identical DAG. */
   private[queries] case class Stages(
       docsQ: org.apache.spark.sql.DataFrame,   // stage-1 survivors + score
-      ranked: org.apache.spark.sql.DataFrame,  // stage-2 cluster ranking
-      s1: org.apache.spark.sql.DataFrame,      // stage-2 survivors
-      semDrop: org.apache.spark.sql.DataFrame, // stage-3 drops
-      s2: org.apache.spark.sql.DataFrame,      // stage-3 survivors
-      toks: org.apache.spark.sql.DataFrame,    // stage-4 stripped counts
-      kept: org.apache.spark.sql.DataFrame,    // stage-5 budget survivors
-      packed: org.apache.spark.sql.DataFrame)  // stage-6 output
+      docsD: org.apache.spark.sql.DataFrame,   // stage-2 decontaminated survivors
+      ranked: org.apache.spark.sql.DataFrame,  // stage-3 cluster ranking
+      s1: org.apache.spark.sql.DataFrame,      // stage-3 survivors
+      semDrop: org.apache.spark.sql.DataFrame, // stage-4 drops
+      s2: org.apache.spark.sql.DataFrame,      // stage-4 survivors
+      toks: org.apache.spark.sql.DataFrame,    // stage-5 stripped counts
+      kept: org.apache.spark.sql.DataFrame,    // stage-6 budget survivors
+      packed: org.apache.spark.sql.DataFrame)  // stage-7 output
 
   private[queries] def stages(s: org.apache.spark.sql.SparkSession, dir: String)
       : Stages = {
@@ -114,9 +126,30 @@ object DatasetPipeline {
         .filter(col("score") >= 0.5).select(col("doc_id"), col("score")),
         Seq("doc_id"))
       .localCheckpoint(true)
-    // stage 2 — split-ladder pairs + signature cliques + contracted
-    // components + longest-doc survivorship, all on quality survivors
-    val (w, sig, verified) = Dedup.splitPipelineOn(docsQ)
+    // stage 2 — benchmark DECONTAMINATION (r12, the q_text_decontaminate
+    // rule run inside the DAG): the held-out benchmark (doc_id < 20
+    // stands in) hashes to a tiny DISTINCT 8-gram set that BROADCASTS;
+    // any quality survivor sharing >= 1 8-gram with it drops — this
+    // includes the benchmark docs themselves (they self-collide), so
+    // the eval set never reaches training. Placed before dedup: the
+    // cheap broadcast filter shrinks what the expensive pair-finding
+    // sees, and eval leakage must never survive on dedup's keep-one
+    // mercy.
+    val gramsOf = """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+                    |  i -> md5(array_join(slice(ws, i, 8), ' ')))
+                    |ELSE array() END""".stripMargin
+    val benchG = Tables.documents(s, dir).filter(col("doc_id") < 20)
+      .withColumn("ws", expr(Tokenize.sparkTrim))
+      .select(explode(expr(gramsOf)).as("bh")).distinct()
+    val contam = docsQ.withColumn("ws", expr(Tokenize.sparkTrim))
+      .select(col("doc_id"), explode(expr(gramsOf)).as("gh"))
+      .join(broadcast(benchG), col("gh") === col("bh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val docsD = docsQ.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // stage 3 — split-ladder pairs + signature cliques + contracted
+    // components + longest-doc survivorship, on decontaminated survivors
+    val (w, sig, verified) = Dedup.splitPipelineOn(docsD)
     val grp = sig.groupBy(col("sg")).agg(min(col("doc_id")).as("rep"))
     val m = sig.join(grp, Seq("sg")).select(col("doc_id"), col("rep")).persist(lvl)
     val ranked = Dedup.contractedClusters(m, verified)
@@ -125,10 +158,10 @@ object DatasetPipeline {
         Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
       .select(col("doc_id"), col("cluster_id"), col("rn"))
       .localCheckpoint(true)
-    val s1 = docsQ
+    val s1 = docsD
       .join(ranked.filter(col("rn") > 1).select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // stage 3 — SemDeDup cells over the embedded subset of survivors,
+    // stage 4 — SemDeDup cells over the embedded subset of survivors,
     // cells from a TRAINED K=8 coarse quantizer (two decimal-exact
     // Lloyd steps from the lowest-8-id survivor seed). The 8-row
     // trained tables are LINEAGE CUTS, not persists: a cached coarse
@@ -156,7 +189,7 @@ object DatasetPipeline {
       .select(col("vec_id").as("doc_id")).distinct()
     val s2 = s1.join(semDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // stage 4 — per-source boilerplate bigram table over the survivors,
+    // stage 5 — per-source boilerplate bigram table over the survivors,
     // applied as a token-level strike: positions {i, i+1} of every
     // boilerplate bigram occurrence are struck from the packable count
     val wt = s2.select(col("doc_id"), col("lang"), col("source"),
@@ -187,7 +220,7 @@ object DatasetPipeline {
         expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1024) DIV CAST(size(ws) AS BIGINT)")
           .as("bucket"))
       .localCheckpoint(true)
-    // stage 5 — per-source token budget over the STRIPPED counts:
+    // stage 6 — per-source token budget over the STRIPPED counts:
     // bucket-histogram cum-sum (≤1025 rows per source), threshold
     // applied as a broadcast map-side filter
     val bkt = toks.groupBy(col("source"), col("bucket"))
@@ -202,7 +235,7 @@ object DatasetPipeline {
       .groupBy(col("source")).agg(min(col("bucket")).as("thr_bucket"))
     val kept = toks.join(broadcast(thr), Seq("source"))
       .filter(col("bucket") >= col("thr_bucket"))
-    // stage 6 — per-source 512-token-budget sequence packing over the
+    // stage 7 — per-source 512-token-budget sequence packing over the
     // stripped counts
     val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -216,7 +249,7 @@ object DatasetPipeline {
         col("n_tok_raw"), col("n_tok"), col("seq_no"),
         (col("score") + lit(0.0)).as("score"),
         coalesce(col("cluster_id"), lit(-1L)).cast("long").as("cluster_id"))
-    Stages(docsQ, ranked, s1, semDrop, s2, toks, kept, packed)
+    Stages(docsQ, docsD, ranked, s1, semDrop, s2, toks, kept, packed)
   }
 
   val datasetCleanFull: QueryDef = QueryDef(
@@ -224,7 +257,17 @@ object DatasetPipeline {
     s"""WITH RECURSIVE ${TextAnalysis.duckQualityCtes},
        |qk AS MATERIALIZED (SELECT doc_id, score FROM scored WHERE score >= 0.5),
        |docs_q AS MATERIALIZED (SELECT d.* FROM documents d JOIN qk USING (doc_id)),
-       |${Dedup.duckVerifiedPairsCtesOn("docs_q", "MATERIALIZED ")},
+       |bgm AS (SELECT DISTINCT md5(array_to_string(ws[i : i+7], ' ')) AS bh
+       |  FROM (SELECT ${Tokenize.duckTrim} AS ws FROM documents WHERE doc_id < 20) b,
+       |    unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)),
+       |contam AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT q.doc_id, md5(array_to_string(ws[i : i+7], ' ')) AS gh
+       |    FROM (SELECT doc_id, ${Tokenize.duckTrim} AS ws FROM docs_q) q,
+       |      unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)) g
+       |  JOIN bgm ON bgm.bh = g.gh),
+       |docs_d AS MATERIALIZED (SELECT dq.* FROM docs_q dq
+       |  LEFT JOIN contam c ON c.doc_id = dq.doc_id WHERE c.doc_id IS NULL),
+       |${Dedup.duckVerifiedPairsCtesOn("docs_d", "MATERIALIZED ")},
        |${Dedup.duckSplitPairsCtes},
        |sgrp AS (SELECT sg, min(doc_id) AS rep FROM sig GROUP BY sg),
        |stars AS (SELECT g.rep AS d1, s.doc_id AS d2
@@ -240,7 +283,7 @@ object DatasetPipeline {
        |  row_number() OVER (PARTITION BY cluster_id
        |    ORDER BY len(w.ws) DESC, comp.doc_id) AS rn
        |  FROM comp JOIN w ON w.doc_id = comp.doc_id),
-       |s1 AS MATERIALIZED (SELECT dq.* FROM docs_q dq
+       |s1 AS MATERIALIZED (SELECT dq.* FROM docs_d dq
        |  LEFT JOIN (SELECT doc_id FROM ranked WHERE rn > 1) dd ON dd.doc_id = dq.doc_id
        |  WHERE dd.doc_id IS NULL),
        |e1 AS MATERIALIZED (SELECT e.vec_id, e.embedding

@@ -1511,8 +1511,15 @@ object Similarity {
             Window.partitionBy(col("q_id")).orderBy(col(ord), col("vec_id"))))
           .filter(col("rn") <= n).select(col("q_id"), col("vec_id"))
           .localCheckpoint(true) // constant-size leg over shared emb/q lineage
-      val btop = topN(hd, "d", 5)
-      val cand = topN(hd, "d", 32)
+      // ONE ranked Hamming pass (rn kept): btop is the rn<=5 slice of the
+      // checkpointed top-32 — the corpus pack + Hamming scan runs once,
+      // not once per selection (ADVICE r11)
+      val hd32 = hd.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))))
+        .filter(col("rn") <= 32).select(col("q_id"), col("vec_id"), col("rn"))
+        .localCheckpoint(true)
+      val btop = hd32.filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+      val cand = hd32.select(col("q_id"), col("vec_id"))
       // 96-row candidate set broadcasts INTO the corpus (an ExistingRDD
       // leaf has no stats — leaving this to AQE risks a sort-merge join
       // shuffling the whole corpus for 96 lookups)
@@ -1732,8 +1739,86 @@ object Similarity {
         col("n_tombstones"))
   }
 
+  /** INDEX COMPACTION (r12, VERDICT r11 Next #1 — the lifecycle stage
+    * after [[simIndexDelete]]'s tombstones): tombstones make deletes
+    * O(delete) but accumulate forever, and every serve pays the
+    * anti-join; compaction REWRITES the stored assign/codes tables
+    * dropping tombstoned rows into a NEW GENERATION with the
+    * crash-atomic stage-then-swap of [[graft.pipeline.UpsertState]]
+    * (write the survivors to `stage_1`, fully materialize, then
+    * `Files.move` → `gen_1` — never a read-modify-write of a parquet
+    * dir onto itself, the CLAUDE.md trap), after which serving reads
+    * the compacted generation with NO tombstone filter at all.
+    *
+    * Reported beside the serve results: reclaimed_assign_rows /
+    * reclaimed_code_rows, measured as gen_0-count minus gen_1-count
+    * FROM THE ACTUAL STORE FILES (the q_snapshot_gc reporting shape) —
+    * the oracle independently predicts them as |tombstones| and
+    * 8·|tombstones|.
+    *
+    * Correctness: frozen codebooks make tombstone-filter-at-serve ≡
+    * survivor REBUILD (the [[simIndexDelete]] proof); compaction is
+    * that same filter materialized, so the oracle ranks survivors only
+    * and hash equality proves compacted-serve ≡ tombstone-serve ≡
+    * rebuild (IndexCompactSpec additionally pins pre/post serve
+    * equality in-process).
+    *
+    * Scale shape: the rewrite is one keyed anti-join scan per stored
+    * table — O(index), the price of reclaiming the space, run at the
+    * operator's cadence, not per query; the swap is two renames;
+    * serving afterwards is the unchanged audited ADC chain with the
+    * anti-join GONE (PlanAudit asserts `!LeftAnti` on this lane). */
+  val simIndexCompact: QueryDef = QueryDef(
+    "q_sim_index_compact",
+    s"""WITH ${duckAdcCtes(2)},
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tomb
+       |  FROM embeddings WHERE vec_id % 37 = 0)
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc,
+       |  nt.n_tomb AS reclaimed_assign_rows,
+       |  nt.n_tomb * 8 AS reclaimed_code_rows
+       |FROM (SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc WHERE vec_id % 37 <> 0) t CROSS JOIN nt
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val root = Scratch.fresh("idx_compact")
+    val (assign, codes) = pqIndex(s, dir)
+    // gen_0: the live index + the accumulated tombstone log
+    assign.write.mode("overwrite").parquet(s"$root/assign/gen_0")
+    codes.write.mode("overwrite").parquet(s"$root/codes/gen_0")
+    emb.filter(col("vec_id") % 37 === 0).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$root/tomb")
+    val tomb = s.read.parquet(s"$root/tomb")
+    // compact: survivors → stage (fully materialized), then swap
+    Seq("assign", "codes").foreach { t =>
+      s.read.parquet(s"$root/$t/gen_0").join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/$t/stage_1")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/$t/stage_1"),
+        java.nio.file.Paths.get(s"$root/$t/gen_1"))
+    }
+    def cnt(p: String, as: String) =
+      s.read.parquet(p).agg(count(lit(1)).as(as))
+    val reclaimed = cnt(s"$root/assign/gen_0", "a0")
+      .crossJoin(cnt(s"$root/assign/gen_1", "a1"))
+      .crossJoin(cnt(s"$root/codes/gen_0", "c0"))
+      .crossJoin(cnt(s"$root/codes/gen_1", "c1"))
+      .select((col("a0") - col("a1")).as("reclaimed_assign_rows"),
+        (col("c0") - col("c1")).as("reclaimed_code_rows"))
+    // serve from the compacted generation — no tombstone filter anywhere
+    val (adc2, _) = adcCandidates(s, dir, 2,
+      Some((s.read.parquet(s"$root/assign/gen_1"),
+        s.read.parquet(s"$root/codes/gen_1"))))
+    adc2.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .crossJoin(broadcast(reclaimed))
+      .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"),
+        col("reclaimed_assign_rows"), col("reclaimed_code_rows"))
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
     simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual,
-    simBinary, simMatryoshka, simShardPlan, simIndexDelete)
+    simBinary, simMatryoshka, simShardPlan, simIndexDelete, simIndexCompact)
 }

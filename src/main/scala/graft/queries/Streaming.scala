@@ -1110,7 +1110,8 @@ object Streaming {
   val streamDrift: QueryDef = QueryDef(
     "q_stream_drift",
     """WITH base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_base FROM events GROUP BY 1),
-      |tb AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tot_base FROM base),
+      |tb AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tot_base,
+      |    CAST(0.5 * COUNT(*) AS DOUBLE) AS sm FROM base),
       |bc AS (SELECT CAST(event_id % 4 AS BIGINT) AS batch_id, event_type,
       |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
       |tots AS (SELECT batch_id, CAST(SUM(n) AS DOUBLE) AS tot FROM bc GROUP BY 1),
@@ -1118,8 +1119,8 @@ object Streaming {
       |  FROM base b CROSS JOIN (SELECT DISTINCT batch_id FROM bc) t
       |  LEFT JOIN bc ON bc.batch_id = t.batch_id AND bc.event_type = b.event_type),
       |terms AS (SELECT g.batch_id,
-      |    round(((g.n + 0.5) / (t.tot + 5) - (g.n_base + 0.5) / (tb.tot_base + 5))
-      |      * round(ln(((g.n + 0.5) / (t.tot + 5)) / ((g.n_base + 0.5) / (tb.tot_base + 5))), 6), 6) AS psi_term,
+      |    round(((g.n + 0.5) / (t.tot + tb.sm) - (g.n_base + 0.5) / (tb.tot_base + tb.sm))
+      |      * round(ln(((g.n + 0.5) / (t.tot + tb.sm)) / ((g.n_base + 0.5) / (tb.tot_base + tb.sm))), 6), 6) AS psi_term,
       |    g.n
       |  FROM grid g JOIN tots t ON t.batch_id = g.batch_id CROSS JOIN tb)
       |SELECT batch_id, CAST(SUM(n) AS BIGINT) AS n_rows,
@@ -1157,7 +1158,11 @@ object Streaming {
       val bc = s.read.parquet(s"$stateRoot/gen_*")
         .select(col("batch_id"), col("event_type"), col("n"))
       val base = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_base"))
-      val tb = base.agg(expr("CAST(SUM(n_base) AS DOUBLE)").as("tot_base"))
+      // Laplace smoothing scaled to the CATEGORY COUNT (0.5 per type,
+      // ADVICE r11): the 10-bin drift recipe's fixed +5 assumed 10
+      // buckets; the event-type distribution has |types| of them
+      val tb = base.agg(expr("CAST(SUM(n_base) AS DOUBLE)").as("tot_base"),
+        expr("CAST(0.5 * COUNT(*) AS DOUBLE)").as("sm"))
       val tots = bc.groupBy(col("batch_id")).agg(expr("CAST(SUM(n) AS DOUBLE)").as("tot"))
       val grid = base.crossJoin(broadcast(bc.select(col("batch_id")).distinct()))
         .join(bc, Seq("batch_id", "event_type"), "left")
@@ -1165,8 +1170,8 @@ object Streaming {
           coalesce(col("n"), lit(0L)).as("n"))
       grid.join(broadcast(tots), Seq("batch_id")).crossJoin(broadcast(tb))
         .select(col("batch_id"), col("n"), expr(
-          """round(((n + 0.5) / (tot + 5) - (n_base + 0.5) / (tot_base + 5))
-            |  * round(ln(((n + 0.5) / (tot + 5)) / ((n_base + 0.5) / (tot_base + 5))), 6), 6)""".stripMargin).as("psi_term"))
+          """round(((n + 0.5) / (tot + sm) - (n_base + 0.5) / (tot_base + sm))
+            |  * round(ln(((n + 0.5) / (tot + sm)) / ((n_base + 0.5) / (tot_base + sm))), 6), 6)""".stripMargin).as("psi_term"))
         .groupBy(col("batch_id"))
         .agg(sum(col("n")).as("n_rows"),
           expr("round(CAST(SUM(CAST(psi_term AS DECIMAL(20,6))) AS DOUBLE), 6) + 0.0D").as("psi"),

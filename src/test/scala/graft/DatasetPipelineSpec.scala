@@ -39,6 +39,25 @@ class DatasetPipelineSpec extends graft.SparkSpec {
 
   test("stage contracts: coverage-gap cut, token-only strip, bucket-threshold keep") {
     val st = DatasetPipeline.stages(spark, sf())
+    // stage 2: decontamination only shrinks, and NO survivor shares an
+    // 8-gram with the held-out set (recomputed independently here)
+    import org.apache.spark.sql.functions._
+    val nq = st.docsQ.count()
+    val ndk = st.docsD.count()
+    assert(ndk < nq,
+      s"decontamination must drop at least the benchmark docs themselves ($ndk vs $nq)")
+    val gramsOf = """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+                    |  i -> md5(array_join(slice(ws, i, 8), ' ')))
+                    |ELSE array() END""".stripMargin
+    val bench = graft.Tables.documents(spark, sf()).filter(col("doc_id") < 20)
+      .withColumn("ws", expr(graft.queries.Tokenize.sparkTrim))
+      .select(explode(expr(gramsOf)).as("gh")).distinct()
+    val leaked = st.docsD
+      .withColumn("ws", expr(graft.queries.Tokenize.sparkTrim))
+      .select(explode(expr(gramsOf)).as("gh"))
+      .join(bench, Seq("gh"), "left_semi")
+    assert(leaked.isEmpty,
+      "no decontaminated survivor may share an 8-gram with the benchmark")
     val n1 = st.s1.count()
     val nd = st.semDrop.count()
     val n2 = st.s2.count()
