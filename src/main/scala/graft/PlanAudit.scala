@@ -528,7 +528,13 @@ object PlanAudit {
       // index compaction (r12): serving must read the COMPACTED
       // generation (gen_1 store scans) with the tombstone anti-join
       // GONE — the whole point of compacting — and never a cartesian
-      "q_sim_index_compact" -> Seq("gen_1", "HashAggregate", "!LeftAnti", "!CartesianProduct"))
+      "q_sim_index_compact" -> Seq("gen_1", "HashAggregate", "!LeftAnti", "!CartesianProduct"),
+      // DSIR importance resampling (r12): one Generate pass (persisted
+      // — raw/target counts and doc weights share it), the ≤64-row
+      // log-ratio table broadcasts back into the feature stream, the
+      // window runs over the bounded weight-bucket histogram — the
+      // corpus is never sorted and nothing goes quadratic
+      "q_sample_dsir" -> Seq("Generate", "InMemoryTableScan", "BroadcastHashJoin", "Window", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

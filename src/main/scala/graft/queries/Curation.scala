@@ -998,9 +998,124 @@ object Curation {
         col("tb").cast("long").as("n_new"), col("psi"), col("drifted"))
   }
 
+  /** DSIR-STYLE IMPORTANCE RESAMPLING (r12, VERDICT r11 Next #3 — Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): the published data-selection method between the
+    * heuristic filters and the trained quality scorer. Raw docs are
+    * scored by how much their HASHED BIGRAM distribution looks like a
+    * TARGET domain's (here source `src0` stands in for the target):
+    *
+    *  1. Features: one [[graft.functions.NGramGenerator]] bigram pass,
+    *     each ngram hashed onto a 64-bucket ring (first 4 md5 hex
+    *     chars — the [[Profiling.tableChecksum]] cross-engine recipe).
+    *  2. Per-bucket Laplace-smoothed probabilities for target vs raw;
+    *     the per-bucket importance log-ratio ln(p_t/p_r) is the ONE
+    *     libm call, 6-dp-rounded per policy, then scaled to an exact
+    *     INTEGER micro-nat value — so every per-doc sum is pure BIGINT
+    *     arithmetic (order-free, no DECIMAL needed).
+    *  3. Per-doc importance weight = Σ over its bigram occurrences of
+    *     the bucket log-ratio (the DSIR bag-of-hashed-ngrams weight).
+    *  4. Selection to a token budget (30% of corpus tokens) via the
+    *     [[sampleTokenBudget]] integer-bucket machinery: docs land in
+    *     0.1-nat weight buckets (shifted to stay positive — DuckDB and
+    *     Spark disagree on negative integer division), the cum-sum
+    *     runs over the BOUNDED bucket histogram descending, and the
+    *     corpus-side keep decision is a broadcast threshold filter —
+    *     the corpus is never sorted or windowed.
+    *
+    * Output: the selected docs with their weights (+ is_target — the
+    * target rows score high and surface first, the sanity signal DSIR
+    * papers plot).
+    *
+    * Scale shape: one Generate pass (persisted — raw counts, target
+    * counts and doc weights share it), ≤64-row log-ratio table
+    * broadcast back into the feature stream, per-doc weights via one
+    * BIGINT hash-agg, histogram window over the bounded weight-bucket
+    * table, threshold broadcast. No sort, no quadratic join, one ln
+    * per bucket. */
+  val sampleDsir: QueryDef = {
+    val B = 64
+    val duckB = s"CAST('0x' || substr(md5(ngram), 1, 4) AS BIGINT) % $B"
+    val sparkB = s"CAST(conv(substr(md5(ngram), 1, 4), 16, 10) AS BIGINT) % $B"
+    QueryDef(
+      "q_sample_dsir",
+      s"""WITH w AS (SELECT doc_id, source, ${Tokenize.duckTrim} AS ws FROM documents),
+         |f AS (SELECT doc_id, source, $duckB AS b
+         |  FROM (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS ngram
+         |        FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)) g),
+         |nr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM f GROUP BY 1),
+         |nt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM f WHERE source = 'src0' GROUP BY 1),
+         |tr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS rtot FROM nr),
+         |tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS ttot FROM nt),
+         |lr AS (SELECT nr.b,
+         |    CAST(round(round(ln(((COALESCE(nt.ct, 0) + 0.5) * (rtot + ${B / 2}.0))
+         |      / ((nr.cr + 0.5) * (ttot + ${B / 2}.0))), 6) * 1000000.0, 0) AS BIGINT) AS li
+         |  FROM nr LEFT JOIN nt ON nt.b = nr.b CROSS JOIN tr CROSS JOIN tt),
+         |dw AS (SELECT f.doc_id, CAST(SUM(lr.li) AS BIGINT) AS wmicro
+         |  FROM f JOIN lr ON lr.b = f.b GROUP BY 1),
+         |d AS (SELECT w.doc_id, w.source, CAST(len(ws) AS BIGINT) AS n_tok,
+         |    COALESCE(dw.wmicro, 0) AS wmicro,
+         |    (COALESCE(dw.wmicro, 0) + 10000000000) // 100000 AS wb
+         |  FROM w LEFT JOIN dw ON dw.doc_id = w.doc_id),
+         |bk AS (SELECT wb, CAST(SUM(n_tok) AS BIGINT) AS btok FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(btok) AS BIGINT) AS ttok FROM bk),
+         |ck AS (SELECT wb, btok, (tot.ttok * 3) // 10 AS budget,
+         |    CAST(SUM(btok) OVER (ORDER BY wb DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM bk CROSS JOIN tot),
+         |thr AS (SELECT MIN(wb) AS thr_wb FROM ck WHERE cum - btok < budget)
+         |SELECT d.doc_id, d.source, d.n_tok,
+         |  round(CAST(d.wmicro AS DOUBLE) / 1000000.0, 6) + 0.0 AS weight,
+         |  d.source = 'src0' AS is_target
+         |FROM d CROSS JOIN thr WHERE d.wb >= thr.thr_wb""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(s, dir)
+      val f = docs.selectExpr("doc_id", "source", "ngrams_2(text)")
+        .select(col("doc_id"), col("source"), expr(sparkB).as("b"))
+        .persist(mem) // three consumers: raw counts, target counts, doc weights
+      val nr = f.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val nt = f.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tr = nr.agg(expr("CAST(SUM(cr) AS DOUBLE)").as("rtot"))
+      val tt = nt.agg(expr("CAST(SUM(ct) AS DOUBLE)").as("ttot"))
+      val lr = nr.join(nt, Seq("b"), "left")
+        .crossJoin(broadcast(tr)).crossJoin(broadcast(tt))
+        .select(col("b"), expr(
+          s"""CAST(round(round(ln(((COALESCE(ct, 0L) + 0.5) * (rtot + ${B / 2}.0D))
+             |  / ((cr + 0.5) * (ttot + ${B / 2}.0D))), 6) * 1000000.0D, 0) AS BIGINT)""".stripMargin)
+          .as("li"))
+      val dw = f.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("li")).as("wmicro"))
+      val d = docs.select(col("doc_id"), col("source"),
+          expr(s"CAST(size(${Tokenize.sparkTrim}) AS BIGINT)").as("n_tok"))
+        .join(dw, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          coalesce(col("wmicro"), lit(0L)).as("wmicro"))
+        .withColumn("wb", expr("(wmicro + 10000000000L) DIV 100000L"))
+        .persist(mem) // two consumers: bucket histogram + final keep filter
+      val bk = d.groupBy(col("wb")).agg(sum(col("n_tok")).as("btok"))
+      val tot = bk.agg(sum(col("btok")).as("ttok"))
+      // global window over the BOUNDED weight-bucket histogram (0.1-nat
+      // buckets of a few-nat weight range — tens of rows), never docs
+      val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("wb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val thr = bk.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(ttok * 3) DIV 10"))
+        .withColumn("cum", sum(col("btok")).over(wnd))
+        .filter(col("cum") - col("btok") < col("budget"))
+        .agg(min(col("wb")).as("thr_wb"))
+      d.crossJoin(broadcast(thr)).filter(col("wb") >= col("thr_wb"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr("round(CAST(wmicro AS DOUBLE) / 1000000.0D, 6) + 0.0D").as("weight"),
+          (col("source") === "src0").as("is_target"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
-    embedFisher, embedDrift, corpusDrift)
+    embedFisher, embedDrift, corpusDrift, sampleDsir)
 }
