@@ -367,7 +367,7 @@ object Similarity {
     """cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))""".stripMargin
 
-  private def duckAdcCtes(nprobe: Int = 2, coDef: String = duckSeedCo,
+  private[queries] def duckAdcCtes(nprobe: Int = 2, coDef: String = duckSeedCo,
       cbDef: String = duckSeedCb): String =
     s"""$cbDef,
        |$coDef,
@@ -418,7 +418,7 @@ object Similarity {
     * inverted-index half of the PQ index, over an arbitrary vector
     * subset (the append lane encodes old and new batches separately
     * against the same frozen coarse table). */
-  private def pqAssignFor(emb: org.apache.spark.sql.DataFrame,
+  private[queries] def pqAssignFor(emb: org.apache.spark.sql.DataFrame,
       co: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     coarseAssign(emb, co).select(col("vec_id"), col("list"))
 
@@ -435,7 +435,7 @@ object Similarity {
       .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
       .select(col("vec_id"), col("j"), col("b.c").as("cj"))
 
-  private def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
       nprobe: Int = 2,
       index: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None,
       coarse: Option[org.apache.spark.sql.DataFrame] = None,

@@ -1179,10 +1179,121 @@ object Streaming {
     }
   }
 
+  /** Stage one stream micro-batch of NEW vectors into the ANN index
+    * store: encode against the FROZEN codebooks (coarse `co`, PQ `cb`)
+    * and land assign/codes rows under per-generation dirs with the
+    * [[streamIvm]] `_SUCCESS` replay guard — a replayed batch id
+    * ADOPTS its completed generation (even if the replayed data were
+    * to differ, the store keeps the committed write; encode-then-crash
+    * between the two writes replays safely because each table dir
+    * guards independently). Factored out of [[streamIndexAppend]]'s
+    * `foreachBatch` so StreamIndexSpec can pin replay idempotence
+    * directly. */
+  private[queries] def stageIndexBatch(batch: DataFrame, id: Long,
+      stateRoot: String, co: DataFrame, cb: DataFrame): Unit = {
+    val genA = s"$stateRoot/assign/gen_$id"
+    val genC = s"$stateRoot/codes/gen_$id"
+    if (!new java.io.File(genA, "_SUCCESS").exists())
+      Similarity.pqAssignFor(batch, co).write.mode("overwrite").parquet(genA)
+    if (!new java.io.File(genC, "_SUCCESS").exists())
+      Similarity.pqCodesFor(batch, cb).write.mode("overwrite").parquet(genC)
+  }
+
+  /** STREAMING ANN INDEX MAINTENANCE (r12, VERDICT r11 Next #4 — the
+    * streaming twin of [[Similarity.simIndexAppend]]): the nightly
+    * append run the way production ingest actually runs it — as a
+    * stream of vector micro-batches encoded INSIDE `foreachBatch`
+    * against FROZEN codebooks and staged under generation dirs, with
+    * the ADC search serving from the merged store after drain.
+    *
+    * Mechanics: day-0 encodes the old corpus (vec_id % 10 <> 0) under
+    * `gen_init`; the new vectors stream in 4 mtime-pinned slices
+    * (maxFilesPerTrigger=1, the [[streamBatchMetrics]] convention);
+    * each micro-batch encodes against the frozen 8-row coarse table
+    * and 16-row codebook (two broadcast fan-outs, O(batch)) and lands
+    * under `gen_$id` with the `_SUCCESS` replay guard
+    * ([[stageIndexBatch]]); the serve-side read is one glob scan of
+    * all generations. Nothing old is ever rewritten, nothing
+    * re-trains, and a crashed-and-replayed batch adopts its committed
+    * generation (StreamIndexSpec pins it).
+    *
+    * Correctness: PQ encoding is per-vector independent given frozen
+    * codebooks, so stream-append-encode ≡ full-encode — the DuckDB
+    * oracle encodes the WHOLE corpus against the same old-corpus
+    * codebooks in one pass (the [[Similarity.simIndexAppend]] proof,
+    * run for the streaming path). `is_new` marks hits served from
+    * streamed generations.
+    *
+    * Scale shape: per-batch work is two broadcast fan-outs over the
+    * batch + two parquet appends; the stream never touches the old
+    * corpus; serve cost is the unchanged audited ADC chain over the
+    * store scan. Streaming lanes stay out of PlanAudit by convention;
+    * the serve plan is the audited [[Similarity.simIndexAppend]]
+    * shape. */
+  val streamIndexAppend: QueryDef = QueryDef(
+    "q_stream_index_append",
+    s"""WITH eold AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |${Similarity.duckAdcCtes(2,
+          coDef = """co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+  FROM (SELECT * FROM eold ORDER BY vec_id LIMIT 8))""",
+          cbDef = """cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+  FROM (SELECT * FROM eold ORDER BY vec_id LIMIT 16))""")}
+       |SELECT q_id, CAST(rn AS INT) AS rank, vec_id, adc, vec_id % 10 = 0 AS is_new
+       |FROM (SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM adc)
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val old = emb.filter(col("vec_id") % 10 =!= 0)
+      val newB = emb.filter(col("vec_id") % 10 === 0)
+      def headN(df: DataFrame, n: Int, idc: String, vc: String) =
+        df.orderBy(col("vec_id")).limit(n)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+            col("embedding").as(vc))
+      // FROZEN codebooks (8+16 rows, lineage-cut) — trained day-0,
+      // broadcast into every micro-batch encode
+      val co = headN(old, 8, "k", "ke").localCheckpoint(true)
+      val cb = headN(old, 16, "c", "ce").localCheckpoint(true)
+      val stateRoot = scratch("sidx_state")
+      // day-0: encode + store the old corpus
+      Similarity.pqAssignFor(old, co).write.mode("overwrite")
+        .parquet(s"$stateRoot/assign/gen_init")
+      Similarity.pqCodesFor(old, cb).write.mode("overwrite")
+        .parquet(s"$stateRoot/codes/gen_init")
+      // nightly stream: 4 mtime-pinned slices of the new vectors
+      val srcDir = writeSlices(s,
+        newB.withColumn("slice", expr("CAST((vec_id DIV 10) % 4 AS INT)")),
+        4, scratch("sidx_src"), "sidx")
+      val q = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          stageIndexBatch(batch, id, stateRoot, co, cb)
+        }
+        .option("checkpointLocation", scratch("sidx_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // serve from the merged store: one glob scan of all generations
+      val (adc2, _) = Similarity.adcCandidates(s, dir, 2,
+        Some((s.read.parquet(s"$stateRoot/assign/gen_*"),
+          s.read.parquet(s"$stateRoot/codes/gen_*"))),
+        Some(co), Some(cb))
+      adc2.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("int").as("rank"), col("vec_id"), col("adc"),
+          (col("vec_id") % 10 === 0).as("is_new"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamDedupWm, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
-    streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift)
+    streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift,
+    streamIndexAppend)
 }
