@@ -534,7 +534,13 @@ object PlanAudit {
       // log-ratio table broadcasts back into the feature stream, the
       // window runs over the bounded weight-bucket histogram — the
       // corpus is never sorted and nothing goes quadratic
-      "q_sample_dsir" -> Seq("Generate", "InMemoryTableScan", "BroadcastHashJoin", "Window", "HashAggregate", "!CartesianProduct"))
+      "q_sample_dsir" -> Seq("Generate", "InMemoryTableScan", "BroadcastHashJoin", "Window", "HashAggregate", "!CartesianProduct"),
+      // RTBF through the packed store (r12): all legs read the
+      // materialized store (forget_store scans); the per-source
+      // boundary table broadcasts; untouched sources leave via the
+      // anti-join; the ONLY window is the suffix re-pack — and nothing
+      // may fall back to a cartesian product
+      "q_dataset_forget" -> Seq("forget_store", "LeftAnti", "BroadcastHashJoin", "Window", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -670,5 +670,120 @@ object DatasetPipeline {
     stagesIncr(s, dir).out
   }
 
-  val defs: Seq[QueryDef] = Seq(datasetCleanFull, datasetCleanIncr)
+  /** Intermediates of [[datasetForget]], exposed for ForgetSpec's
+    * O(affected) and byte-identity pins. */
+  private[queries] case class ForgetStages(
+      store: org.apache.spark.sql.DataFrame,     // the packed store (gen_0)
+      tomb: org.apache.spark.sql.DataFrame,      // persisted tombstones
+      untouched: org.apache.spark.sql.DataFrame, // sources with no deletion
+      prefix: org.apache.spark.sql.DataFrame,    // affected sources, seq < first
+      suffix: org.apache.spark.sql.DataFrame,    // re-pack input (survivors)
+      repacked: org.apache.spark.sql.DataFrame,  // re-packed suffix rows
+      out: org.apache.spark.sql.DataFrame)       // the post-forget store
+
+  /** RIGHT-TO-BE-FORGOTTEN THROUGH THE PACKED TRAINING STORE (r12,
+    * VERDICT r11 Next #5 — the [[Similarity.simIndexDelete]] tombstone
+    * discipline applied to the sequence-packed dataset): delete an
+    * erasure set (doc_id % 37 = 0, the index-deletion lane's modulus)
+    * from the packed store and re-pack ONLY the affected per-source
+    * suffix.
+    *
+    * The store is the corpus-wide [[Curation.packSequences]] layout —
+    * the same per-source 512-token prefix-sum packing the DAG's stage
+    * 7 runs, materialized over the full documents table. (The DAG's
+    * own packed output is NOT used as the store here for an honest
+    * reason: at every test SF the budget-curated survivor set is so
+    * small that each source fits in ONE sequence, which would make
+    * "re-pack the affected suffix" indistinguishable from "re-pack the
+    * whole source"; the corpus-wide store has real multi-sequence
+    * structure, so the suffix boundary does actual work.)
+    *
+    * Why suffix-only is correct: packing is a per-source prefix-sum in
+    * doc_id order, so every sequence strictly BEFORE a source's first
+    * deleted doc's seq_no is unaffected by the deletion — those rows
+    * (and every row of a source with no deletion at all) are adopted
+    * from the store BYTE-IDENTICAL (ForgetSpec pins both). Only rows
+    * at or after the first affected sequence re-pack, continuing from
+    * the prefix's token offset — O(affected), never O(corpus). This is
+    * how an append-style training-data store honors erasure: rewrite
+    * the damaged shard suffix, leave everything else in place.
+    *
+    * Output: the post-forget store; `repacked` marks rows whose
+    * sequence assignment was recomputed. The oracle replays the whole
+    * construction (store, tombstones, boundary, suffix arithmetic).
+    *
+    * Scale shape: the store is a parquet scan; tombstones persist
+    * O(delete); the per-source boundary table is ≤\|sources\| rows and
+    * broadcasts; untouched/prefix legs are scan+filter with no window;
+    * the ONLY window runs over the affected suffix — re-pack cost is
+    * proportional to what the deletion touched. */
+  val datasetForget: QueryDef = QueryDef(
+    "q_dataset_forget",
+    s"""WITH packed AS MATERIALIZED (SELECT doc_id, source, n_tok,
+       |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no
+       |  FROM (SELECT doc_id, source,
+       |    CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM documents) t),
+       |tomb AS (SELECT doc_id, source, seq_no FROM packed WHERE doc_id % 37 = 0),
+       |fb AS (SELECT source, MIN(seq_no) AS first_seq FROM tomb GROUP BY 1),
+       |untouched AS (SELECT p.* FROM packed p
+       |  LEFT JOIN fb ON fb.source = p.source WHERE fb.source IS NULL),
+       |prefix AS (SELECT p.* FROM packed p
+       |  JOIN fb ON fb.source = p.source WHERE p.seq_no < fb.first_seq),
+       |base AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS base_tok
+       |  FROM prefix GROUP BY 1),
+       |suffix AS (SELECT p.* FROM packed p
+       |  JOIN fb ON fb.source = p.source
+       |  WHERE p.seq_no >= fb.first_seq AND p.doc_id % 37 <> 0),
+       |rep AS (SELECT s.doc_id, s.source, s.n_tok,
+       |    CAST(floor((COALESCE(b.base_tok, 0)
+       |      + SUM(s.n_tok) OVER (PARTITION BY s.source ORDER BY s.doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s.n_tok) / 512.0)
+       |      AS BIGINT) AS seq_no
+       |  FROM suffix s LEFT JOIN base b ON b.source = s.source)
+       |SELECT doc_id, source, n_tok, seq_no, FALSE AS repacked FROM untouched
+       |UNION ALL
+       |SELECT doc_id, source, n_tok, seq_no, FALSE FROM prefix
+       |UNION ALL
+       |SELECT doc_id, source, n_tok, seq_no, TRUE FROM rep""".stripMargin) { (s, dir) =>
+    forgetStages(s, dir).out
+  }
+
+  private[queries] def forgetStages(s: org.apache.spark.sql.SparkSession, dir: String)
+      : ForgetStages = {
+    import org.apache.spark.sql.expressions.Window
+    val root = Scratch.fresh("forget_store")
+    Curation.packSequences.fn(s, dir)
+      .write.mode("overwrite").parquet(s"$root/packed/gen_0")
+    val store = s.read.parquet(s"$root/packed/gen_0")
+    // the O(delete) operation: persist the tombstone set
+    store.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("source"), col("seq_no"))
+      .write.mode("overwrite").parquet(s"$root/tomb")
+    val tomb = s.read.parquet(s"$root/tomb")
+    // per-source first affected sequence: <= |sources| rows, broadcast
+    val fb = tomb.groupBy(col("source")).agg(min(col("seq_no")).as("first_seq"))
+    val untouched = store.join(broadcast(fb), Seq("source"), "left_anti")
+    val aff = store.join(broadcast(fb), Seq("source"))
+    val prefix = aff.filter(col("seq_no") < col("first_seq")).drop("first_seq")
+    val base = prefix.groupBy(col("source")).agg(sum(col("n_tok")).as("base_tok"))
+    val suffix = aff.filter(col("seq_no") >= col("first_seq")).drop("first_seq")
+      .join(tomb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cols = Seq("doc_id", "source", "n_tok", "seq_no").map(col)
+    val repacked = suffix.join(broadcast(base), Seq("source"), "left")
+      .withColumn("seq_no",
+        floor((coalesce(col("base_tok"), lit(0L))
+          + sum(col("n_tok")).over(wp) - col("n_tok")) / lit(512.0)).cast("long"))
+      .select(cols: _*)
+    def leg(df: org.apache.spark.sql.DataFrame, rp: Boolean) =
+      df.select(cols :+ lit(rp).as("repacked"): _*)
+    ForgetStages(store, tomb, untouched, prefix, suffix, repacked,
+      leg(untouched, rp = false)
+        .unionByName(leg(prefix, rp = false))
+        .unionByName(leg(repacked, rp = true)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(datasetCleanFull, datasetCleanIncr, datasetForget)
 }
