@@ -540,7 +540,19 @@ object PlanAudit {
       // boundary table broadcasts; untouched sources leave via the
       // anti-join; the ONLY window is the suffix re-pack — and nothing
       // may fall back to a cartesian product
-      "q_dataset_forget" -> Seq("forget_store", "LeftAnti", "BroadcastHashJoin", "Window", "!CartesianProduct"))
+      "q_dataset_forget" -> Seq("forget_store", "LeftAnti", "BroadcastHashJoin", "Window", "!CartesianProduct"),
+      // quantizer retrain ablation (r12): the simIvfTrained discipline
+      // — persisted per-variant assignments, 8-row broadcast coarse
+      // fan-outs as the only loop joins, stats as hash-aggs
+      "q_sim_index_retrain" -> Seq("InMemoryTableScan", "BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"),
+      // incremental DSIR (r12): one persisted Generate pass, frozen
+      // log-ratio broadcast, bounded-histogram window — never a
+      // cartesian, the batch side is one map pass
+      "q_sample_dsir_incr" -> Seq("Generate", "InMemoryTableScan", "BroadcastHashJoin", "Window", "HashAggregate", "!CartesianProduct"),
+      // training-shard planner (r12): per-source pack window, one
+      // hash-agg to sequences, map-side shard hash, 8-row final agg —
+      // the corpus never sorts and nothing joins data-to-data
+      "q_pack_shards" -> Seq("Window", "HashAggregate", "partial_", "!SortMergeJoin", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -1113,9 +1113,179 @@ object Curation {
     }
   }
 
+  /** NIGHTLY INCREMENTAL DSIR (r12 — the frozen-artifact discipline
+    * applied to [[sampleDsir]]): day-0 trains the hashed-bigram
+    * importance model on the OLD generation ((doc_id DIV 20) % 10 <> 0
+    * — a BLOCK split: the repo's usual doc_id % 10 nightly rule would
+    * put only 2 of the 20 sources — including ALL of the target src0 —
+    * into the batch, because source = doc_id % 20; the block rule
+    * keeps both generations source-uniform; target = src0∩old, raw =
+    * old) and fixes the selection threshold from the old generation's
+    * weight-bucket budget cut; the nightly batch is then scored against the FROZEN ≤64-row
+    * log-ratio broadcast and filtered by the FROZEN threshold —
+    * O(new) end to end, and day-0 keep decisions never shift (the
+    * [[Similarity.simIndexAppend]] frozen-codebook argument applied to
+    * data selection; ratio staleness is what [[corpusDrift]] watches).
+    *
+    * Output: the kept NEW docs with their weights. Scale shape: one
+    * bigram Generate pass per generation (old side trains, new side
+    * scores), the ratio table and the 1-row threshold broadcast, pure
+    * BIGINT weight sums — the nightly cost is one map pass over the
+    * batch plus vocabulary-sized aggs. */
+  val sampleDsirIncr: QueryDef = {
+    val B = 64
+    val duckB = s"CAST('0x' || substr(md5(ngram), 1, 4) AS BIGINT) % $B"
+    val sparkB = s"CAST(conv(substr(md5(ngram), 1, 4), 16, 10) AS BIGINT) % $B"
+    QueryDef(
+      "q_sample_dsir_incr",
+      s"""WITH w AS (SELECT doc_id, source, ${Tokenize.duckTrim} AS ws FROM documents),
+         |f AS (SELECT doc_id, source, $duckB AS b
+         |  FROM (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS ngram
+         |        FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)) g),
+         |fo AS (SELECT * FROM f WHERE (doc_id // 20) % 10 <> 0),
+         |nr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fo GROUP BY 1),
+         |nt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM fo WHERE source = 'src0' GROUP BY 1),
+         |tr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS rtot FROM nr),
+         |tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS ttot FROM nt),
+         |lr AS (SELECT nr.b,
+         |    CAST(round(round(ln(((COALESCE(nt.ct, 0) + 0.5) * (rtot + ${B / 2}.0))
+         |      / ((nr.cr + 0.5) * (ttot + ${B / 2}.0))), 6) * 1000000.0, 0) AS BIGINT) AS li
+         |  FROM nr LEFT JOIN nt ON nt.b = nr.b CROSS JOIN tr CROSS JOIN tt),
+         |dw AS (SELECT f.doc_id, CAST(SUM(lr.li) AS BIGINT) AS wmicro
+         |  FROM f JOIN lr ON lr.b = f.b GROUP BY 1),
+         |d AS (SELECT w.doc_id, w.source, CAST(len(ws) AS BIGINT) AS n_tok,
+         |    COALESCE(dw.wmicro, 0) AS wmicro,
+         |    (COALESCE(dw.wmicro, 0) + 10000000000) // 100000 AS wb
+         |  FROM w LEFT JOIN dw ON dw.doc_id = w.doc_id),
+         |bk AS (SELECT wb, CAST(SUM(n_tok) AS BIGINT) AS btok
+         |  FROM d WHERE (doc_id // 20) % 10 <> 0 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(btok) AS BIGINT) AS ttok FROM bk),
+         |ck AS (SELECT wb, btok, (tot.ttok * 3) // 10 AS budget,
+         |    CAST(SUM(btok) OVER (ORDER BY wb DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM bk CROSS JOIN tot),
+         |thr AS (SELECT MIN(wb) AS thr_wb FROM ck WHERE cum - btok < budget)
+         |SELECT d.doc_id, d.source, d.n_tok,
+         |  round(CAST(d.wmicro AS DOUBLE) / 1000000.0, 6) + 0.0 AS weight,
+         |  d.source = 'src0' AS is_target
+         |FROM d CROSS JOIN thr
+         |WHERE (d.doc_id // 20) % 10 = 0 AND d.wb >= thr.thr_wb""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(s, dir)
+      val f = docs.selectExpr("doc_id", "source", "ngrams_2(text)")
+        .select(col("doc_id"), col("source"), expr(sparkB).as("b"))
+        .persist(mem) // old side trains, full side scores
+      val fo = f.filter(expr("(doc_id DIV 20) % 10 <> 0"))
+      val nr = fo.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val nt = fo.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tr = nr.agg(expr("CAST(SUM(cr) AS DOUBLE)").as("rtot"))
+      val tt = nt.agg(expr("CAST(SUM(ct) AS DOUBLE)").as("ttot"))
+      // the FROZEN day-0 artifact: the ≤64-row log-ratio table
+      val lr = nr.join(nt, Seq("b"), "left")
+        .crossJoin(broadcast(tr)).crossJoin(broadcast(tt))
+        .select(col("b"), expr(
+          s"""CAST(round(round(ln(((COALESCE(ct, 0L) + 0.5) * (rtot + ${B / 2}.0D))
+             |  / ((cr + 0.5) * (ttot + ${B / 2}.0D))), 6) * 1000000.0D, 0) AS BIGINT)""".stripMargin)
+          .as("li"))
+        .localCheckpoint(true)
+      val dw = f.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("li")).as("wmicro"))
+      val d = docs.select(col("doc_id"), col("source"),
+          expr(s"CAST(size(${Tokenize.sparkTrim}) AS BIGINT)").as("n_tok"))
+        .join(dw, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          coalesce(col("wmicro"), lit(0L)).as("wmicro"))
+        .withColumn("wb", expr("(wmicro + 10000000000L) DIV 100000L"))
+        .persist(mem)
+      // the FROZEN threshold: day-0 budget cut over the OLD histogram
+      val bk = d.filter(expr("(doc_id DIV 20) % 10 <> 0"))
+        .groupBy(col("wb")).agg(sum(col("n_tok")).as("btok"))
+      val tot = bk.agg(sum(col("btok")).as("ttok"))
+      val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("wb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val thr = bk.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(ttok * 3) DIV 10"))
+        .withColumn("cum", sum(col("btok")).over(wnd)) // bounded histogram
+        .filter(col("cum") - col("btok") < col("budget"))
+        .agg(min(col("wb")).as("thr_wb"))
+      // nightly: the new batch against the two frozen artifacts
+      d.filter(expr("(doc_id DIV 20) % 10 = 0"))
+        .crossJoin(broadcast(thr)).filter(col("wb") >= col("thr_wb"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr("round(CAST(wmicro AS DOUBLE) / 1000000.0D, 6) + 0.0D").as("weight"),
+          (col("source") === "src0").as("is_target"))
+    }
+  }
+
+  /** TRAINING-SHARD PLANNER over the PACKED store (r12 — the
+    * data-loading half of [[packSequences]]: a training run reads N
+    * shard files in parallel, and the writer must balance tokens AND
+    * interleave sources so no shard is a single-domain run): each
+    * packed SEQUENCE lands on one of 8 shards by a content hash of its
+    * (source, seq_no) identity — deterministic interleave with NO
+    * global sort or round-robin state; sequences are ~equal-sized
+    * (512-token budget), so hash placement is balanced by
+    * construction, and the lane REPORTS the achieved balance
+    * (load_x_ideal, the [[Similarity.simShardPlan]] SLA number) plus
+    * per-shard source mixing (n_sources — a data loader reading one
+    * shard sees every domain).
+    *
+    * Scale shape: one hash-agg collapses docs to sequences, one map
+    * pass assigns shards, one 8-row hash-agg + a 1-row total
+    * broadcast. The corpus is touched once; nothing sorts. */
+  val packShards: QueryDef = {
+    val S = 8
+    QueryDef(
+      "q_pack_shards",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM documents),
+         |p AS (SELECT doc_id, source, n_tok,
+         |    CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no
+         |  FROM t),
+         |seqs AS (SELECT source, seq_no, CAST(SUM(n_tok) AS BIGINT) AS stok,
+         |    CAST(COUNT(*) AS BIGINT) AS sdocs FROM p GROUP BY 1, 2),
+         |sh AS (SELECT *,
+         |    CAST('0x' || substr(md5(source || '|' || CAST(seq_no AS VARCHAR)), 1, 4) AS BIGINT) % $S AS shard
+         |  FROM seqs),
+         |tot AS (SELECT CAST(SUM(stok) AS BIGINT) AS ttok FROM sh)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(stok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(sdocs) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  round(CAST(SUM(stok) AS DOUBLE) * $S / ttok, 6) + 0.0 AS load_x_ideal
+         |FROM sh CROSS JOIN tot GROUP BY shard, ttok""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
+        .withColumn("seq_no",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(512.0)).cast("long"))
+        .groupBy(col("source"), col("seq_no"))
+        .agg(sum(col("n_tok")).as("stok"), count(lit(1)).as("sdocs"))
+      val sh = seqs.withColumn("shard", expr(
+        s"CAST(conv(substr(md5(concat(source, '|', CAST(seq_no AS STRING))), 1, 4), 16, 10) AS BIGINT) % $S"))
+      val tot = sh.agg(sum(col("stok")).as("ttok"))
+      sh.crossJoin(broadcast(tot))
+        .groupBy(col("shard"), col("ttok"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("stok")).as("n_tokens"),
+          sum(col("sdocs")).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(col("shard"), col("n_seqs"), col("n_tokens"), col("n_docs"),
+          col("n_sources"),
+          expr(s"round(CAST(n_tokens AS DOUBLE) * $S / ttok, 6) + 0.0").as("load_x_ideal"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
-    embedFisher, embedDrift, corpusDrift, sampleDsir)
+    embedFisher, embedDrift, corpusDrift, sampleDsir, sampleDsirIncr, packShards)
 }

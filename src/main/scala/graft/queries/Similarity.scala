@@ -1817,8 +1817,104 @@ object Similarity {
         col("reclaimed_assign_rows"), col("reclaimed_code_rows"))
   }
 
+  /** QUANTIZER RETRAIN ABLATION (r12 — the "next re-train" every
+    * frozen-artifact lane defers to, measured): the incremental index
+    * lanes ([[simIndexAppend]], [[simIndexDelete]], the streaming
+    * twin) all freeze the coarse quantizer because retraining
+    * invalidates every stored code; the price is quantizer staleness.
+    * This lane puts the decision numbers side by side on the CURRENT
+    * corpus:
+    *
+    *  - `frozen`: the K=8 quantizer trained on the OLD generation
+    *    (vec_id % 10 <> 0 — exactly what the append/delete stores
+    *    serve with), assigning the full current corpus.
+    *  - `retrained`: the same two-Lloyd-step chain trained on the FULL
+    *    current corpus (the blue/green candidate).
+    *
+    * Per variant: mean squared assignment distortion over ALL vectors
+    * and over the NEW generation alone (distortion_new − the drift
+    * signal: a frozen quantizer that no longer fits tonight's data
+    * shows it here first), plus inverted-list occupancy (max/mean —
+    * the balanced-lists benefit [[simIvfTrained]] showed is the real
+    * training win on isotropic data). The gap between the two rows IS
+    * the retrain decision: distortion reclaimed per full re-encode of
+    * the corpus.
+    *
+    * Scale shape: the [[simIvfTrained]] discipline — every coarse
+    * table is 8 broadcast rows, each Lloyd step is one fan-out + one
+    * decimal-exact hash-agg, per-variant assignments persist once and
+    * feed the three stats aggs; ~6 corpus distance passes total,
+    * nothing quadratic. */
+  val simIndexRetrain: QueryDef = {
+    def duckVa(name: String, co: String): String =
+      s"""$name AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list,
+         |    (min({'d': rd2, 'c': k})).d AS d2
+         |  FROM (SELECT e.vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
+         |    FROM embeddings e CROSS JOIN $co) GROUP BY vec_id)""".stripMargin
+    def duckLane(variant: String, va: String): String =
+      s"""SELECT '$variant' AS variant,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $va) AS n_vectors,
+         |  (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0
+         |   FROM $va) AS distortion_all,
+         |  (SELECT round(CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0
+         |   FROM $va WHERE vec_id % 10 = 0) AS distortion_new,
+         |  (SELECT CAST(MAX(n) AS BIGINT)
+         |   FROM (SELECT COUNT(*) AS n FROM $va GROUP BY list) t) AS occ_max,
+         |  (SELECT round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+         |   FROM (SELECT COUNT(*) AS n FROM $va GROUP BY list) t) AS occ_mean""".stripMargin
+    QueryDef(
+      "q_sim_index_retrain",
+      s"""WITH eold AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |coSo AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+         |  FROM (SELECT * FROM eold ORDER BY vec_id LIMIT 8)),
+         |${duckLloyd("coSo", "o1", "eold")},
+         |${duckLloyd("coo1", "o2", "eold")},
+         |coSf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |${duckLloyd("coSf", "f1")},
+         |${duckLloyd("cof1", "f2")},
+         |${duckVa("va_o", "coo2")},
+         |${duckVa("va_f", "cof2")}
+         |${duckLane("frozen", "va_o")}
+         |UNION ALL
+         |${duckLane("retrained", "va_f")}""".stripMargin) { (s, dir) =>
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val old = emb.filter(col("vec_id") % 10 =!= 0)
+      def headN(df: org.apache.spark.sql.DataFrame, n: Int) =
+        df.orderBy(col("vec_id")).limit(n)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
+            col("embedding").as("ke"))
+      def train(base: org.apache.spark.sql.DataFrame) = {
+        val co0 = headN(base, 8)
+        val va0 = coarseAssign(base, co0).persist(mem)
+        val co1 = lloydStepFrom(base, va0).localCheckpoint(true)
+        val va1 = coarseAssign(base, co1).persist(mem)
+        lloydStepFrom(base, va1).localCheckpoint(true) // 8-row lineage cut
+      }
+      def lane(variant: String, co: org.apache.spark.sql.DataFrame) = {
+        val va = coarseAssign(emb, co).persist(mem)
+        val all = va.agg(count(lit(1)).as("n_vectors"),
+          expr("round(CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D")
+            .as("distortion_all"))
+        val nw = va.filter(col("vec_id") % 10 === 0)
+          .agg(expr("round(CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D")
+            .as("distortion_new"))
+        val occ = va.groupBy(col("list")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("occ_max"),
+            expr("round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)").as("occ_mean"))
+        all.crossJoin(broadcast(nw)).crossJoin(broadcast(occ))
+          .select(lit(variant).as("variant"), col("n_vectors"),
+            col("distortion_all"), col("distortion_new"),
+            col("occ_max"), col("occ_mean"))
+      }
+      lane("frozen", train(old)).unionByName(lane("retrained", train(emb)))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
     simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual,
-    simBinary, simMatryoshka, simShardPlan, simIndexDelete, simIndexCompact)
+    simBinary, simMatryoshka, simShardPlan, simIndexDelete, simIndexCompact,
+    simIndexRetrain)
 }
