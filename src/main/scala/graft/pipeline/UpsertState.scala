@@ -124,6 +124,44 @@ object UpsertState {
     * generation. Stage-then-swap makes the replayed batch read its own
     * output safely and converge. */
   def mergeBatch(s: SparkSession, stateRoot: String, batch: DataFrame, id: Long): Unit = {
+    val cur = requireMergeable(stateRoot, id)
+    val up = batch.groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("u_event_id"),
+        col("m.value").as("u_value"))
+    val merged = s.read.parquet(cur).join(up, Seq("user_id"), "full")
+      .select(col("user_id"),
+        coalesce(col("u_event_id"), col("last_event_id")).as("last_event_id"),
+        coalesce(col("u_value"), col("last_value")).as("last_value"))
+    swapIn(stateRoot, id, merged)
+  }
+
+  /** Delete-capable MERGE — the full lakehouse `MERGE INTO ... WHEN
+    * MATCHED AND op = 'delete' THEN DELETE` semantics the upsert-only
+    * [[mergeBatch]] lacks: `batch` carries an `op` column; per key the
+    * LATEST action (max event_id) wins within the batch, and a winning
+    * delete REMOVES the key from state (a later upsert resurrects it —
+    * generations are replace-per-key, so replays still converge).
+    * Same stage-then-swap crash discipline. */
+  def mergeBatchOps(s: SparkSession, stateRoot: String, batch: DataFrame, id: Long): Unit = {
+    val cur = requireMergeable(stateRoot, id)
+    val up = batch.groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("op"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("u_event_id"),
+        col("m.op").as("u_op"), col("m.value").as("u_value"))
+    val merged = s.read.parquet(cur).join(up, Seq("user_id"), "full")
+      // a winning delete drops the key (base row included); base rows
+      // with no action survive; upserts replace
+      .filter(col("u_op").isNull || col("u_op") =!= "delete")
+      .select(col("user_id"),
+        coalesce(col("u_event_id"), col("last_event_id")).as("last_event_id"),
+        coalesce(col("u_value"), col("last_value")).as("last_value"))
+    swapIn(stateRoot, id, merged)
+  }
+
+  /** Shared merge preamble: resolve the live generation and refuse
+    * stale batch ids (see [[mergeBatch]]'s replay contract). */
+  private def requireMergeable(stateRoot: String, id: Long): String = {
     val cur = current(stateRoot)
     // Structured Streaming replays at most the latest uncommitted
     // batch (checkpoint ids are monotonic), so a merge for an OLDER id
@@ -134,19 +172,18 @@ object UpsertState {
       s"replay of batch $id refused: state is already at generation " +
         s"${genId(cur)} (replays are valid only for the latest " +
         "uncommitted batch; pruned generations cannot be rebuilt)")
-    val up = batch.groupBy(col("user_id"))
-      .agg(max(struct(col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("m.event_id").as("u_event_id"),
-        col("m.value").as("u_value"))
-    val st = s.read.parquet(cur)
+    cur
+  }
+
+  /** Stage-then-swap commit of a merged generation (see the class doc
+    * for the crash-safety argument): fully materialize to `stage_$id`,
+    * tombstone-rename any live destination, move the stage in, repoint,
+    * then drop the tombstone. */
+  private def swapIn(stateRoot: String, id: Long, merged: DataFrame): Unit = {
     val next = s"$stateRoot/gen_$id"
     val stage = new File(s"$stateRoot/stage_$id")
     rm(stage) // leftover from a merge that crashed before its swap
-    st.join(up, Seq("user_id"), "full")
-      .select(col("user_id"),
-        coalesce(col("u_event_id"), col("last_event_id")).as("last_event_id"),
-        coalesce(col("u_value"), col("last_value")).as("last_value"))
-      .write.mode("overwrite").parquet(stage.getPath)
+    merged.write.mode("overwrite").parquet(stage.getPath)
     // the staged merge is fully materialized; now swap crash-atomically
     val dst = new File(next)
     val tomb = new File(next + ".old")

@@ -1008,6 +1008,63 @@ object Streaming {
     s.read.parquet(graft.pipeline.UpsertState.current(stateRoot))
   }
 
+  /** DELETE-CAPABLE STREAM MERGE (r12 — the missing third verb of the
+    * lakehouse MERGE story: [[streamIdempotent]] proves insert/update,
+    * [[streamCdf]] documented that an upsert-only chain never shrinks;
+    * this lane shrinks it): the event feed carries an `op` column
+    * (delete when event_id % 13 = 0, upsert otherwise) and each
+    * micro-batch runs [[graft.pipeline.UpsertState.mergeBatchOps]] —
+    * per key the latest action in the batch wins, a winning delete
+    * REMOVES the key, a later upsert resurrects it. Replace-per-key
+    * generations keep replays convergent (the [[streamIdempotent]]
+    * argument, unchanged by deletion).
+    *
+    * The oracle is the one global fold the sequential merge provably
+    * equals: the final state of a key is decided by its maximum
+    * (batch, event_id) action — if that action is a delete the key is
+    * absent, else it holds that action's payload. Equality proves the
+    * batch-sequential delete-merge ≡ the declarative fold.
+    *
+    * Scale shape: per batch one hash-agg + one key-partitioned
+    * full-outer join sized by \|keys\| (the audited mergeBatch plan
+    * with one extra filter); streaming lanes stay out of PlanAudit by
+    * convention. */
+  val streamDeleteMerge: QueryDef = QueryDef(
+    "q_stream_delete_merge",
+    """WITH e AS (SELECT user_id, CAST(event_id % 4 AS BIGINT) AS b, event_id, value,
+      |    CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM events),
+      |w AS (SELECT user_id,
+      |    (max({'b': b, 'e': event_id, 'op': op, 'v': value})).op AS last_op,
+      |    (max({'b': b, 'e': event_id, 'op': op, 'v': value})).e AS last_event_id,
+      |    (max({'b': b, 'e': event_id, 'op': op, 'v': value})).v AS last_value
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, last_event_id, last_value FROM w
+      |WHERE last_op <> 'delete'""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(col("event_id") % 13 === 0, "delete").otherwise("upsert").as("op"))
+      val srcDir = writeSlices(s,
+        ev.withColumn("slice", pmod(col("event_id"), lit(4)).cast("int")),
+        4, scratch("sdel_src"), "sdel")
+      val stateRoot = scratch("sdel_state")
+      graft.pipeline.UpsertState.init(s, stateRoot)
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, op STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.pipeline.UpsertState.mergeBatchOps(s, stateRoot, batch, id)
+        }
+        .option("checkpointLocation", scratch("sdel_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(graft.pipeline.UpsertState.current(stateRoot))
+    }
+  }
+
   /** TIME-TRAVEL READ over the upsert sink's generation chain — the
     * snapshot-isolation surface a lakehouse MERGE table provides:
     * `gen_$k` IS the table as of batch k, so reading a historical
@@ -1295,5 +1352,5 @@ object Streaming {
     streamDedup, streamDedupWm, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
     streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift,
-    streamIndexAppend)
+    streamIndexAppend, streamDeleteMerge)
 }
