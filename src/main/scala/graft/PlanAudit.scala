@@ -552,7 +552,16 @@ object PlanAudit {
       // training-shard planner (r12): per-source pack window, one
       // hash-agg to sequences, map-side shard hash, 8-row final agg —
       // the corpus never sorts and nothing joins data-to-data
-      "q_pack_shards" -> Seq("Window", "HashAggregate", "partial_", "!SortMergeJoin", "!CartesianProduct"))
+      "q_pack_shards" -> Seq("Window", "HashAggregate", "partial_", "!SortMergeJoin", "!CartesianProduct"),
+      // ABTT whitening (r12): bounded posexplode passes to 64-row
+      // tables, 1-row array broadcasts, map-only folds — the embedding
+      // table never shuffles or joins data-to-data
+      "q_embed_whiten" -> Seq("Generate", "BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"),
+      // range search (r12): one broadcast-query map pass with the
+      // NATIVE codegen'd distance (a lambda-HOF here gets mis-pushed
+      // into the scan — the reason the lane uses l2_dist_sq); no
+      // top-k state, no window, no shuffle of the corpus
+      "q_sim_range" -> Seq("BroadcastNestedLoopJoin", "l2distancesq", "!SortMergeJoin", "!Window", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

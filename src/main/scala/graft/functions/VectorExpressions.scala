@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` columns (SURVEY.md §2C: scalar extension point).
@@ -82,6 +82,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // each side may be array<float> (raw embeddings) or array<double>
+  // (derived centroids) — dispatch the element read on the bound type
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -89,7 +96,9 @@ case class L2DistanceSq(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
       acc += d * d
       i += 1
     }
@@ -102,11 +111,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val xr = if (leftFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yr = if (rightFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $x.getFloat($i) - $y.getDouble($i);
+         |  double $d = $xr - $yr;
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;

@@ -1283,9 +1283,86 @@ object Curation {
     }
   }
 
+  /** ALL-BUT-THE-TOP EMBEDDING WHITENING (r12 — Mu & Viswanath 2018,
+    * the published post-processing that makes embedding spaces more
+    * isotropic and measurably improves similarity search): mean-center
+    * every vector, estimate the top principal direction with ONE
+    * power-iteration step on the CENTERED corpus (the [[powerIter]]
+    * construction, seeded by the constant 0.125 vector), and remove
+    * each vector's projection onto it. Output per vector: the removed
+    * component magnitude `proj` (how much common-direction energy the
+    * vector carried) and the whitened vector serialized per the
+    * no-array-cells policy.
+    *
+    * Determinism: per-dim means are decimal-exact ([[Similarity]]
+    * Lloyd construction); both dot products are 6-dp-rounded
+    * sequential folds; per-dim contributions are 6-dp DECIMAL sums;
+    * the direction normalizes over a 64-row window ([[powerIter]]
+    * verbatim); `proj` carries `+ 0.0`; whitened components serialize
+    * through DECIMAL(20,6) (no -0.0 repr).
+    *
+    * Scale shape: two bounded posexplode passes to 64-row tables, two
+    * 1-row array broadcasts (mu, u), and map-only folds over the
+    * corpus — the embedding table never shuffles or joins
+    * data-to-data. */
+  val embedWhiten: QueryDef = QueryDef(
+    "q_embed_whiten",
+    """WITH c1 AS (SELECT vec_id, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |cm AS (SELECT i - 1 AS pos,
+      |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS mv
+      |  FROM c1 GROUP BY 1),
+      |muv AS (SELECT list(mv ORDER BY pos) AS mu FROM cm),
+      |dots AS (SELECT vec_id, embedding, mu,
+      |    round(list_reduce(list_transform(range(1, 65),
+      |      i -> (CAST(embedding[i] AS DOUBLE) - mu[i]) * 0.125), (x, y) -> x + y), 6) AS dt
+      |  FROM embeddings CROSS JOIN muv),
+      |c2 AS (SELECT mu, dt, embedding, unnest(generate_series(1, 64)) AS i FROM dots),
+      |yt AS (SELECT i - 1 AS pos,
+      |    CAST(SUM(CAST(round((CAST(embedding[i] AS DOUBLE) - mu[i]) * dt, 6) AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS yr
+      |  FROM c2 GROUP BY 1),
+      |ut AS (SELECT pos,
+      |    round(CAST(yr AS DOUBLE) / sqrt(CAST(SUM(yr * yr) OVER () AS DOUBLE)), 6) AS uvv
+      |  FROM yt),
+      |uvt AS (SELECT list(uvv ORDER BY pos) AS u FROM ut),
+      |p AS (SELECT vec_id, embedding, mu, u,
+      |    round(list_reduce(list_transform(range(1, 65),
+      |      i -> (CAST(embedding[i] AS DOUBLE) - mu[i]) * u[i]), (x, y) -> x + y), 6) AS proj
+      |  FROM embeddings CROSS JOIN muv CROSS JOIN uvt)
+      |SELECT vec_id, proj + 0.0 AS proj,
+      |  array_to_string(list_transform(range(1, 65),
+      |    i -> CAST(CAST(round(CAST(embedding[i] AS DOUBLE) - mu[i] - proj * u[i], 6) AS DECIMAL(20,6)) AS VARCHAR)), ',') AS whitened
+      |FROM p""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cm = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(expr("round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)").as("mv"))
+    val mu = cm.agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("mu"))
+    val dots = emb.crossJoin(broadcast(mu))
+      .select(col("vec_id"), col("embedding"), col("mu"),
+        expr("""round(aggregate(sequence(1, 64), 0D,
+          |  (acc, i) -> acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(mu, i)) * 0.125D), 6)""".stripMargin).as("dt"))
+    val y = dots.select(col("mu"), col("dt"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        expr("CAST(round((CAST(x AS DOUBLE) - element_at(mu, pos + 1)) * dt, 6) AS DECIMAL(20,6))").as("c"))
+      .groupBy(col("pos")).agg(expr("CAST(SUM(c) AS DECIMAL(20,6))").as("yr"))
+    // 64-row normalization window (the powerIter exemption): bounded
+    val u = y.select(col("pos"),
+        expr("round(CAST(yr AS DOUBLE) / sqrt(CAST(SUM(yr * yr) OVER () AS DOUBLE)), 6)").as("uvv"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, uvv))), x -> x.uvv)").as("u"))
+    emb.crossJoin(broadcast(mu)).crossJoin(broadcast(u))
+      .withColumn("proj",
+        expr("""round(aggregate(sequence(1, 64), 0D,
+          |  (acc, i) -> acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(mu, i)) * element_at(u, i)), 6)""".stripMargin))
+      .select(col("vec_id"), (col("proj") + lit(0.0)).as("proj"),
+        expr("""array_join(transform(sequence(1, 64),
+          |  i -> CAST(CAST(round(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mu, i) - proj * element_at(u, i), 6) AS DECIMAL(20,6)) AS STRING)), ',')""".stripMargin).as("whitened"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
-    embedFisher, embedDrift, corpusDrift, sampleDsir, sampleDsirIncr, packShards)
+    embedFisher, embedDrift, corpusDrift, sampleDsir, sampleDsirIncr, packShards,
+    embedWhiten)
 }

@@ -1912,9 +1912,51 @@ object Similarity {
     }
   }
 
+  /** RANGE SEARCH (r12 — the OTHER first-class vector-store query
+    * besides top-k: return EVERY neighbor within a distance radius,
+    * the shape dedup-by-distance and radius-recall jobs call; FAISS
+    * exposes it as `range_search`): all corpus vectors within squared
+    * L2 1.5 of each query (the 3-query convention; ~1-2% of the corpus
+    * per query on these embeddings — measured 1st percentile ≈ 1.40,
+    * median ≈ 1.98). Self-matches included (d2 = 0), distances the
+    * shared 6-dp fold, so the row set is exact and engine-identical.
+    *
+    * Scale shape: one broadcast-query map pass with the radius
+    * predicate applied in the scan projection — no top-k state, no
+    * window, no shuffle at all; the variable-size result streams
+    * straight out (the reason real stores size range queries by
+    * radius, not k). The IVF-pruned variant at scale reuses the
+    * [[ivfPqSearch]] probe machinery; this lane is the exact
+    * baseline those results are recalled against. */
+  val simRange: QueryDef = QueryDef(
+    "q_sim_range",
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3))
+       |SELECT q_id, e.vec_id, d2 FROM (
+       |  SELECT q_id, e.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |  FROM q CROSS JOIN embeddings e) e
+       |WHERE d2 <= 1.5""".stripMargin) { (s, dir) =>
+    // the radius predicate MUST be a native Expression: a lambda-HOF
+    // fold (aggregate(...)) in a filter above a join gets its
+    // references mis-scoped by the optimizer and pushed into the
+    // OPPOSITE side's scan as an unresolvable DataFilter
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution); the codegen'd
+    // l2_dist_sq is the same sequential fold, bit-identical to the
+    // oracle's list_reduce, and binds correctly
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint(true) // 3-row lineage cut
+    emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        expr("round(l2_dist_sq(qe, embedding), 6)").as("d2"))
+      .filter(col("d2") <= 1.5)
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
     simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual,
     simBinary, simMatryoshka, simShardPlan, simIndexDelete, simIndexCompact,
-    simIndexRetrain)
+    simIndexRetrain, simRange)
 }
