@@ -561,7 +561,16 @@ object PlanAudit {
       // NATIVE codegen'd distance (a lambda-HOF here gets mis-pushed
       // into the scan — the reason the lane uses l2_dist_sq); no
       // top-k state, no window, no shuffle of the corpus
-      "q_sim_range" -> Seq("BroadcastNestedLoopJoin", "l2distancesq", "!SortMergeJoin", "!Window", "!CartesianProduct"))
+      "q_sim_range" -> Seq("BroadcastNestedLoopJoin", "l2distancesq", "!SortMergeJoin", "!Window", "!CartesianProduct"),
+      // langid confusion matrix (r12): one map pass, |langs|²-cell
+      // hash-agg, marginal broadcast back
+      "q_text_langid_eval" -> Seq("HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"),
+      // benchmark contamination report (r12): gram Generate passes,
+      // the tiny benchmark gram set broadcasts into the keyed join
+      "q_text_contam_report" -> Seq("Generate", "BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"),
+      // tokenizer fertility (r12): the audited bpe_encode shape with a
+      // |langs|-group rollup — encode table broadcast, partial+final
+      "q_text_bpe_fertility" -> Seq("BroadcastHashJoin", "partial_", "!SortMergeJoin", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

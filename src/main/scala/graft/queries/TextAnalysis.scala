@@ -903,7 +903,22 @@ object TextAnalysis {
     * tiny encode table on the word and hash-aggregates. The oracle
     * re-trains and re-encodes from scratch (unrolled MATERIALIZED CTE
     * chains for both the winner ladder and the dictionary rewrite). */
-  private val bpeEncodeOracle: String = {
+  private val bpeEncodeOracle: String = bpeEncodeOracleWith(
+    s"""
+      |,enc AS (SELECT w, len(string_split(syms, chr(31))) AS ns FROM d10),
+      |tok AS (SELECT doc_id, unnest(${Tokenize.duckTrim}) AS w FROM documents),
+      |per AS (SELECT doc_id, t.w, e.ns FROM tok t JOIN enc e ON e.w = t.w)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(ns) AS BIGINT) AS n_bpe,
+      |  round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0 AS compression
+      |FROM per GROUP BY doc_id""".stripMargin)
+
+  /** The 10-merge BPE train+encode CTE chain with a caller-chosen
+    * final rollup (`tail` reads `d10` = the encoded dictionary) —
+    * shared by [[bpeEncode]] (per-doc) and [[bpeFertility]]
+    * (per-language). */
+  private def bpeEncodeOracleWith(tail: String): String = {
     val N = 10
     val sb = new StringBuilder
     sb ++= s"""WITH wc AS MATERIALIZED (
@@ -927,15 +942,7 @@ object TextAnalysis {
         |d$r AS MATERIALIZED (SELECT w, ${duckMergeApply("d.syms")} AS syms
         |  FROM d${r - 1} d, w$r)""".stripMargin
     }
-    sb ++= s"""
-      |,enc AS (SELECT w, len(string_split(syms, chr(31))) AS ns FROM d$N),
-      |tok AS (SELECT doc_id, unnest(${Tokenize.duckTrim}) AS w FROM documents),
-      |per AS (SELECT doc_id, t.w, e.ns FROM tok t JOIN enc e ON e.w = t.w)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
-      |  CAST(SUM(ns) AS BIGINT) AS n_bpe,
-      |  round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0 AS compression
-      |FROM per GROUP BY doc_id""".stripMargin
+    sb ++= tail
     sb.toString
   }
 
@@ -1485,8 +1492,163 @@ object TextAnalysis {
           .as("novelty_rate"))
   }
 
+  /** LANGUAGE-ID EVALUATION (r12 — the confusion matrix behind
+    * [[langId]]'s heuristic: every classifier that gates a corpus gets
+    * audited against labels before anyone trusts the gate): the
+    * stopword-scored prediction vs the stored `lang` label, as the
+    * row-normalized confusion matrix — per (true, predicted) cell the
+    * doc count and its share of the true class (the recall diagonal /
+    * mis-route off-diagonals a data-quality dashboard plots). The
+    * honest read on THIS corpus: every document predicts 'en' (recall
+    * 1.0 for en, 0 elsewhere) — the synthetic text carries no language
+    * signal for its metadata labels, so the stopword gate would
+    * mis-route 4 of 5 languages. That is exactly the failure an
+    * eval-before-gate audit exists to catch: a pipeline that trusted
+    * this classifier unaudited would silently drop every non-English
+    * source.
+    *
+    * Scale shape: one map pass (the audited [[langId]] projection), a
+    * ≤\|langs\|² hash-agg, and a \|langs\|-row marginal joined back —
+    * nothing corpus-sized after the first agg. */
+  val langIdEval: QueryDef = {
+    val sScores = stop.map { case (l, ws) => s"${sparkScore(l, ws)} AS s_$l" }
+    val dScores = stop.map { case (l, ws) => s"${duckScore(l, ws)} AS s_$l" }
+    val langs = stop.map(_._1)
+    val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    QueryDef(
+      "q_text_langid_eval",
+      s"""WITH w AS (SELECT doc_id, lang, $duckWordsSql AS ws FROM documents),
+         |scored AS (SELECT doc_id, lang, ${dScores.mkString(", ")} FROM w),
+         |p AS (SELECT lang, $caseSql AS pred_lang FROM scored),
+         |cm AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |tm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY 1)
+         |SELECT cm.lang, cm.pred_lang, cm.n, tm.n_true,
+         |  round(CAST(cm.n AS DOUBLE) / tm.n_true, 6) + 0.0 AS row_frac,
+         |  cm.lang = cm.pred_lang AS correct
+         |FROM cm JOIN tm ON tm.lang = cm.lang""".stripMargin) { (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .withColumn("ws", expr(wordsSql))
+        .selectExpr(Seq("lang") ++ sScores: _*)
+        .withColumn("pred_lang", expr(caseSql))
+      val cm = p.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      val tm = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+      cm.join(broadcast(tm), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+          expr("round(CAST(n AS DOUBLE) / n_true, 6) + 0.0D").as("row_frac"),
+          (col("lang") === col("pred_lang")).as("correct"))
+    }
+  }
+
+  /** CONTAMINATION REPORT, benchmark-side (r12 — the eval-owner's view
+    * of [[decontaminate]]: that lane tells the CORPUS which docs to
+    * drop; this one tells the BENCHMARK owner which eval items are
+    * compromised and how badly): per held-out doc (doc_id < 20), its
+    * distinct 8-gram count, how many corpus docs share at least one
+    * 8-gram, and the worst single overlap (max grams shared with one
+    * corpus doc — a near-verbatim copy scores close to n_grams). This
+    * is the table an eval card publishes next to its scores.
+    *
+    * Scale shape: one gram pass per side, the tiny benchmark gram set
+    * broadcasts into a gram-keyed equi-join, per-pair and per-item
+    * hash-aggs — the corpus text never shuffles. (A pathological
+    * boilerplate gram could fan the pair table out; the production cap
+    * is the [[Dedup]] band-size guard, not needed at a benchmark's
+    * size.) */
+  val contamReport: QueryDef = QueryDef(
+    "q_text_contam_report",
+    s"""WITH w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
+       |g AS (SELECT doc_id, md5(array_to_string(ws[i : i+7], ' ')) AS gh
+       |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)),
+       |bg AS (SELECT DISTINCT doc_id AS b_id, gh FROM g WHERE doc_id < 20),
+       |cg AS (SELECT DISTINCT doc_id AS c_id, gh FROM g WHERE doc_id >= 20),
+       |hits AS (SELECT b_id, c_id, COUNT(*) AS shared
+       |  FROM bg JOIN cg USING (gh) GROUP BY 1, 2),
+       |per AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_docs,
+       |    CAST(MAX(shared) AS BIGINT) AS max_shared FROM hits GROUP BY 1),
+       |ng AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM bg GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(ng.n_grams, 0) AS n_grams,
+       |  COALESCE(per.n_corpus_docs, 0) AS n_corpus_docs,
+       |  COALESCE(per.max_shared, 0) AS max_shared,
+       |  COALESCE(per.n_corpus_docs, 0) > 0 AS compromised
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+       |LEFT JOIN ng ON ng.b_id = d.doc_id
+       |LEFT JOIN per ON per.b_id = d.doc_id""".stripMargin) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .withColumn("ws", expr(Tokenize.sparkTrim))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+          |  i -> md5(array_join(slice(ws, i, 8), ' ')))
+          |ELSE array() END""".stripMargin)).as("gh"))
+    val bg = g.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("b_id"), col("gh")).distinct()
+    val cg = g.filter(col("doc_id") >= 20)
+      .select(col("doc_id").as("c_id"), col("gh")).distinct()
+    val hits = cg.join(broadcast(bg), Seq("gh"))
+      .groupBy(col("b_id"), col("c_id")).agg(count(lit(1)).as("shared"))
+    val per = hits.groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_corpus_docs"), max(col("shared")).as("max_shared"))
+    val ng = bg.groupBy(col("b_id")).agg(count(lit(1)).as("n_grams"))
+    Tables.documents(s, dir).filter(col("doc_id") < 20).select(col("doc_id"))
+      .join(broadcast(ng), col("b_id") === col("doc_id"), "left").drop("b_id")
+      .join(broadcast(per), col("b_id") === col("doc_id"), "left").drop("b_id")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("n_corpus_docs"), lit(0L)) > 0).as("compromised"))
+  }
+
+  /** TOKENIZER FERTILITY BY LANGUAGE (r12 — the multilingual-fairness
+    * number every tokenizer paper reports: BPE symbols emitted per
+    * word, by language; a language the tokenizer under-serves pays
+    * more context budget per sentence and trains on fewer effective
+    * tokens): the 10-merge trained encoder ([[bpeEncode]]'s chain
+    * verbatim) rolled up per `lang` instead of per doc, with the
+    * chars-per-symbol compression beside it. On THIS corpus the
+    * languages share one synthetic text distribution, so the rows
+    * come out near-identical — which is itself the calibration
+    * baseline: the gap this lane would show on real multilingual data
+    * IS the fairness finding.
+    *
+    * Scale shape: [[bpeEncode]]'s — training touches the corpus once,
+    * encoding runs on the distinct-word table, the rollup is a
+    * \|langs\|-group hash-agg. */
+  val bpeFertility: QueryDef = QueryDef(
+    "q_text_bpe_fertility",
+    bpeEncodeOracleWith(s"""
+      |,enc AS (SELECT w, len(string_split(syms, chr(31))) AS ns FROM d10),
+      |tok AS (SELECT lang, unnest(${Tokenize.duckTrim}) AS w FROM documents),
+      |per AS (SELECT lang, t.w, e.ns FROM tok t JOIN enc e ON e.w = t.w)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(ns) AS BIGINT) AS n_bpe,
+      |  round(CAST(SUM(ns) AS DOUBLE) / COUNT(*), 6) + 0.0 AS fertility,
+      |  round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0 AS compression
+      |FROM per GROUP BY lang""".stripMargin)) { (s, dir) =>
+    val (_, merges) = bpeTrainMerges(s, dir, 10)
+    var dict = Tables.documents(s, dir)
+      .select(explode(expr(Tokenize.sparkTrim)).as("w")).distinct()
+      .withColumn("syms", expr(
+        "substring(regexp_replace(w, '(.)', concat('$1', char(31))), 1, greatest(2 * length(w) - 1, 0))"))
+    for ((pair, merged, _) <- merges) {
+      dict = dict.withColumn("syms", applyMergeAnchored(col("syms"), pair, merged))
+    }
+    val enc = dict.select(col("w"), size(split(col("syms"), bpeSep)).as("ns"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(expr(Tokenize.sparkTrim)).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ns")).as("n_bpe"),
+        expr("round(CAST(SUM(ns) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("fertility"),
+        expr("round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0D").as("compression"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
-    qualityCalibration, boilerplate, noveltyCurve, pmiCollocations, noveltyIncr)
+    qualityCalibration, boilerplate, noveltyCurve, pmiCollocations, noveltyIncr,
+    langIdEval, contamReport, bpeFertility)
 }
