@@ -570,7 +570,14 @@ object PlanAudit {
       "q_text_contam_report" -> Seq("Generate", "BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"),
       // tokenizer fertility (r12): the audited bpe_encode shape with a
       // |langs|-group rollup — encode table broadcast, partial+final
-      "q_text_bpe_fertility" -> Seq("BroadcastHashJoin", "partial_", "!SortMergeJoin", "!CartesianProduct"))
+      "q_text_bpe_fertility" -> Seq("BroadcastHashJoin", "partial_", "!SortMergeJoin", "!CartesianProduct"),
+      // data card diff (r12): ONE scan with conditional aggregation —
+      // no join at all, |sources|-row output
+      "q_dataset_card_diff" -> Seq("HashAggregate", "partial_", "!Join"),
+      // IVF-pruned range search (r12): candidates via the inverted-list
+      // equi-join against broadcast probes, radius predicate is the
+      // native codegen'd distance, counts are hash-aggs
+      "q_sim_range_ivf" -> Seq("BroadcastHashJoin", "l2distancesq", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

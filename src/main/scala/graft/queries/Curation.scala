@@ -1359,10 +1359,51 @@ object Curation {
           |  i -> CAST(CAST(round(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mu, i) - proj * element_at(u, i), 6) AS DECIMAL(20,6)) AS STRING)), ',')""".stripMargin).as("whitened"))
   }
 
+  /** DATA CARD DIFF (r12 — the morning read of a nightly ingest: what
+    * changed between yesterday's corpus and today's, per source): the
+    * old generation vs the nightly batch under the source-uniform
+    * BLOCK split ([[sampleDsirIncr]]'s rule — source = doc_id % 20, so
+    * a doc_id % 10 batch would be 2 sources), reporting per source the
+    * doc/token counts on each side, the batch's token growth rate, and
+    * the batch share of the source — next to [[corpusDrift]] (is the
+    * batch DIFFERENT) and [[TextAnalysis.noveltyIncr]] (is it NEW),
+    * this is the third dashboard column: is it the expected SIZE.
+    *
+    * Scale shape: one tokenize pass, two \|sources\|-row hash-aggs
+    * (single scan — conditional aggregation, not two scans), pure
+    * integer until the two rounded rates. */
+  val datasetCardDiff: QueryDef = QueryDef(
+    "q_dataset_card_diff",
+    s"""WITH t AS (SELECT source, (doc_id // 20) % 10 = 0 AS is_batch,
+       |    len(${Tokenize.duckTrim}) AS toks FROM documents),
+       |g AS (SELECT source,
+       |    CAST(COUNT(*) FILTER (NOT is_batch) AS BIGINT) AS docs_old,
+       |    CAST(COUNT(*) FILTER (is_batch) AS BIGINT) AS docs_batch,
+       |    CAST(COALESCE(SUM(toks) FILTER (NOT is_batch), 0) AS BIGINT) AS tok_old,
+       |    CAST(COALESCE(SUM(toks) FILTER (is_batch), 0) AS BIGINT) AS tok_batch
+       |  FROM t GROUP BY 1)
+       |SELECT source, docs_old, docs_batch, tok_old, tok_batch,
+       |  round(CAST(tok_batch AS DOUBLE) / tok_old, 6) + 0.0 AS growth_rate,
+       |  round(CAST(tok_batch AS DOUBLE) / (tok_old + tok_batch), 6) + 0.0 AS batch_share
+       |FROM g""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), expr("(doc_id DIV 20) % 10 = 0").as("is_batch"),
+        size(expr(Tokenize.sparkTrim)).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(when(!col("is_batch"), 1)).as("docs_old"),
+        count(when(col("is_batch"), 1)).as("docs_batch"),
+        coalesce(sum(when(!col("is_batch"), col("toks"))), lit(0L)).as("tok_old"),
+        coalesce(sum(when(col("is_batch"), col("toks"))), lit(0L)).as("tok_batch"))
+      .select(col("source"), col("docs_old"), col("docs_batch"),
+        col("tok_old"), col("tok_batch"),
+        expr("round(CAST(tok_batch AS DOUBLE) / tok_old, 6) + 0.0D").as("growth_rate"),
+        expr("round(CAST(tok_batch AS DOUBLE) / (tok_old + tok_batch), 6) + 0.0D").as("batch_share"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
     embedFisher, embedDrift, corpusDrift, sampleDsir, sampleDsirIncr, packShards,
-    embedWhiten)
+    embedWhiten, datasetCardDiff)
 }

@@ -1954,9 +1954,92 @@ object Similarity {
       .filter(col("d2") <= 1.5)
   }
 
+  /** IVF-PRUNED RANGE SEARCH (r12 — the scale path for [[simRange]]:
+    * at 100 TB a radius query cannot scan the corpus per query; the
+    * inverted index prunes it to the probed lists, and this lane
+    * MEASURES what the pruning costs): per query, the exact in-radius
+    * count (the [[simRange]] scan), the count recovered through a
+    * 2-probe IVF candidate set, the candidates actually scanned, and
+    * the recall fraction — the radius-recall/cost trade a vector
+    * store's range API documents.
+    *
+    * Scale shape: candidate selection is the audited inverted-list
+    * equi-join against a broadcast probe set; distances are the
+    * native codegen'd l2_dist_sq (the [[simRange]] lambda-HOF
+    * pushdown trap applies here too — the radius predicate sits above
+    * a join); the exact side is the simRange baseline scan, present
+    * for the recall denominator exactly like [[simRecall]]. */
+  val simRangeIvf: QueryDef = QueryDef(
+    "q_sim_range_ivf",
+    s"""WITH co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS ke
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |ad AS (SELECT vec_id, (min({'d': rd2, 'c': k})).c AS list
+       |  FROM (SELECT e.vec_id, k, ${duckD(64, "embedding", "ke")} AS rd2
+       |    FROM embeddings e CROSS JOIN co) GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)),
+       |probes AS (SELECT q_id, k AS list FROM (SELECT q_id, k,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rd2, k) AS rn
+       |  FROM (SELECT q_id, k, ${duckD(64, "qe", "ke")} AS rd2 FROM q CROSS JOIN co))
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id FROM ad a JOIN probes p ON a.list = p.list),
+       |cd AS (SELECT c.q_id, c.vec_id, ${duckD(64, "qe", "embedding")} AS d2
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.q_id = c.q_id),
+       |sc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_scanned FROM cd GROUP BY 1),
+       |found AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_found
+       |  FROM cd WHERE d2 <= 1.5 GROUP BY 1),
+       |ex AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM (SELECT q_id, ${duckD(64, "qe", "embedding")} AS d2
+       |    FROM q CROSS JOIN embeddings e) t
+       |  WHERE d2 <= 1.5 GROUP BY 1)
+       |SELECT ex.q_id, ex.n_exact, COALESCE(f.n_found, 0) AS n_found,
+       |  COALESCE(sc.n_scanned, 0) AS n_scanned,
+       |  round(CAST(COALESCE(f.n_found, 0) AS DOUBLE) / ex.n_exact, 6) + 0.0 AS recall
+       |FROM ex LEFT JOIN found f ON f.q_id = ex.q_id
+       |LEFT JOIN sc ON sc.q_id = ex.q_id""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def headN(n: Int, idc: String, vc: String) =
+      emb.orderBy(col("vec_id")).limit(n)
+        .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as(idc),
+          col("embedding").as(vc)).localCheckpoint(true)
+    val co = headN(8, "k", "ke")
+    val q = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint(true) // 3-row lineage cut (the simRange shape)
+    val assign = coarseAssign(emb, co).select(col("vec_id"), col("list"))
+    val probes = q.crossJoin(broadcast(co))
+      .select(col("q_id"), col("k"),
+        expr("round(l2_dist_sq(qe, ke), 6)").as("rd2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("k"))))
+      .filter(col("rn") <= 2).select(col("q_id"), col("k").as("list"))
+    val cd = assign.join(broadcast(probes), Seq("list"))
+      .select(col("q_id"), col("vec_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("round(l2_dist_sq(qe, embedding), 6)").as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val found = cd.filter(col("d2") <= 1.5)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_found"))
+    val scanned = cd.groupBy(col("q_id")).agg(count(lit(1)).as("n_scanned"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("q_id"), expr("round(l2_dist_sq(qe, embedding), 6)").as("d2"))
+      .filter(col("d2") <= 1.5)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    exact.join(broadcast(found), Seq("q_id"), "left")
+      .join(broadcast(scanned), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        expr("round(CAST(coalesce(n_found, 0L) AS DOUBLE) / n_exact, 6) + 0.0D").as("recall"))
+  }
+
   val defs: Seq[QueryDef] = Seq(simTopK, simLsh, simIvf, embedOutliers, kmeansStep,
     pqCodes, ivfPqSearch, simRecall, simRerank, simNprobe, simIndexStore,
     simIvfTrained, simIndexAppend, simSq8, simRankMetrics, simIvfPqResidual,
     simBinary, simMatryoshka, simShardPlan, simIndexDelete, simIndexCompact,
-    simIndexRetrain, simRange)
+    simIndexRetrain, simRange, simRangeIvf)
 }
