@@ -577,7 +577,11 @@ object PlanAudit {
       // IVF-pruned range search (r12): candidates via the inverted-list
       // equi-join against broadcast probes, radius predicate is the
       // native codegen'd distance, counts are hash-aggs
-      "q_sim_range_ivf" -> Seq("BroadcastHashJoin", "l2distancesq", "HashAggregate", "!CartesianProduct"))
+      "q_sim_range_ivf" -> Seq("BroadcastHashJoin", "l2distancesq", "HashAggregate", "!CartesianProduct"),
+      // chunk retrieval (r12): chunk Generate pass, 5-term idf table
+      // broadcast into the token stream, tf hash-agg, top-10 as
+      // TakeOrderedAndProject — the corpus never globally sorts
+      "q_sim_chunk_retrieval" -> Seq("Generate", "BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

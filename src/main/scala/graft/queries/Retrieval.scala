@@ -416,5 +416,85 @@ object Retrieval {
         col("rrf").cast("long").as("rrf_score"))
   }
 
-  val defs: Seq[QueryDef] = Seq(simMmr, simFiltered, knnRecip, hybridRrf)
+  /** CHUNK-LEVEL RETRIEVAL WITH PROVENANCE (r12 — the RAG serving
+    * shape: a generator needs the top PASSAGES with their exact
+    * source coordinates, not top documents): the corpus chunked with
+    * the [[Curation.chunkOverlap]] geometry (64-token windows, stride
+    * 48), each chunk a first-class retrieval unit under BM25 (chunk
+    * count as N, chunk-level docfreq for idf, chunk length against
+    * the chunk avgdl — the [[TextAnalysis.bm25]] arithmetic verbatim,
+    * k1=1.2 b=0.75, self-derived 5-term query by chunk docfreq), and
+    * the answer is the top-10 chunks with (doc_id, chunk_idx,
+    * start_tok) — the citation a RAG response attaches.
+    *
+    * Chunk identity rides as cid = doc_id·1024 + chunk_idx (a 64/48
+    * geometry caps chunk_idx well under 1024 at any doc length this
+    * corpus produces), so distinct-counts and groupings stay
+    * single-column in both engines.
+    *
+    * Scale shape: one chunk Generate pass, the 5-term idf table and
+    * the one-row stats broadcast, tf is a hash-agg over (chunk ×
+    * matched-term) rows, top-10 is TakeOrderedAndProject — nothing
+    * corpus-sized ever sorts.
+    *
+    * Determinism: the bm25 policy — idf 6-dp-rounded ln, per-term
+    * contributions 6-dp DECIMAL-summed, (score DESC, cid) total
+    * order. */
+  val chunkRetrieval: QueryDef = QueryDef(
+    "q_sim_chunk_retrieval",
+    s"""WITH w AS (SELECT doc_id, ${graft.queries.Tokenize.duckTrim} AS ws FROM documents),
+       |ch AS (SELECT doc_id * 1024 + st // 48 AS cid,
+       |    list_slice(ws, st + 1, st + 64) AS cw
+       |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS st FROM w) t),
+       |stats AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(len(cw)) AS DOUBLE) / COUNT(*) AS avgdl FROM ch),
+       |ex AS (SELECT cid, unnest(cw) AS tok FROM ch),
+       |terms AS (SELECT tok, COUNT(DISTINCT cid) AS df FROM ex
+       |  WHERE length(tok) >= 4 GROUP BY tok ORDER BY df DESC, tok LIMIT 5),
+       |ti AS (SELECT tok, round(ln((n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+       |  FROM terms, stats),
+       |tf AS (SELECT cid, tok, COUNT(*) AS tf FROM ex
+       |  JOIN ti USING (tok) GROUP BY 1, 2),
+       |c AS (SELECT f.cid,
+       |    CAST(round(ti.idf * f.tf * 2.2 /
+       |      (f.tf + 1.2 * (1 - 0.75 + 0.75 * len(h.cw) / avgdl)), 6) AS DECIMAL(20,6)) AS contrib
+       |  FROM tf f JOIN ti USING (tok) JOIN ch h ON f.cid = h.cid, stats),
+       |sc AS (SELECT cid, CAST(SUM(contrib) AS DOUBLE) AS score
+       |  FROM c GROUP BY cid ORDER BY score DESC, cid LIMIT 10)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, cid) AS BIGINT) AS rank,
+       |  cid // 1024 AS doc_id, CAST(cid % 1024 AS BIGINT) AS chunk_idx,
+       |  CAST((cid % 1024) * 48 AS BIGINT) AS start_tok, score
+       |FROM sc""".stripMargin) { (s, dir) =>
+    val ch = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(graft.queries.Tokenize.sparkTrim).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, size(ws) - 1, 48)")).as("st"))
+      .select(expr("doc_id * 1024 + st DIV 48").as("cid"),
+        expr("slice(ws, st + 1, 64)").as("cw"))
+    val stats = ch.agg(count(lit(1)).as("n"),
+      expr("CAST(SUM(size(cw)) AS DOUBLE) / COUNT(*)").as("avgdl"))
+    val ex = ch.select(col("cid"), explode(col("cw")).as("tok"))
+    val terms = ex.filter(length(col("tok")) >= 4)
+      .groupBy(col("tok")).agg(countDistinct(col("cid")).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(5)
+    val ti = terms.crossJoin(broadcast(stats))
+      .select(col("tok"), expr("round(ln((n - df + 0.5) / (df + 0.5) + 1), 6)").as("idf"))
+    val tf = ex.join(broadcast(ti), Seq("tok"))
+      .groupBy(col("cid"), col("tok"), col("idf"))
+      .agg(count(lit(1)).as("tf"))
+    val top = tf.join(ch.select(col("cid"), size(col("cw")).as("dl")), Seq("cid"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("cid"), expr(
+        "CAST(round(idf * tf * 2.2D / (tf + 1.2D * (1D - 0.75D + 0.75D * dl / avgdl)), 6) AS DECIMAL(20,6))").as("contrib"))
+      .groupBy(col("cid"))
+      .agg(expr("CAST(SUM(contrib) AS DOUBLE)").as("score"))
+      .orderBy(col("score").desc, col("cid")).limit(10)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("cid"))).cast("long")) // 10 rows: bounded
+      .select(col("rank"), expr("cid DIV 1024").as("doc_id"),
+        expr("CAST(cid % 1024 AS BIGINT)").as("chunk_idx"),
+        expr("CAST((cid % 1024) * 48 AS BIGINT)").as("start_tok"), col("score"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(simMmr, simFiltered, knnRecip, hybridRrf, chunkRetrieval)
 }
