@@ -1346,11 +1346,90 @@ object Streaming {
     }
   }
 
+  /** STREAMING DECONTAMINATION GATE (r12 — the ingest-time twin of
+    * [[TextAnalysis.decontaminate]] / the DAG's stage 2: production
+    * pipelines drop eval leakage AT THE DOOR, per micro-batch, not in
+    * the nightly batch job): the benchmark's distinct 8-gram set is a
+    * FROZEN broadcast (computed once, lineage-cut — the
+    * [[streamIndexAppend]] frozen-artifact shape); each corpus
+    * micro-batch counts its docs and its contaminated docs (>= 1
+    * 8-gram collision) and stages the 1-row verdict under a
+    * generation dir with the `_SUCCESS` replay guard; the per-batch
+    * contamination RATE is folded batch-side after drain (stream
+    * timing never touches the arithmetic — the [[streamDrift]]
+    * discipline). A batch whose rate spikes is a crawl that ingested
+    * the benchmark — the alert fires that trigger interval, not the
+    * next morning.
+    *
+    * Scale shape: per batch one tokenize+gram Generate pass over the
+    * batch and a broadcast semi-join (the gram set is a few MB even
+    * at 100 TB corpus scale); staged state is O(batches) rows. */
+  val streamContam: QueryDef = QueryDef(
+    "q_stream_contam",
+    s"""WITH w AS (SELECT doc_id, ${Tokenize.duckTrim} AS ws FROM documents),
+       |bgm AS (SELECT DISTINCT md5(array_to_string(ws[i : i+7], ' ')) AS bh
+       |  FROM (SELECT ws FROM w WHERE doc_id < 20) b,
+       |    unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)),
+       |g AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch_id,
+       |    md5(array_to_string(ws[i : i+7], ' ')) AS gh
+       |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+       |  WHERE doc_id >= 20),
+       |cd AS (SELECT DISTINCT batch_id, doc_id FROM g JOIN bgm ON bgm.bh = g.gh),
+       |nb AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents WHERE doc_id >= 20 GROUP BY 1),
+       |nc AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_contam FROM cd GROUP BY 1)
+       |SELECT nb.batch_id, nb.n_docs, COALESCE(nc.n_contam, 0) AS n_contam,
+       |  round(CAST(COALESCE(nc.n_contam, 0) AS DOUBLE) / nb.n_docs, 6) + 0.0 AS contam_rate
+       |FROM nb LEFT JOIN nc ON nc.batch_id = nb.batch_id""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      val gramsOf = """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+                      |  i -> md5(array_join(slice(ws, i, 8), ' ')))
+                      |ELSE array() END""".stripMargin
+      // FROZEN benchmark gram set (lineage-cut, broadcast per batch)
+      val benchG = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .withColumn("ws", expr(Tokenize.sparkTrim))
+        .select(explode(expr(gramsOf)).as("bh")).distinct()
+        .localCheckpoint(true)
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") >= 20)
+        .select(col("doc_id"), col("text"))
+      val srcDir = writeSlices(s,
+        corpus.withColumn("slice", pmod(col("doc_id"), lit(4)).cast("int")),
+        4, scratch("scontam_src"), "scontam")
+      val stateRoot = scratch("scontam_state")
+      val q = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val gen = s"$stateRoot/gen_$id"
+          if (!new java.io.File(gen, "_SUCCESS").exists()) {
+            val contam = batch.withColumn("ws", expr(Tokenize.sparkTrim))
+              .select(col("doc_id"), explode(expr(gramsOf)).as("gh"))
+              .join(broadcast(benchG), col("gh") === col("bh"), "left_semi")
+              .select(col("doc_id")).distinct()
+            batch.agg(count(lit(1)).as("n_docs"))
+              .crossJoin(contam.agg(count(lit(1)).as("n_contam")))
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite").parquet(gen)
+          }
+          ()
+        }
+        .option("checkpointLocation", scratch("scontam_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$stateRoot/gen_*")
+        .select(col("batch_id"), col("n_docs"), col("n_contam"),
+          expr("round(CAST(n_contam AS DOUBLE) / n_docs, 6) + 0.0D").as("contam_rate"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamDedupWm, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
     streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift,
-    streamIndexAppend, streamDeleteMerge)
+    streamIndexAppend, streamDeleteMerge, streamContam)
 }
