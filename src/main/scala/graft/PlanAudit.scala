@@ -581,7 +581,12 @@ object PlanAudit {
       // chunk retrieval (r12): chunk Generate pass, 5-term idf table
       // broadcast into the token stream, tf hash-agg, top-10 as
       // TakeOrderedAndProject — the corpus never globally sorts
-      "q_sim_chunk_retrieval" -> Seq("Generate", "BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"))
+      "q_sim_chunk_retrieval" -> Seq("Generate", "BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"),
+      // SemDeDup threshold curve (r12): the dedupSemantic shape — the
+      // only loop join is the x8 broadcast centroid fan-out, the
+      // quadratic pass confined to the cell EQUI-join, three cutoffs
+      // as conditional aggregates over ONE pair table
+      "q_dedup_sem_curve" -> Seq("BroadcastNestedLoopJoin", "cosine", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -1670,11 +1670,110 @@ object Dedup {
         col("n_pairs"), col("avg_exact"), col("mae"))
   }
 
+  /** SEMDEDUP THRESHOLD CURVE (r12 — the calibration behind the 0.3
+    * cosine cutoff [[dedupSemantic]] and the curation DAG's stage 4
+    * apply, the way [[dedupMinhashCalib]] calibrates the LSH band
+    * thresholds): over the same cosine-argmax centroid cells, the
+    * within-cell pair table is scored ONCE and read at three cutoffs
+    * (0.2 / 0.3 / 0.4) — per threshold the qualifying pair count, the
+    * docs the SemDeDup rule would drop (distinct higher-id members of
+    * qualifying pairs), and the corpus drop rate. The curve's slope
+    * around the shipped 0.3 IS the sensitivity statement a pipeline
+    * owner signs off on: a cliff means the cutoff is load-bearing, a
+    * plateau means it is safe.
+    *
+    * Determinism: cell assignment and cosines are [[dedupSemantic]]'s
+    * exact expressions (IEEE-deterministic fold/sqrt/division, proven
+    * by that lane); threshold comparisons are on the unrounded values
+    * in both engines; all counts integer until the one rounded rate.
+    *
+    * Scale shape: the quadratic pass stays confined within cells
+    * (the audited dedupSemantic shape); the three cutoffs are
+    * conditional aggregates over ONE pair table — no rescan per
+    * threshold; output is 3 rows. */
+  val semCurve: QueryDef = QueryDef(
+    "q_dedup_sem_curve",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce FROM e ORDER BY vec_id LIMIT 8),
+      |sims AS (
+      | SELECT e.vec_id, cid,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ce[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos_sim
+      | FROM e, c),
+      |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rk
+      |  FROM sims) WHERE rk = 1),
+      |mates AS (
+      | SELECT a.vec_id,
+      |  list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      |   / (sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+      |    * sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cs
+      | FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      | JOIN e ea ON ea.vec_id = a.vec_id
+      | JOIN e eb ON eb.vec_id = b.vec_id),
+      |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM e),
+      |ag AS (SELECT
+      |  CAST(COUNT(*) FILTER (cs >= 0.2) AS BIGINT) AS p2,
+      |  CAST(COUNT(DISTINCT CASE WHEN cs >= 0.2 THEN vec_id END) AS BIGINT) AS d2,
+      |  CAST(COUNT(*) FILTER (cs >= 0.3) AS BIGINT) AS p3,
+      |  CAST(COUNT(DISTINCT CASE WHEN cs >= 0.3 THEN vec_id END) AS BIGINT) AS d3,
+      |  CAST(COUNT(*) FILTER (cs >= 0.4) AS BIGINT) AS p4,
+      |  CAST(COUNT(DISTINCT CASE WHEN cs >= 0.4 THEN vec_id END) AS BIGINT) AS d4
+      | FROM mates)
+      |SELECT CAST(0.2 AS DOUBLE) AS threshold, p2 AS n_pairs, d2 AS n_dropped,
+      |  round(CAST(d2 AS DOUBLE) / n_vectors, 6) + 0.0 AS drop_rate FROM ag, nv
+      |UNION ALL
+      |SELECT CAST(0.3 AS DOUBLE), p3, d3,
+      |  round(CAST(d3 AS DOUBLE) / n_vectors, 6) + 0.0 FROM ag, nv
+      |UNION ALL
+      |SELECT CAST(0.4 AS DOUBLE), p4, d4,
+      |  round(CAST(d4 AS DOUBLE) / n_vectors, 6) + 0.0 FROM ag, nv""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val c = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))
+    val asg = e.join(broadcast(c))
+      .withColumn("cos_sim", expr("cosine_sim(ce, embedding)"))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mates = asg.select(col("vec_id"), col("cid"), col("embedding").as("ea"))
+      .join(asg.select(col("vec_id").as("mate"), col("cid").as("cid2"),
+        col("embedding").as("eb")),
+        col("cid") === col("cid2") && col("mate") < col("vec_id"))
+      .select(col("vec_id"), expr("cosine_sim(ea, eb)").as("cs"))
+    val nv = e.agg(count(lit(1)).as("n_vectors"))
+    val ag = mates.agg(
+      count(when(col("cs") >= 0.2, 1)).as("p2"),
+      countDistinct(when(col("cs") >= 0.2, col("vec_id"))).as("d2"),
+      count(when(col("cs") >= 0.3, 1)).as("p3"),
+      countDistinct(when(col("cs") >= 0.3, col("vec_id"))).as("d3"),
+      count(when(col("cs") >= 0.4, 1)).as("p4"),
+      countDistinct(when(col("cs") >= 0.4, col("vec_id"))).as("d4"))
+      .crossJoin(broadcast(nv))
+    Seq(("0.2", "p2", "d2"), ("0.3", "p3", "d3"), ("0.4", "p4", "d4")).map {
+      case (t, p, d) =>
+        ag.select(lit(t.toDouble).as("threshold"), col(p).as("n_pairs"),
+          col(d).as("n_dropped"),
+          expr(s"round(CAST($d AS DOUBLE) / n_vectors, 6) + 0.0D").as("drop_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhashSig, dedupLshPairs, dedupLshVerified,
     dedupComponents, dedupSimhash, dedupJaccard, dedupEmbed, dedupHamming,
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
     dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof, sourceMatrix,
-    dedupNormLadder, dedupMinhashCalib)
+    dedupNormLadder, dedupMinhashCalib, semCurve)
 }
