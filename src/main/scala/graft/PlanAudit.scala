@@ -586,7 +586,10 @@ object PlanAudit {
       // only loop join is the x8 broadcast centroid fan-out, the
       // quadratic pass confined to the cell EQUI-join, three cutoffs
       // as conditional aggregates over ONE pair table
-      "q_dedup_sem_curve" -> Seq("BroadcastNestedLoopJoin", "cosine", "HashAggregate", "!CartesianProduct"))
+      "q_dedup_sem_curve" -> Seq("BroadcastNestedLoopJoin", "cosine", "HashAggregate", "!CartesianProduct"),
+      // quality drift (r12): the frozen-scorer chain's 1-row weight
+      // broadcasts (the only loop joins) + ONE 2-group hash-agg
+      "q_text_quality_drift" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "partial_", "!SortMergeJoin", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

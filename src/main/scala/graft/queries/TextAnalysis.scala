@@ -1646,9 +1646,44 @@ object TextAnalysis {
         expr("round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0D").as("compression"))
   }
 
+  /** QUALITY-SCORE DRIFT BY GENERATION (r12 — the quality column of
+    * the nightly dashboard, beside [[Curation.corpusDrift]] (is the
+    * batch different), [[noveltyIncr]] (is it new) and
+    * [[Curation.datasetCardDiff]] (is it the expected size)): the
+    * FROZEN day-0 scorer ([[qualityScoredFrozen]] — weights trained
+    * on the old generation only) scores both generations, and the
+    * lane reports per generation the mean score and the keep rate at
+    * the shipped 0.5 cutoff. A batch whose keep rate sags under the
+    * frozen scorer is a crawl whose quality mix shifted — the
+    * re-train trigger for the scorer, exactly the
+    * [[Similarity.simIndexRetrain]] argument applied to the quality
+    * gate.
+    *
+    * Scale shape: the frozen-scorer chain (one feature pass, 1-row
+    * weight broadcasts), then ONE 2-group hash-agg; DECIMAL-summed
+    * 6-dp scores make the means order-free. */
+  val qualityDrift: QueryDef = QueryDef(
+    "q_text_quality_drift",
+    s"""WITH $duckQualityCtesFrozen
+       |SELECT CASE WHEN doc_id % 10 = 0 THEN 'batch' ELSE 'old' END AS generation,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  round(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_score,
+       |  round(CAST(COUNT(*) FILTER (score >= 0.5) AS DOUBLE) / COUNT(*), 6) + 0.0 AS keep_rate
+       |FROM scored GROUP BY 1""".stripMargin) { (s, dir) =>
+    qualityScoredFrozen(s, dir)
+      .select(when(col("doc_id") % 10 === 0, "batch").otherwise("old").as("generation"),
+        col("score"))
+      .groupBy(col("generation"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("round(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D")
+          .as("mean_score"),
+        expr("round(CAST(COUNT(IF(score >= 0.5, 1, NULL)) AS DOUBLE) / COUNT(*), 6) + 0.0D")
+          .as("keep_rate"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
     qualityCalibration, boilerplate, noveltyCurve, pmiCollocations, noveltyIncr,
-    langIdEval, contamReport, bpeFertility)
+    langIdEval, contamReport, bpeFertility, qualityDrift)
 }
