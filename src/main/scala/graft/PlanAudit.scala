@@ -586,10 +586,28 @@ object PlanAudit {
       // only loop join is the x8 broadcast centroid fan-out, the
       // quadratic pass confined to the cell EQUI-join, three cutoffs
       // as conditional aggregates over ONE pair table
-      "q_dedup_sem_curve" -> Seq("BroadcastNestedLoopJoin", "cosine", "HashAggregate", "!CartesianProduct"),
+      // sem-curve (r13 ADVICE fix): the within-cell pair join + its
+      // 1-row conditional aggregate are computed ONCE and eagerly cut,
+      // so the final plan is the 3-threshold union over the
+      // checkpointed 1-row scan — no per-branch rescan may reappear
+      "q_dedup_sem_curve" -> Seq("Union", "Scan ExistingRDD", "!NestedLoop", "!CartesianProduct", "!cosine"),
       // quality drift (r12): the frozen-scorer chain's 1-row weight
       // broadcasts (the only loop joins) + ONE 2-group hash-agg
-      "q_text_quality_drift" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "partial_", "!SortMergeJoin", "!CartesianProduct"))
+      "q_text_quality_drift" -> Seq("BroadcastNestedLoopJoin", "HashAggregate", "partial_", "!SortMergeJoin", "!CartesianProduct"),
+      // semantic decontamination (r13): corpus × tiny benchmark is the
+      // deliberate broadcast fan-out (never a shuffled pair join), the
+      // n-gram verdict is a broadcast semi-join, per-doc max is a
+      // partial+final hash-agg
+      "q_text_decontam_sem" -> Seq("BroadcastNestedLoopJoin", "cosine", "HashAggregate", "LeftSemi", "!CartesianProduct", "!SortMergeJoin"),
+      // epoch-shuffle loader plan (r13): the repetition plan broadcasts
+      // into the sequence table, copies fan out via Generate, and the
+      // permutation ranks WITHIN (epoch, shard) — no global sort, no
+      // shuffled join anywhere
+      "q_pack_epoch_plan" -> Seq("BroadcastHashJoin", "Generate", "Window", "!SortMergeJoin", "!CartesianProduct"),
+      // DSIR-vs-TTR ablation (r13): both selectors are bounded-histogram
+      // thresholds broadcast back (loop joins are the 1-row fan-ins);
+      // kept-set/score joins are keyed equi-joins
+      "q_sample_ablation" -> Seq("BroadcastNestedLoopJoin", "Window", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

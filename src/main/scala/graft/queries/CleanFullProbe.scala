@@ -51,11 +51,12 @@ object CleanFullProbe {
       val n1 = t("stage3 survivor expansion")(st.s1.count())
       val nd = t("stage4 trained-cell sem drops")(st.semDrop.count())
       val n2 = t("stage4 survivor cut")(st.s2.count())
-      val nt = t("stage5 boilerplate strip")(st.toks.count())
-      val nk = t("stage6 token-budget filter")(st.kept.count())
-      val np = t("stage7 pack window")(st.packed.count())
+      val npi = t("stage5 pii redaction")(st.pii.count())
+      val nt = t("stage6 boilerplate strip")(st.toks.count())
+      val nk = t("stage7 token-budget filter")(st.kept.count())
+      val np = t("stage8 pack window")(st.packed.count())
       println(s"[probe] counts: quality=$nq decontam=$ndc clustered=$nc s1=$n1 " +
-        s"semdrop=$nd s2=$n2 toks=$nt kept=$nk packed=$np")
+        s"semdrop=$nd s2=$n2 pii=$npi toks=$nt kept=$nk packed=$np")
     }
     spark.stop()
   }

@@ -1033,84 +1033,102 @@ object Curation {
     * BIGINT hash-agg, histogram window over the bounded weight-bucket
     * table, threshold broadcast. No sort, no quadratic join, one ln
     * per bucket. */
-  val sampleDsir: QueryDef = {
-    val B = 64
-    val duckB = s"CAST('0x' || substr(md5(ngram), 1, 4) AS BIGINT) % $B"
-    val sparkB = s"CAST(conv(substr(md5(ngram), 1, 4), 16, 10) AS BIGINT) % $B"
-    QueryDef(
-      "q_sample_dsir",
-      s"""WITH w AS (SELECT doc_id, source, ${Tokenize.duckTrim} AS ws FROM documents),
-         |f AS (SELECT doc_id, source, $duckB AS b
-         |  FROM (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS ngram
-         |        FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)) g),
-         |nr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM f GROUP BY 1),
-         |nt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM f WHERE source = 'src0' GROUP BY 1),
-         |tr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS rtot FROM nr),
-         |tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS ttot FROM nt),
-         |lr AS (SELECT nr.b,
-         |    CAST(round(round(ln(((COALESCE(nt.ct, 0) + 0.5) * (rtot + ${B / 2}.0))
-         |      / ((nr.cr + 0.5) * (ttot + ${B / 2}.0))), 6) * 1000000.0, 0) AS BIGINT) AS li
-         |  FROM nr LEFT JOIN nt ON nt.b = nr.b CROSS JOIN tr CROSS JOIN tt),
-         |dw AS (SELECT f.doc_id, CAST(SUM(lr.li) AS BIGINT) AS wmicro
-         |  FROM f JOIN lr ON lr.b = f.b GROUP BY 1),
-         |d AS (SELECT w.doc_id, w.source, CAST(len(ws) AS BIGINT) AS n_tok,
-         |    COALESCE(dw.wmicro, 0) AS wmicro,
-         |    (COALESCE(dw.wmicro, 0) + 10000000000) // 100000 AS wb
-         |  FROM w LEFT JOIN dw ON dw.doc_id = w.doc_id),
-         |bk AS (SELECT wb, CAST(SUM(n_tok) AS BIGINT) AS btok FROM d GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(btok) AS BIGINT) AS ttok FROM bk),
-         |ck AS (SELECT wb, btok, (tot.ttok * 3) // 10 AS budget,
-         |    CAST(SUM(btok) OVER (ORDER BY wb DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM bk CROSS JOIN tot),
-         |thr AS (SELECT MIN(wb) AS thr_wb FROM ck WHERE cum - btok < budget)
-         |SELECT d.doc_id, d.source, d.n_tok,
-         |  round(CAST(d.wmicro AS DOUBLE) / 1000000.0, 6) + 0.0 AS weight,
-         |  d.source = 'src0' AS is_target
-         |FROM d CROSS JOIN thr WHERE d.wb >= thr.thr_wb""".stripMargin) { (s, dir) =>
-      graft.functions.VectorFunctions.register(s)
-      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val docs = Tables.documents(s, dir)
-      val f = docs.selectExpr("doc_id", "source", "ngrams_2(text)")
-        .select(col("doc_id"), col("source"), expr(sparkB).as("b"))
-        .persist(mem) // three consumers: raw counts, target counts, doc weights
-      val nr = f.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val nt = f.filter(col("source") === "src0")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val tr = nr.agg(expr("CAST(SUM(cr) AS DOUBLE)").as("rtot"))
-      val tt = nt.agg(expr("CAST(SUM(ct) AS DOUBLE)").as("ttot"))
-      val lr = nr.join(nt, Seq("b"), "left")
-        .crossJoin(broadcast(tr)).crossJoin(broadcast(tt))
-        .select(col("b"), expr(
-          s"""CAST(round(round(ln(((COALESCE(ct, 0L) + 0.5) * (rtot + ${B / 2}.0D))
-             |  / ((cr + 0.5) * (ttot + ${B / 2}.0D))), 6) * 1000000.0D, 0) AS BIGINT)""".stripMargin)
-          .as("li"))
-      val dw = f.join(broadcast(lr), Seq("b"))
-        .groupBy(col("doc_id")).agg(sum(col("li")).as("wmicro"))
-      val d = docs.select(col("doc_id"), col("source"),
-          expr(s"CAST(size(${Tokenize.sparkTrim}) AS BIGINT)").as("n_tok"))
-        .join(dw, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          coalesce(col("wmicro"), lit(0L)).as("wmicro"))
-        .withColumn("wb", expr("(wmicro + 10000000000L) DIV 100000L"))
-        .persist(mem) // two consumers: bucket histogram + final keep filter
-      val bk = d.groupBy(col("wb")).agg(sum(col("n_tok")).as("btok"))
-      val tot = bk.agg(sum(col("btok")).as("ttok"))
-      // global window over the BOUNDED weight-bucket histogram (0.1-nat
-      // buckets of a few-nat weight range — tens of rows), never docs
-      val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("wb").desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val thr = bk.crossJoin(broadcast(tot))
-        .withColumn("budget", expr("(ttok * 3) DIV 10"))
-        .withColumn("cum", sum(col("btok")).over(wnd))
-        .filter(col("cum") - col("btok") < col("budget"))
-        .agg(min(col("wb")).as("thr_wb"))
-      d.crossJoin(broadcast(thr)).filter(col("wb") >= col("thr_wb"))
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          expr("round(CAST(wmicro AS DOUBLE) / 1000000.0D, 6) + 0.0D").as("weight"),
-          (col("source") === "src0").as("is_target"))
-    }
+  // ---- DSIR machinery shared by [[sampleDsir]] and [[sampleAblation]] ----
+  private val dsirB = 64
+  private[queries] val dsirDuckB =
+    s"CAST('0x' || substr(md5(ngram), 1, 4) AS BIGINT) % $dsirB"
+  private val dsirSparkB =
+    s"CAST(conv(substr(md5(ngram), 1, 4), 16, 10) AS BIGINT) % $dsirB"
+
+  /** DuckDB CTE chain `w -> dthr`: hashed-bigram DSIR doc weights
+    * (`dsd`) plus the global 30%-token-budget threshold (`dthr`) —
+    * the [[sampleDsir]] construction, factored so [[sampleAblation]]
+    * replays the IDENTICAL selector. CTE names are ds-prefixed to
+    * compose with [[TextAnalysis.duckQualityCtes]] (which owns `f`). */
+  private val dsirDuckCtes: String =
+    s"""w AS (SELECT doc_id, source, ${Tokenize.duckTrim} AS ws FROM documents),
+       |fb AS (SELECT doc_id, source, $dsirDuckB AS b
+       |  FROM (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS ngram
+       |        FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)) g),
+       |nr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+       |nt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM fb WHERE source = 'src0' GROUP BY 1),
+       |tr AS (SELECT CAST(SUM(cr) AS DOUBLE) AS rtot FROM nr),
+       |tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS ttot FROM nt),
+       |lr AS (SELECT nr.b,
+       |    CAST(round(round(ln(((COALESCE(nt.ct, 0) + 0.5) * (rtot + ${dsirB / 2}.0))
+       |      / ((nr.cr + 0.5) * (ttot + ${dsirB / 2}.0))), 6) * 1000000.0, 0) AS BIGINT) AS li
+       |  FROM nr LEFT JOIN nt ON nt.b = nr.b CROSS JOIN tr CROSS JOIN tt),
+       |dw AS (SELECT fb.doc_id, CAST(SUM(lr.li) AS BIGINT) AS wmicro
+       |  FROM fb JOIN lr ON lr.b = fb.b GROUP BY 1),
+       |dsd AS (SELECT w.doc_id, w.source, CAST(len(ws) AS BIGINT) AS n_tok,
+       |    COALESCE(dw.wmicro, 0) AS wmicro,
+       |    greatest(COALESCE(dw.wmicro, 0) + 10000000000, 0) // 100000 AS wb
+       |  FROM w LEFT JOIN dw ON dw.doc_id = w.doc_id),
+       |dbk AS (SELECT wb, CAST(SUM(n_tok) AS BIGINT) AS btok FROM dsd GROUP BY 1),
+       |dtot AS (SELECT CAST(SUM(btok) AS BIGINT) AS ttok FROM dbk),
+       |dck AS (SELECT wb, btok, (dtot.ttok * 3) // 10 AS budget,
+       |    CAST(SUM(btok) OVER (ORDER BY wb DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM dbk CROSS JOIN dtot),
+       |dthr AS (SELECT MIN(wb) AS thr_wb FROM dck WHERE cum - btok < budget)""".stripMargin
+
+  /** Spark half of [[dsirDuckCtes]]: the persisted doc-weight table
+    * with the 1-row global threshold cross-joined on — callers filter
+    * `wb >= thr_wb` for the kept set. */
+  private def dsirThresholded(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, dir)
+    val f = docs.selectExpr("doc_id", "source", "ngrams_2(text)")
+      .select(col("doc_id"), col("source"), expr(dsirSparkB).as("b"))
+      .persist(mem) // three consumers: raw counts, target counts, doc weights
+    val nr = f.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val nt = f.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tr = nr.agg(expr("CAST(SUM(cr) AS DOUBLE)").as("rtot"))
+    val tt = nt.agg(expr("CAST(SUM(ct) AS DOUBLE)").as("ttot"))
+    val lr = nr.join(nt, Seq("b"), "left")
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(tt))
+      .select(col("b"), expr(
+        s"""CAST(round(round(ln(((COALESCE(ct, 0L) + 0.5) * (rtot + ${dsirB / 2}.0D))
+           |  / ((cr + 0.5) * (ttot + ${dsirB / 2}.0D))), 6) * 1000000.0D, 0) AS BIGINT)""".stripMargin)
+        .as("li"))
+    val dw = f.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("li")).as("wmicro"))
+    val d = docs.select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${Tokenize.sparkTrim}) AS BIGINT)").as("n_tok"))
+      .join(dw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        coalesce(col("wmicro"), lit(0L)).as("wmicro"))
+      .withColumn("wb", expr("greatest(wmicro + 10000000000L, 0L) DIV 100000L"))
+      .persist(mem) // two consumers: bucket histogram + final keep filter
+    val bk = d.groupBy(col("wb")).agg(sum(col("n_tok")).as("btok"))
+    val tot = bk.agg(sum(col("btok")).as("ttok"))
+    // global window over the BOUNDED weight-bucket histogram (0.1-nat
+    // buckets of a few-nat weight range — tens of rows), never docs
+    val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("wb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = bk.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(ttok * 3) DIV 10"))
+      .withColumn("cum", sum(col("btok")).over(wnd))
+      .filter(col("cum") - col("btok") < col("budget"))
+      .agg(min(col("wb")).as("thr_wb"))
+    d.crossJoin(broadcast(thr))
+  }
+
+  val sampleDsir: QueryDef = QueryDef(
+    "q_sample_dsir",
+    s"""WITH $dsirDuckCtes
+       |SELECT dsd.doc_id, dsd.source, dsd.n_tok,
+       |  round(CAST(dsd.wmicro AS DOUBLE) / 1000000.0, 6) + 0.0 AS weight,
+       |  dsd.source = 'src0' AS is_target
+       |FROM dsd CROSS JOIN dthr WHERE dsd.wb >= dthr.thr_wb""".stripMargin) { (s, dir) =>
+    dsirThresholded(s, dir).filter(col("wb") >= col("thr_wb"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("round(CAST(wmicro AS DOUBLE) / 1000000.0D, 6) + 0.0D").as("weight"),
+        (col("source") === "src0").as("is_target"))
   }
 
   /** NIGHTLY INCREMENTAL DSIR (r12 — the frozen-artifact discipline
@@ -1155,7 +1173,7 @@ object Curation {
          |  FROM f JOIN lr ON lr.b = f.b GROUP BY 1),
          |d AS (SELECT w.doc_id, w.source, CAST(len(ws) AS BIGINT) AS n_tok,
          |    COALESCE(dw.wmicro, 0) AS wmicro,
-         |    (COALESCE(dw.wmicro, 0) + 10000000000) // 100000 AS wb
+         |    greatest(COALESCE(dw.wmicro, 0) + 10000000000, 0) // 100000 AS wb
          |  FROM w LEFT JOIN dw ON dw.doc_id = w.doc_id),
          |bk AS (SELECT wb, CAST(SUM(n_tok) AS BIGINT) AS btok
          |  FROM d WHERE (doc_id // 20) % 10 <> 0 GROUP BY 1),
@@ -1197,7 +1215,7 @@ object Curation {
         .join(dw, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"), col("n_tok"),
           coalesce(col("wmicro"), lit(0L)).as("wmicro"))
-        .withColumn("wb", expr("(wmicro + 10000000000L) DIV 100000L"))
+        .withColumn("wb", expr("greatest(wmicro + 10000000000L, 0L) DIV 100000L"))
         .persist(mem)
       // the FROZEN threshold: day-0 budget cut over the OLD histogram
       val bk = d.filter(expr("(doc_id DIV 20) % 10 <> 0"))
@@ -1400,10 +1418,213 @@ object Curation {
         expr("round(CAST(tok_batch AS DOUBLE) / (tok_old + tok_batch), 6) + 0.0D").as("batch_share"))
   }
 
+  /** DETERMINISTIC EPOCH-SHUFFLE LOADER PLAN (r13, VERDICT r12 Next
+    * #5 — the missing last step between [[packShards]] and a training
+    * run): for each of 2 epochs, a seeded per-epoch PERMUTATION of the
+    * packed sequence table — order key = md5(seed, epoch, source,
+    * seq_no, copy), the construction every reproducible data loader
+    * documents (same seed ⇒ same order on any cluster; different
+    * epoch ⇒ a fresh permutation of the SAME multiset). Per-source
+    * UPSAMPLING comes from the [[mixEpochs]] repetition plan: a
+    * source requesting `req` tokens of its `avail` contributes
+    * `req DIV avail` full copies of each sequence plus one extra copy
+    * chosen by an integer-hash uniform (u16·avail < (req%avail)·2^16 —
+    * the [[mixTemperature]] integer-sampling trick, so expected tokens
+    * ≈ requested with zero floating-point in the keep decision).
+    *
+    * Output: (epoch, shard, position, source, seq_no, copy) — shard =
+    * 16-bit hash prefix of the order key mod 8, position = rank
+    * WITHIN (epoch, shard). A loader worker reads exactly its shard's
+    * rows ordered by position.
+    *
+    * Scale shape: the sequence table is corpus_tokens/512 rows; the
+    * repetition plan is |sources| rows and BROADCASTS; the shuffle
+    * order needs NO global sort — ranking partitions by (epoch,
+    * shard), so at 1000 executors you raise the shard count and every
+    * partition sorts locally (the same reason training loaders shard
+    * first and shuffle within shard). EpochPlanSpec pins epoch-0 ≠
+    * epoch-1 order with identical multisets. */
+  val packEpochPlan: QueryDef = QueryDef(
+    "q_pack_epoch_plan",
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM documents),
+       |sq AS (SELECT source, seq_no FROM (
+       |    SELECT source, CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no
+       |    FROM t) u GROUP BY 1, 2),
+       |s AS (SELECT source, SUM(n_tok) AS avail FROM t GROUP BY 1),
+       |tot AS (SELECT SUM(avail) AS total FROM s),
+       |tw0 AS (SELECT source, avail, total,
+       |    CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+       |  FROM s CROSS JOIN tot),
+       |sw AS (SELECT SUM(w) AS sum_w FROM tw0),
+       |pl AS (SELECT source, CAST(avail AS BIGINT) AS avail,
+       |    CAST(floor(CAST(CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6)) AS DOUBLE)
+       |      * CAST(total AS DOUBLE)) AS BIGINT) AS req
+       |  FROM tw0 CROSS JOIN sw),
+       |cp AS (SELECT sq.source, sq.seq_no, pl.req // pl.avail
+       |    + CASE WHEN CAST('0x' || substr(md5(sq.source || '|' || CAST(sq.seq_no AS VARCHAR)), 1, 4) AS BIGINT)
+       |        * pl.avail < (pl.req % pl.avail) * 65536 THEN 1 ELSE 0 END AS nc
+       |  FROM sq JOIN pl USING (source)),
+       |ex AS (SELECT source, seq_no, CAST(c AS BIGINT) AS copy, CAST(e AS BIGINT) AS epoch,
+       |    md5('ep|' || CAST(e AS VARCHAR) || '|' || source || '|'
+       |        || CAST(seq_no AS VARCHAR) || '|' || CAST(c AS VARCHAR)) AS ok
+       |  FROM cp, unnest(range(0, nc)) AS u(c), unnest(range(0, 2)) AS v(e))
+       |SELECT epoch, CAST(CAST('0x' || substr(ok, 1, 4) AS BIGINT) % 8 AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, CAST('0x' || substr(ok, 1, 4) AS BIGINT) % 8
+       |    ORDER BY ok, source, seq_no, copy) AS BIGINT) AS position,
+       |  source, seq_no, copy
+       |FROM ex""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
+    val wq = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sq = t.withColumn("seq_no",
+        floor((sum(col("n_tok")).over(wq) - col("n_tok")) / lit(512.0)).cast("long"))
+      .select(col("source"), col("seq_no")).distinct()
+    val sTab = t.groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
+    val tot = sTab.agg(sum(col("avail")).as("total"))
+    val tw0 = sTab.crossJoin(broadcast(tot))
+      .withColumn("w",
+        expr("CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6))"))
+    val sw = tw0.agg(sum(col("w")).as("sum_w"))
+    val pl = tw0.crossJoin(broadcast(sw))
+      .select(col("source"), col("avail").cast("long").as("avail"),
+        expr("""CAST(floor(CAST(CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6)) AS DOUBLE)
+               |  * CAST(total AS DOUBLE)) AS BIGINT)""".stripMargin).as("req"))
+    val cp = sq.join(broadcast(pl), Seq("source"))
+      .withColumn("nc", expr(
+        """req DIV avail + (CASE WHEN
+          |  CAST(conv(substr(md5(concat(source, '|', CAST(seq_no AS STRING))), 1, 4), 16, 10) AS BIGINT)
+          |    * avail < (req % avail) * 65536L THEN 1 ELSE 0 END)""".stripMargin))
+    val ex = cp
+      .select(col("source"), col("seq_no"), explode(expr(
+        "CASE WHEN nc > 0 THEN sequence(0L, nc - 1) ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("copy"))
+      .select(col("source"), col("seq_no"), col("copy"),
+        explode(expr("sequence(0L, 1L)")).as("epoch"))
+      .withColumn("ok", expr(
+        """md5(concat('ep|', CAST(epoch AS STRING), '|', source, '|',
+          |  CAST(seq_no AS STRING), '|', CAST(copy AS STRING)))""".stripMargin))
+      .withColumn("shard", expr("CAST(conv(substr(ok, 1, 4), 16, 10) AS BIGINT) % 8"))
+    val wpos = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ok"), col("source"), col("seq_no"), col("copy"))
+    ex.withColumn("position", row_number().over(wpos).cast("long"))
+      .select(col("epoch"), col("shard"), col("position"),
+        col("source"), col("seq_no"), col("copy"))
+  }
+
+  /** DSIR-vs-TTR SELECTION ABLATION (r13, VERDICT r12 Next #6): the
+    * curation DAG's token-budget stage cuts on a TTR (type-token
+    * ratio) proxy; DSIR ([[sampleDsir]]) is the published
+    * importance-resampling replacement. This lane runs BOTH selectors
+    * over the same corpus at the SAME global 30% token budget —
+    * TTR = descending cum-sum over `(distinct·1024) DIV total`
+    * buckets, DSIR = the [[dsirThresholded]] weight-bucket cut,
+    * replayed CTE-identical — and scores the two kept sets side by
+    * side: per-source composition, overlap (Jaccard), and the mean
+    * TRAINED quality score ([[TextAnalysis.qualityScored]]) of each
+    * selection — the number that says which proxy keeps better
+    * documents, per source.
+    *
+    * Scale shape: both selectors are map passes + bounded-histogram
+    * thresholds (nothing sorts the corpus); the quality scorer is 3
+    * corpus scans to a 1-row broadcast; the comparison is two doc_id
+    * equi-joins + per-source hash-aggs over the kept sets. */
+  val sampleAblation: QueryDef = QueryDef(
+    "q_sample_ablation",
+    s"""WITH ${TextAnalysis.duckQualityCtes},
+       |$dsirDuckCtes,
+       |tb AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok,
+       |    (CAST(len(list_distinct(ws)) AS BIGINT) * 1024) // CAST(len(ws) AS BIGINT) AS bucket
+       |  FROM w),
+       |tbk AS (SELECT bucket, CAST(SUM(n_tok) AS BIGINT) AS btok FROM tb GROUP BY 1),
+       |ttot AS (SELECT CAST(SUM(btok) AS BIGINT) AS ttok FROM tbk),
+       |tck AS (SELECT bucket, btok, (ttot.ttok * 3) // 10 AS budget,
+       |    CAST(SUM(btok) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM tbk CROSS JOIN ttot),
+       |tthr AS (SELECT MIN(bucket) AS thr_bucket FROM tck WHERE cum - btok < budget),
+       |kt AS (SELECT tb.* FROM tb CROSS JOIN tthr WHERE tb.bucket >= tthr.thr_bucket),
+       |kd AS (SELECT dsd.* FROM dsd CROSS JOIN dthr WHERE dsd.wb >= dthr.thr_wb),
+       |att AS (SELECT kt.source, CAST(COUNT(*) AS BIGINT) AS n_ttr,
+       |    CAST(SUM(kt.n_tok) AS BIGINT) AS tokens_ttr,
+       |    round(CAST(SUM(CAST(sc.score AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_score_ttr
+       |  FROM kt JOIN scored sc ON sc.doc_id = kt.doc_id GROUP BY 1),
+       |ad AS (SELECT kd.source, CAST(COUNT(*) AS BIGINT) AS n_dsir,
+       |    CAST(SUM(kd.n_tok) AS BIGINT) AS tokens_dsir,
+       |    round(CAST(SUM(CAST(sc.score AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_score_dsir
+       |  FROM kd JOIN scored sc ON sc.doc_id = kd.doc_id GROUP BY 1),
+       |ab AS (SELECT kt.source, CAST(COUNT(*) AS BIGINT) AS n_both
+       |  FROM kt JOIN kd ON kd.doc_id = kt.doc_id GROUP BY 1),
+       |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM w GROUP BY 1)
+       |SELECT srcs.source, srcs.n_docs,
+       |  COALESCE(att.n_ttr, 0) AS n_ttr, COALESCE(ad.n_dsir, 0) AS n_dsir,
+       |  COALESCE(ab.n_both, 0) AS n_both,
+       |  CASE WHEN COALESCE(att.n_ttr, 0) + COALESCE(ad.n_dsir, 0) - COALESCE(ab.n_both, 0) > 0
+       |    THEN round(CAST(COALESCE(ab.n_both, 0) AS DOUBLE)
+       |      / (COALESCE(att.n_ttr, 0) + COALESCE(ad.n_dsir, 0) - COALESCE(ab.n_both, 0)), 6) + 0.0
+       |    ELSE 0.0 END AS overlap_jaccard,
+       |  COALESCE(att.mean_score_ttr, 0.0) AS mean_score_ttr,
+       |  COALESCE(ad.mean_score_dsir, 0.0) AS mean_score_dsir
+       |FROM srcs
+       |LEFT JOIN att ON att.source = srcs.source
+       |LEFT JOIN ad ON ad.source = srcs.source
+       |LEFT JOIN ab ON ab.source = srcs.source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc0 = TextAnalysis.qualityScored(s, dir).select(col("doc_id"), col("score"))
+    // TTR selector at the global 30% budget
+    val tb = Tables.documents(s, dir)
+      .withColumn("ws", expr(Tokenize.sparkTrim))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(ws) AS BIGINT)").as("n_tok"),
+        expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1024) DIV CAST(size(ws) AS BIGINT)").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tbk = tb.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
+    val ttot = tbk.agg(sum(col("btok")).as("ttok"))
+    val wnd = Window.orderBy(col("bucket").desc) // bounded <=1025-row histogram
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tthr = tbk.crossJoin(broadcast(ttot))
+      .withColumn("budget", expr("(ttok * 3) DIV 10"))
+      .withColumn("cum", sum(col("btok")).over(wnd))
+      .filter(col("cum") - col("btok") < col("budget"))
+      .agg(min(col("bucket")).as("thr_bucket"))
+    val kt = tb.crossJoin(broadcast(tthr)).filter(col("bucket") >= col("thr_bucket"))
+    // DSIR selector — the sampleDsir machinery verbatim
+    val kd = dsirThresholded(s, dir).filter(col("wb") >= col("thr_wb"))
+    val att = kt.join(sc0, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ttr"), sum(col("n_tok")).as("tokens_ttr"),
+        expr("round(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D")
+          .as("mean_score_ttr"))
+    val ad = kd.join(sc0, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dsir"), sum(col("n_tok")).as("tokens_dsir"),
+        expr("round(CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D")
+          .as("mean_score_dsir"))
+    val ab = kt.select(col("doc_id"), col("source"))
+      .join(kd.select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_both"))
+    Tables.documents(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(att, Seq("source"), "left")
+      .join(ad, Seq("source"), "left")
+      .join(ab, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_ttr"), lit(0L)).as("n_ttr"),
+        coalesce(col("n_dsir"), lit(0L)).as("n_dsir"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        expr("""CASE WHEN COALESCE(n_ttr, 0L) + COALESCE(n_dsir, 0L) - COALESCE(n_both, 0L) > 0
+               |  THEN round(CAST(COALESCE(n_both, 0L) AS DOUBLE)
+               |    / (COALESCE(n_ttr, 0L) + COALESCE(n_dsir, 0L) - COALESCE(n_both, 0L)), 6) + 0.0D
+               |  ELSE 0.0D END""".stripMargin).as("overlap_jaccard"),
+        coalesce(col("mean_score_ttr"), lit(0.0)).as("mean_score_ttr"),
+        coalesce(col("mean_score_dsir"), lit(0.0)).as("mean_score_dsir"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
     embedFisher, embedDrift, corpusDrift, sampleDsir, sampleDsirIncr, packShards,
-    embedWhiten, datasetCardDiff)
+    embedWhiten, datasetCardDiff, packEpochPlan, sampleAblation)
 }

@@ -41,15 +41,29 @@ import graft.functions.VectorFunctions
   *     through — the coverage-gap policy of a real pipeline where
   *     embedding is itself a budgeted stage (at sf0.1 only 2000 of
   *     5000 docs are embedded).
-  *  5. BOILERPLATE STRIP (r11, VERDICT r10 Next #3 — the
+  *  5. PII REDACTION (r13, VERDICT r12 Next #4 — the
+  *     [[TextAnalysis.piiRedact]] pass run inside the DAG, the
+  *     FineWeb/Dolma pipeline-stage placement): emails and IPv4
+  *     literals are masked to `<EMAIL>`/`<IP>` map-only, and every
+  *     downstream stage (boilerplate, token budget, packing) counts
+  *     tokens on the MASKED text — the shipped corpus never carries
+  *     the raw PII and the budget sees post-redaction counts. The
+  *     synthetic corpus contains no PII, so both engines first append
+  *     the deterministic doc_id-derived contact line (the
+  *     [[TextAnalysis.piiRedact]] enrichment, identical on both
+  *     sides) and then redact it back out; the per-doc `n_pii` count
+  *     rides to the output as the redaction audit column. Placed
+  *     after dedup: masking before pair-finding would make distinct
+  *     PII-bearing docs collide on their masks.
+  *  6. BOILERPLATE STRIP (r11, VERDICT r10 Next #3 — the
   *     [[TextAnalysis.boilerplate]] phrase table applied as a
   *     token-level filter): a bigram recurring across >= max(3,
   *     ceil(ndocs/10)) of a SOURCE's surviving documents is template
   *     text; every token position covered by such a bigram (both
   *     positions of each occurrence) is struck, shrinking the doc's
   *     packable token count. The phrase table is derived from the
-  *     stage-4 survivors themselves — a real crawl's per-source pass.
-  *  6. TOKEN-BUDGET THRESHOLD (the [[Curation.sampleTokenBudget]]
+  *     stage-5 survivors themselves — a real crawl's per-source pass.
+  *  7. TOKEN-BUDGET THRESHOLD (the [[Curation.sampleTokenBudget]]
   *     bucket cutoff as a map-side broadcast filter): per source,
   *     integer TTR buckets `(distinct·1024) DIV total` are cum-summed
   *     descending over the ≤1025-row bucket histogram of STRIPPED
@@ -57,7 +71,7 @@ import graft.functions.VectorFunctions
   *     tokens, the first crossing bucket is kept whole, and the doc
   *     filter is `bucket >= threshold` — the corpus is never sorted
   *     or windowed for the cut.
-  *  7. SEQUENCE PACKING ([[Curation.packSequences]] shape): the final
+  *  8. SEQUENCE PACKING ([[Curation.packSequences]] shape): the final
   *     survivor set streams per-source into 512-token training
   *     sequences (STRIPPED counts) via one per-shard prefix-sum
   *     window.
@@ -65,8 +79,9 @@ import graft.functions.VectorFunctions
   * Output: one row per doc that reaches the packed dataset — quality
   * score, duplicate-cluster id (-1 if never clustered; a clustered
   * survivor is its cluster's keeper by construction), raw and
-  * stripped token counts, and packed seq_no. The DuckDB oracle
-  * replays the identical SEVEN stages (recursive walk for the
+  * stripped token counts (both counted on the REDACTED text), the
+  * n_pii redaction count, and packed seq_no. The DuckDB oracle
+  * replays the identical EIGHT stages (recursive walk for the
   * components, unrolled Lloyd CTEs for the trained centroids), so
   * the gate verifies the WHOLE DAG end to end, not stage-by-stage.
   *
@@ -77,9 +92,10 @@ import graft.functions.VectorFunctions
   * stage 4 trains against 8-row broadcast coarse tables (each Lloyd
   * step is one fan-out + one hash-agg) and confines its quadratic
   * pass inside centroid cells over an already-shrunk survivor set;
-  * stage 5 is one bigram Generate pass with vocabulary-sized
-  * downstream joins; stage 6 is a bucket-histogram hash-agg + a
-  * broadcast threshold filter; stage 7 is one per-shard window.
+  * stage 5 is two map-only regex passes (no shuffle at any scale);
+  * stage 6 is one bigram Generate pass with vocabulary-sized
+  * downstream joins; stage 7 is a bucket-histogram hash-agg + a
+  * broadcast threshold filter; stage 8 is one per-shard window.
   * Stage boundaries are EAGER LINEAGE
   * CUTS (`localCheckpoint`) — at 100 TB these are the materialized
   * inter-stage tables. A cached-but-uncut boundary is not enough: a
@@ -92,6 +108,11 @@ import graft.functions.VectorFunctions
 object DatasetPipeline {
 
   private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  // stage-5 PII patterns — the [[TextAnalysis.piiRedact]] pair, kept in
+  // the RE2 ∩ java.util.regex dialect so Spark and DuckDB agree
+  private val piiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  private val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** DuckDB cosine over 64-d embedding columns `$a`, `$b` — the
     * [[Dedup.dedupSemantic]] sequential-fold expression verbatim. */
@@ -112,9 +133,10 @@ object DatasetPipeline {
       s1: org.apache.spark.sql.DataFrame,      // stage-3 survivors
       semDrop: org.apache.spark.sql.DataFrame, // stage-4 drops
       s2: org.apache.spark.sql.DataFrame,      // stage-4 survivors
-      toks: org.apache.spark.sql.DataFrame,    // stage-5 stripped counts
-      kept: org.apache.spark.sql.DataFrame,    // stage-6 budget survivors
-      packed: org.apache.spark.sql.DataFrame)  // stage-7 output
+      pii: org.apache.spark.sql.DataFrame,     // stage-5 redacted text + n_pii
+      toks: org.apache.spark.sql.DataFrame,    // stage-6 stripped counts
+      kept: org.apache.spark.sql.DataFrame,    // stage-7 budget survivors
+      packed: org.apache.spark.sql.DataFrame)  // stage-8 output
 
   private[queries] def stages(s: org.apache.spark.sql.SparkSession, dir: String)
       : Stages = {
@@ -189,10 +211,25 @@ object DatasetPipeline {
       .select(col("vec_id").as("doc_id")).distinct()
     val s2 = s1.join(semDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // stage 5 — per-source boilerplate bigram table over the survivors,
+    // stage 5 — PII REDACTION (r13): the piiRedact enrichment+mask run
+    // map-only over the dedup survivors; `text` is REPLACED by its
+    // redacted form so every downstream tokenization counts the masked
+    // corpus, and n_pii rides along as the audit column
+    val pii = s2
+      .withColumn("txt", concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 thanks")))
+      .withColumn("n_pii",
+        (size(regexp_extract_all(col("txt"), lit(piiEmail), lit(0))) +
+         size(regexp_extract_all(col("txt"), lit(piiIp), lit(0)))).cast("long"))
+      .withColumn("text",
+        regexp_replace(regexp_replace(col("txt"), piiEmail, "<EMAIL>"), piiIp, "<IP>"))
+      .drop("txt")
+      .localCheckpoint(true)
+    // stage 6 — per-source boilerplate bigram table over the survivors,
     // applied as a token-level strike: positions {i, i+1} of every
     // boilerplate bigram occurrence are struck from the packable count
-    val wt = s2.select(col("doc_id"), col("lang"), col("source"),
+    val wt = pii.select(col("doc_id"), col("lang"), col("source"), col("n_pii"),
         expr(Tokenize.sparkTrim).as("ws"))
       .persist(lvl)
     val bgr = wt.filter(size(col("ws")) >= 2)
@@ -214,13 +251,13 @@ object DatasetPipeline {
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_struck"))
     val toks = wt.join(struck, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_pii"),
         size(col("ws")).cast("long").as("n_tok_raw"),
         (size(col("ws")).cast("long") - coalesce(col("n_struck"), lit(0L))).as("n_tok"),
         expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1024) DIV CAST(size(ws) AS BIGINT)")
           .as("bucket"))
       .localCheckpoint(true)
-    // stage 6 — per-source token budget over the STRIPPED counts:
+    // stage 7 — per-source token budget over the STRIPPED counts:
     // bucket-histogram cum-sum (≤1025 rows per source), threshold
     // applied as a broadcast map-side filter
     val bkt = toks.groupBy(col("source"), col("bucket"))
@@ -235,7 +272,7 @@ object DatasetPipeline {
       .groupBy(col("source")).agg(min(col("bucket")).as("thr_bucket"))
     val kept = toks.join(broadcast(thr), Seq("source"))
       .filter(col("bucket") >= col("thr_bucket"))
-    // stage 7 — per-source 512-token-budget sequence packing over the
+    // stage 8 — per-source 512-token-budget sequence packing over the
     // stripped counts
     val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -246,10 +283,10 @@ object DatasetPipeline {
       .join(ranked.filter(col("rn") === 1)
         .select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tok_raw"), col("n_tok"), col("seq_no"),
+        col("n_tok_raw"), col("n_tok"), col("n_pii"), col("seq_no"),
         (col("score") + lit(0.0)).as("score"),
         coalesce(col("cluster_id"), lit(-1L)).cast("long").as("cluster_id"))
-    Stages(docsQ, docsD, ranked, s1, semDrop, s2, toks, kept, packed)
+    Stages(docsQ, docsD, ranked, s1, semDrop, s2, pii, toks, kept, packed)
   }
 
   val datasetCleanFull: QueryDef = QueryDef(
@@ -302,8 +339,18 @@ object DatasetPipeline {
        |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3),
        |s2 AS MATERIALIZED (SELECT s1.* FROM s1
        |  LEFT JOIN semdrop sd ON sd.vec_id = s1.doc_id WHERE sd.vec_id IS NULL),
-       |wt AS MATERIALIZED (SELECT doc_id, lang, source,
-       |  ${Tokenize.duckTrim} AS ws FROM s2),
+       |pii AS MATERIALIZED (SELECT doc_id, lang, source,
+       |    CAST(len(regexp_extract_all(txt, '$piiEmail'))
+       |       + len(regexp_extract_all(txt, '$piiIp')) AS BIGINT) AS n_pii,
+       |    regexp_replace(regexp_replace(txt, '$piiEmail', '<EMAIL>', 'g'),
+       |      '$piiIp', '<IP>', 'g') AS text
+       |  FROM (SELECT doc_id, lang, source,
+       |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |           || '@mail.example.com from 10.0.'
+       |           || CAST(doc_id % 256 AS VARCHAR) || '.7 thanks' AS txt
+       |    FROM s2) t),
+       |wt AS MATERIALIZED (SELECT doc_id, lang, source, n_pii,
+       |  ${Tokenize.duckTrim} AS ws FROM pii),
        |bgr AS MATERIALIZED (SELECT doc_id, source, i, ws[i] || ' ' || ws[i+1] AS ngram
        |  FROM wt, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)),
        |g3b AS (SELECT source, doc_id, ngram FROM bgr GROUP BY 1, 2, 3),
@@ -316,7 +363,7 @@ object DatasetPipeline {
        |  SELECT bgr.doc_id, unnest([bgr.i, bgr.i + 1]) AS p
        |  FROM bgr JOIN bo ON bo.source = bgr.source AND bo.ngram = bgr.ngram) t
        |  GROUP BY 1),
-       |toks AS MATERIALIZED (SELECT wt.doc_id, wt.lang, wt.source,
+       |toks AS MATERIALIZED (SELECT wt.doc_id, wt.lang, wt.source, wt.n_pii,
        |    CAST(len(ws) AS BIGINT) AS n_tok_raw,
        |    CAST(len(ws) AS BIGINT) - CAST(coalesce(st.n_struck, 0) AS BIGINT) AS n_tok,
        |    (CAST(len(list_distinct(ws)) AS BIGINT) * 1024) // CAST(len(ws) AS BIGINT) AS bucket
@@ -331,7 +378,7 @@ object DatasetPipeline {
        |  WHERE cum - btok < budget GROUP BY 1),
        |kept AS (SELECT t.* FROM toks t
        |  JOIN thr ON thr.source = t.source AND t.bucket >= thr.thr_bucket)
-       |SELECT k.doc_id, k.lang, k.source, k.n_tok_raw, k.n_tok,
+       |SELECT k.doc_id, k.lang, k.source, k.n_tok_raw, k.n_tok, k.n_pii,
        |  CAST(floor((sum(k.n_tok) OVER (PARTITION BY k.source ORDER BY k.doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k.n_tok) / 512.0) AS BIGINT) AS seq_no,
        |  qk.score + 0.0 AS score,

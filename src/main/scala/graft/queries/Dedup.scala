@@ -1761,6 +1761,9 @@ object Dedup {
       count(when(col("cs") >= 0.4, 1)).as("p4"),
       countDistinct(when(col("cs") >= 0.4, col("vec_id"))).as("d4"))
       .crossJoin(broadcast(nv))
+      // 1-row result; eager cut so the three threshold branches below read it
+      // instead of re-running the within-cell pair join per branch.
+      .localCheckpoint(true)
     Seq(("0.2", "p2", "d2"), ("0.3", "p3", "d3"), ("0.4", "p4", "d4")).map {
       case (t, p, d) =>
         ag.select(lit(t.toDouble).as("threshold"), col(p).as("n_pairs"),

@@ -467,8 +467,9 @@ object Retrieval {
        |FROM sc""".stripMargin) { (s, dir) =>
     val ch = Tables.documents(s, dir)
       .select(col("doc_id"), expr(graft.queries.Tokenize.sparkTrim).as("ws"))
+      .filter(size(col("ws")) > 0) // zero-token doc: sequence() would throw
       .select(col("doc_id"), col("ws"),
-        explode(expr("sequence(0, size(ws) - 1, 48)")).as("st"))
+        explode(expr("sequence(0, greatest(size(ws) - 1, 0), 48)")).as("st"))
       .select(expr("doc_id * 1024 + st DIV 48").as("cid"),
         expr("slice(ws, st + 1, 64)").as("cw"))
     val stats = ch.agg(count(lit(1)).as("n"),

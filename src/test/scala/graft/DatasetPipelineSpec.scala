@@ -63,7 +63,20 @@ class DatasetPipelineSpec extends graft.SparkSpec {
     val n2 = st.s2.count()
     assert(n2 == n1 - nd,
       s"stage-3 survivors ($n2) must equal stage-2 survivors ($n1) minus semantic drops ($nd)")
-    // stage 4 strips tokens, never docs
+    // stage 5 (PII): redacts text, never drops docs; every survivor
+    // carries the enrichment's >= 2 redactions and the redacted text
+    // holds no surviving email/IP literal
+    assert(st.pii.count() == n2,
+      "PII stage must cover every dedup survivor (map-only, no doc filter)")
+    assert(st.pii.filter(col("n_pii") < 2).isEmpty,
+      "every enriched doc must report at least the appended email + IP")
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    assert(st.pii.filter(
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))) > 0 ||
+        size(regexp_extract_all(col("text"), lit(ipPat), lit(0))) > 0).isEmpty,
+      "redacted text must contain no email or IPv4 literal")
+    // stage 6 strips tokens, never docs
     assert(st.toks.count() == n2,
       "stripped-count table must cover every stage-3 survivor")
     import org.apache.spark.sql.functions._
