@@ -607,7 +607,10 @@ object PlanAudit {
       // DSIR-vs-TTR ablation (r13): both selectors are bounded-histogram
       // thresholds broadcast back (loop joins are the 1-row fan-ins);
       // kept-set/score joins are keyed equi-joins
-      "q_sample_ablation" -> Seq("BroadcastNestedLoopJoin", "Window", "HashAggregate", "!CartesianProduct"))
+      "q_sample_ablation" -> Seq("BroadcastNestedLoopJoin", "Window", "HashAggregate", "!CartesianProduct"),
+      // doc-boundary mask table (r13): ONE per-source prefix window +
+      // ONE per-sequence aggregate — no join of any kind may appear
+      "q_pack_doc_boundaries" -> Seq("Window", "HashAggregate", "!Join", "!Generate"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -1621,10 +1621,53 @@ object Curation {
         coalesce(col("mean_score_dsir"), lit(0.0)).as("mean_score_dsir"))
   }
 
+  /** DOC-BOUNDARY MASK TABLE for the packed store (r13 — the column
+    * every packed-sequence training run ships next to the data): when
+    * [[packSequences]] concatenates documents into 512-token
+    * sequences, the trainer must mask CROSS-DOCUMENT attention (and
+    * often the loss at boundary tokens) — which requires, per packed
+    * sequence, the start offset of every document inside it. This
+    * lane emits exactly that table: per (source, seq_no) the doc
+    * count, token sum, and the sorted boundary offsets — serialized
+    * as a zero-padded comma-joined string (offsets < 512 ⇒ 3 digits),
+    * per the no-array-cells comparator rule.
+    *
+    * Scale shape: the SAME one per-source prefix-sum window the
+    * packing itself runs (a doc's offset = its prefix start mod 512),
+    * then one hash-agg per sequence; the per-group collect is bounded
+    * by 512 (every doc holds ≥ 1 token, so a sequence holds ≤ 512
+    * docs). No join anywhere. */
+  val packDocBoundaries: QueryDef = QueryDef(
+    "q_pack_doc_boundaries",
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${Tokenize.duckTrim}) AS BIGINT) AS n_tok FROM documents),
+       |p AS (SELECT doc_id, source, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS st FROM t),
+       |q AS (SELECT source, st // 512 AS seq_no, n_tok, st % 512 AS off FROM p)
+       |SELECT source, CAST(seq_no AS BIGINT) AS seq_no,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       |  string_agg(lpad(CAST(off AS VARCHAR), 3, '0'), ',' ORDER BY off) AS boundaries
+       |FROM q GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
+      .withColumn("st", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("source"), expr("st DIV 512").as("seq_no"), col("n_tok"),
+        expr("lpad(CAST(st % 512 AS STRING), 3, '0')").as("offp"))
+      .groupBy(col("source"), col("seq_no"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
+        array_join(sort_array(collect_list(col("offp"))), ",").as("boundaries"))
+  }
+
   val defs: Seq[QueryDef] = Seq(sampleStratified, vecNormalize, vecQuantize,
     packSequences, mixTemperature, vecProject, zorderCluster, chunkOverlap,
     rangeSplit, rangeSplitSampled, splitGrouped, sampleWeighted, rfmQuintiles, sampleNegatives,
     embedDimStats, lenBuckets, datasetCard, powerIter, sampleTokenBudget, mixEpochs,
     embedFisher, embedDrift, corpusDrift, sampleDsir, sampleDsirIncr, packShards,
-    embedWhiten, datasetCardDiff, packEpochPlan, sampleAblation)
+    embedWhiten, datasetCardDiff, packEpochPlan, sampleAblation, packDocBoundaries)
 }

@@ -1582,11 +1582,87 @@ object Streaming {
     }
   }
 
+  /** Stage one micro-batch of the STREAMING QUALITY GATE: extract the
+    * scorer's features from the batch text (map-only), score against
+    * the FROZEN 1-row weight broadcast, land per-doc (score, kept)
+    * verdicts under `gen_$id` with the `_SUCCESS` replay guard.
+    * Factored out of [[streamQuality]]'s `foreachBatch` so the spec
+    * can pin replay idempotence directly. */
+  private[queries] def stageQualityBatch(batch: DataFrame, id: Long,
+      stateRoot: String, wt: DataFrame): Unit = {
+    val gen = s"$stateRoot/gen_$id"
+    if (!new java.io.File(gen, "_SUCCESS").exists()) {
+      TextAnalysis.qualityFeatures(batch)
+        .crossJoin(broadcast(wt))
+        .withColumn("score", expr(
+          "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6) + 0.0D"))
+        .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("kept"))
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** STREAMING QUALITY GATE (r13 — the FOURTH at-the-door ingest gate,
+    * completing the quartet: dedup [[streamDedupStore]], contamination
+    * [[streamContam]], drift [[streamDrift]], quality here): the
+    * trained logistic scorer's weights are FROZEN from the old
+    * generation (the [[TextAnalysis.qualityScoredFrozen]] discipline —
+    * re-training per batch would shift old keep decisions), and each
+    * arriving micro-batch scores itself map-only against the 1-row
+    * broadcast: feature extraction + sigmoid + the shipped 0.5 keep
+    * cutoff, verdicts staged under generation dirs with the `_SUCCESS`
+    * replay guard.
+    *
+    * The DuckDB oracle replays the frozen-scorer chain batch-mode over
+    * the new generation (batch_id = (doc_id DIV 10) % 4) — hash
+    * equality proves the stream gate scores exactly what the nightly
+    * batch job would. Scale shape: training touches the OLD corpus
+    * once (3 hash-agg gradient steps, before the stream starts);
+    * per-trigger cost is one map pass over the batch — no join, no
+    * shuffle, no state beyond the staged verdicts. */
+  val streamQuality: QueryDef = QueryDef(
+    "q_stream_quality",
+    s"""WITH ${TextAnalysis.duckQualityCtesFrozen}
+       |SELECT CAST((doc_id // 10) % 4 AS BIGINT) AS batch_id, doc_id,
+       |  score + 0.0 AS score, score >= 0.5 AS kept
+       |FROM scored WHERE doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+    withShufflePartitions(s, 8) {
+      // frozen weights: trained on the old generation, lineage-cut so
+      // every micro-batch broadcasts a 1-row table, not the GD chain
+      val fOld = TextAnalysis.qualityFeatures(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wt = TextAnalysis.trainQualityWeights(fOld).localCheckpoint(true)
+      fOld.unpersist()
+      val srcDir = writeSlices(s,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+          .withColumn("slice", pmod(expr("doc_id DIV 10"), lit(4)).cast("int")),
+        4, scratch("squal_src"), "squal")
+      val stateRoot = scratch("squal_state")
+      val q = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          stageQualityBatch(batch, id, stateRoot, wt)
+          ()
+        }
+        .option("checkpointLocation", scratch("squal_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$stateRoot/gen_*")
+        .select(col("batch_id"), col("doc_id"), col("score"), col("kept"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     pipelineBatch, pipelineDeadletter, pipelineStream, pipelineJdbc,
     pipelineJdbcRowfail, streamTumbling, streamSliding, sessionWindowQ,
     streamDedup, streamDedupWm, streamStreamJoin, streamStaticJoin, streamStatefulSessions,
     streamAppendFinal, streamJoinOuter, streamIvm, streamBatchMetrics,
     streamIdempotent, streamTimetravel, streamCdf, streamEwma, streamDrift,
-    streamIndexAppend, streamDeleteMerge, streamContam, streamDedupStore)
+    streamIndexAppend, streamDeleteMerge, streamContam, streamDedupStore,
+    streamQuality)
 }

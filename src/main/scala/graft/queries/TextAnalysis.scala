@@ -1032,31 +1032,9 @@ object TextAnalysis {
     * after the 3-step training chain. */
   private[queries] def qualityScored(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val f = Tables.documents(s, dir).selectExpr(
-      "doc_id",
-      s"""round(coalesce(CAST(size(filter($wordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
-         |  / nullif(CAST(size($wordsSql) AS DOUBLE), 0), 0), 6) AS x1""".stripMargin,
-      """round(coalesce(CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE)
-        |  / nullif(CAST(length(text) AS DOUBLE), 0), 0), 6) AS x2""".stripMargin,
-      s"round(least(CAST(size($wordsSql) AS DOUBLE), 200) / 200, 6) AS x3",
-      s"""CASE WHEN size($wordsSql) BETWEEN 20 AND 80
-         |  AND coalesce(CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
-         |        / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
-         |  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y""".stripMargin)
+    val f = qualityFeatures(Tables.documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var wt = f.sparkSession.range(1).selectExpr(
-      "CAST(0 AS DOUBLE) AS w0", "CAST(0 AS DOUBLE) AS w1",
-      "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
-    for (_ <- 1 to 3) {
-      wt = f.crossJoin(broadcast(wt))
-        .withColumn("p", expr(
-          "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
-        .agg(
-          expr("round(max(w0) + 0.5 * round(CAST(SUM(CAST(round((y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w0"),
-          expr("round(max(w1) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w1"),
-          expr("round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w2"),
-          expr("round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w3"))
-    }
+    val wt = trainQualityWeights(f)
     f.crossJoin(broadcast(wt))
       .withColumn("score", expr(
         "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
@@ -1085,13 +1063,12 @@ object TextAnalysis {
        |FROM f, wt3)""".stripMargin
   }
 
-  /** Spark half of [[duckQualityCtesFrozen]]: per-doc (doc_id, y,
-    * score) where the 3-step training chain sees ONLY the old
-    * generation and the frozen weights score everything — new-batch
-    * scoring is O(new) given the 1-row broadcast weight table. */
-  private[queries] def qualityScoredFrozen(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val f = Tables.documents(s, dir).selectExpr(
+  /** Feature extraction of the quality scorer over any (doc_id, text)
+    * table — shared by [[qualityScored]], [[qualityScoredFrozen]] and
+    * the per-micro-batch scoring of [[Streaming.stageQualityBatch]]. */
+  private[queries] def qualityFeatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.selectExpr(
       "doc_id",
       s"""round(coalesce(CAST(size(filter($wordsSql, w -> w IN ('the','of','and','to','a','in','is','it'))) AS DOUBLE)
          |  / nullif(CAST(size($wordsSql) AS DOUBLE), 0), 0), 6) AS x1""".stripMargin,
@@ -1102,13 +1079,17 @@ object TextAnalysis {
          |  AND coalesce(CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
          |        / nullif(CAST(length(text) AS DOUBLE), 0), 0) <= 0.1
          |  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y""".stripMargin)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fo = f.filter(col("doc_id") % 10 =!= 0)
-    var wt = f.sparkSession.range(1).selectExpr(
+
+  /** The 3-step logistic gradient chain over a feature table — each
+    * step one hash-agg to a 1-row weight table that broadcasts into
+    * the next (never a driver collect). */
+  private[queries] def trainQualityWeights(fTrain: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var wt = fTrain.sparkSession.range(1).selectExpr(
       "CAST(0 AS DOUBLE) AS w0", "CAST(0 AS DOUBLE) AS w1",
       "CAST(0 AS DOUBLE) AS w2", "CAST(0 AS DOUBLE) AS w3")
     for (_ <- 1 to 3) {
-      wt = fo.crossJoin(broadcast(wt))
+      wt = fTrain.crossJoin(broadcast(wt))
         .withColumn("p", expr(
           "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
         .agg(
@@ -1117,6 +1098,18 @@ object TextAnalysis {
           expr("round(max(w2) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w2"),
           expr("round(max(w3) + 0.5 * round(CAST(SUM(CAST(round((y - p) * x3, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6), 6)").as("w3"))
     }
+    wt
+  }
+
+  /** Spark half of [[duckQualityCtesFrozen]]: per-doc (doc_id, y,
+    * score) where the 3-step training chain sees ONLY the old
+    * generation and the frozen weights score everything — new-batch
+    * scoring is O(new) given the 1-row broadcast weight table. */
+  private[queries] def qualityScoredFrozen(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val f = qualityFeatures(Tables.documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wt = trainQualityWeights(f.filter(col("doc_id") % 10 =!= 0))
     f.crossJoin(broadcast(wt))
       .withColumn("score", expr(
         "round(1 / (1 + exp(-round(w0 + w1*x1 + w2*x2 + w3*x3, 6))), 6)"))
