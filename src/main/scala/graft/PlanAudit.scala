@@ -610,7 +610,17 @@ object PlanAudit {
       "q_sample_ablation" -> Seq("BroadcastNestedLoopJoin", "Window", "HashAggregate", "!CartesianProduct"),
       // doc-boundary mask table (r13): ONE per-source prefix window +
       // ONE per-sequence aggregate — no join of any kind may appear
-      "q_pack_doc_boundaries" -> Seq("Window", "HashAggregate", "!Join", "!Generate"))
+      "q_pack_doc_boundaries" -> Seq("Window", "HashAggregate", "!Join", "!Generate"),
+      // BPE-budget packing (r14): the vocab-sized encode table
+      // broadcasts into the token explode (the bpe_encode shape), and
+      // both prefix sums rank WITHIN source — no global sort, no
+      // shuffled join
+      "q_pack_bpe" -> Seq("BroadcastHashJoin", "Window", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"),
+      // band-geometry sweep (r14): all three geometries re-expand the
+      // ONE persisted signature table; candidates are band-keyed
+      // equi-joins behind capped-bucket semi-joins; the quadratic
+      // truth pass stays an equi-join on the block key
+      "q_dedup_band_sweep" -> Seq("LeftSemi", "InMemoryTableScan", "HashAggregate", "!CartesianProduct"))
 
     // Internal stages: plan fragments that a checkpoint/lineage
     // truncation hides from the registered query's final plan, audited

@@ -50,14 +50,7 @@ object CorpusDelta {
     // --- MinHash band buckets (LSH ladder candidate volume) ---
     val w = docs.select(col("doc_id"),
       expr(s"array_distinct(${Tokenize.spark})").as("ws"))
-    val sig = w.select(col("doc_id"), expr(
-      """transform(sequence(0, 7),
-        |  s -> array_min(transform(ws,
-        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
-    val bk = sig.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(CAST(b AS STRING), '|',
-          |    element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+    val bk = Dedup.minhashBands(w)
       .groupBy(col("bk")).agg(count(lit(1)).as("c"))
     val bstats = t("minhash band histogram")(bk.agg(
       count(lit(1)).as("buckets"),
@@ -78,6 +71,49 @@ object CorpusDelta {
           max(col("c")).as("max_clique")).collect()(0))
     println(s"[delta] distinctSigs=${hstats.get(0)} cliquePairs=${hstats.get(1)} " +
       s"maxClique=${hstats.get(2)}")
+
+    // --- q_dataset_clean_incr delta-pair structure (VERDICT r13 #4):
+    // the incr lane's cost tracks the banded candidate volume its
+    // quality survivors generate — old×old (day-0 components) and the
+    // nightly delta (pairs touching a new doc), plus the verified-pair
+    // counts feeding the contracted merge loop.
+    val qk = TextAnalysis.qualityScoredFrozen(spark, sfDir)
+      .filter(col("score") >= 0.5).select(col("doc_id"))
+    val aqW = docs.join(qk, Seq("doc_id"))
+      .select(col("doc_id"), expr(s"array_distinct(${Tokenize.spark})").as("ws"))
+      .persist(lvl)
+    val nQ = t("quality survivors (frozen scorer)")(aqW.count())
+    val ibands = Dedup.minhashBands(aqW).persist(lvl)
+    t("survivor band build")(ibands.count())
+    val jacc = """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
+                 |  / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE) >= 0.5D""".stripMargin
+    def vcount(cand: org.apache.spark.sql.DataFrame): Long = cand
+      .join(aqW.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
+      .join(aqW.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
+      .filter(expr(jacc)).count()
+    val ob = ibands.filter(col("doc_id") % 10 =!= 0)
+    val osized = ob.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val ocand = ob.select(col("doc_id").as("d1"), col("bk"))
+      .join(ob.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .join(osized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct().persist(lvl)
+    val nOc = t("old candidate pairs")(ocand.count())
+    val nOv = t("old verified pairs")(vcount(ocand))
+    val fsized = ibands.groupBy(col("bk")).count()
+      .filter(col("count").between(2, 20)).select(col("bk"))
+    val icand = ibands.select(col("doc_id").as("d1"), col("bk"))
+      .join(ibands.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2")
+          && (col("d1") % 10 === 0 || col("d2") % 10 === 0))
+      .join(fsized, Seq("bk"), "left_semi")
+      .select(col("d1"), col("d2")).distinct().persist(lvl)
+    val nIc = t("delta candidate pairs")(icand.count())
+    val nIv = t("delta verified pairs")(vcount(icand))
+    println(s"[delta] incrSurvivors=$nQ oldCand=$nOc oldVerified=$nOv " +
+      s"deltaCand=$nIc deltaVerified=$nIv")
+    ocand.unpersist(); icand.unpersist(); ibands.unpersist(); aqW.unpersist()
     docs.unpersist()
 
     // --- co-supply graph (q_graph_jaccard), stage-timed ---

@@ -756,6 +756,26 @@ object Curation {
     * and carried DECIMAL(20,6); requested tokens = floor of a product
     * of two exactly-shared doubles; epochs = one final rounded
     * integer division. */
+  /** Shared sqrt-temperature (α=0.5) mixture-weight derivation over a
+    * per-source `(source, avail)` token-count table: attaches the
+    * 1-row `total`, the 6-dp DECIMAL weight `w = round(sqrt(avail /
+    * total), 6)` and the 1-row `sum_w` — the exact expressions
+    * [[mixEpochs]] publishes and [[packEpochPlan]] schedules from
+    * (factored the way `dsirThresholded` was for the ablation, so the
+    * two lanes cannot desynchronize). `avail` is always ≥ 1: sources
+    * come from a groupBy over documents and the tokenizer never yields
+    * zero tokens, which is also why packEpochPlan's `req DIV avail`
+    * needs no zero guard. */
+  private[queries] def temperatureWeights(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = counts.agg(sum(col("avail")).as("total"))
+    val t = counts.crossJoin(broadcast(tot))
+      .withColumn("w",
+        expr("CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6))"))
+    val tw = t.agg(sum(col("w")).as("sum_w"))
+    t.crossJoin(broadcast(tw))
+  }
+
   val mixEpochs: QueryDef = QueryDef(
     "q_mix_epochs",
     s"""WITH d AS (SELECT source, len(${Tokenize.duckTrim}) AS n_tok FROM documents),
@@ -780,14 +800,9 @@ object Curation {
     val counts = Tables.documents(s, dir)
       .select(col("source"), size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
-    val tot = counts.agg(sum(col("avail")).as("total"))
-    val t = counts.crossJoin(broadcast(tot))
+    temperatureWeights(counts)
       .withColumn("raw_frac",
         expr("CAST(round(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DECIMAL(20,6))"))
-      .withColumn("w",
-        expr("CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6))"))
-    val tw = t.agg(sum(col("w")).as("sum_w"))
-    t.crossJoin(broadcast(tw))
       .withColumn("temp_frac",
         expr("CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6))"))
       .withColumn("requested_tokens",
@@ -1484,12 +1499,9 @@ object Curation {
         floor((sum(col("n_tok")).over(wq) - col("n_tok")) / lit(512.0)).cast("long"))
       .select(col("source"), col("seq_no")).distinct()
     val sTab = t.groupBy(col("source")).agg(sum(col("n_tok")).as("avail"))
-    val tot = sTab.agg(sum(col("avail")).as("total"))
-    val tw0 = sTab.crossJoin(broadcast(tot))
-      .withColumn("w",
-        expr("CAST(round(sqrt(CAST(avail AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS DECIMAL(20,6))"))
-    val sw = tw0.agg(sum(col("w")).as("sum_w"))
-    val pl = tw0.crossJoin(broadcast(sw))
+    // the mixture plan is [[temperatureWeights]] — the SAME derivation
+    // mixEpochs publishes, so the scheduler and the plan table agree
+    val pl = temperatureWeights(sTab)
       .select(col("source"), col("avail").cast("long").as("avail"),
         expr("""CAST(floor(CAST(CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS DECIMAL(20,6)) AS DOUBLE)
                |  * CAST(total AS DOUBLE)) AS BIGINT)""".stripMargin).as("req"))

@@ -462,14 +462,7 @@ object DatasetPipeline {
     val w = aq.select(col("doc_id"),
         expr(s"array_distinct(${Tokenize.spark})").as("ws"))
       .persist(lvl)
-    val bands = w.select(col("doc_id"), expr(
-        """transform(sequence(0, 7),
-          |  s -> array_min(transform(ws,
-          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
-      .persist(lvl)
+    val bands = Dedup.minhashBands(w).persist(lvl)
     def verify(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       cand
         .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))

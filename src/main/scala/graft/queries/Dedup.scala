@@ -21,6 +21,30 @@ object Dedup {
   private val duckWordsSql = Tokenize.duck
   private val duckTrimWordsSql = Tokenize.duckTrim
 
+  /** THE unigram-set MinHash signature (8 seed-salted md5 permutations
+    * over a `ws` word-set column) — the single Spark-side definition
+    * of the ladder's signature map stage, shared (like [[Tokenize]])
+    * by every banded-LSH lane here, the curation DAG, the streaming
+    * ingest gate and CorpusDelta, so the band rule cannot silently
+    * drift between the batch and streaming twins. */
+  private[graft] val minhashSigSql: String =
+    """transform(sequence(0, 7),
+      |  s -> array_min(transform(ws,
+      |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin
+
+  /** THE 4-band × 2-row band-key expansion over a `sg` signature
+    * column — the other half of the shared banding rule. */
+  private[graft] val minhashBandSql: String =
+    """transform(sequence(0, 3),
+      |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin
+
+  /** (doc_id, bk) band-key table of a (doc_id, ws) word-set table —
+    * [[minhashSigSql]] + [[minhashBandSql]] composed; one Generate
+    * pass, no shuffle. */
+  private[graft] def minhashBands(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
+      .select(col("doc_id"), explode(expr(minhashBandSql)).as("bk"))
+
   /** Exact dedup on a normalized content key: md5 of the normalized
     * text; survivor = lowest doc_id per key. */
   val dedupExact: QueryDef = QueryDef(
@@ -84,20 +108,12 @@ object Dedup {
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
        |JOIN sized sz ON a.bk = sz.bk""".stripMargin) { (s, dir) =>
-    val sig = Tables.documents(s, dir)
-      .withColumn("ws", expr(s"array_distinct($wordsSql)"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 7),
-          |  s -> array_min(transform(ws,
-          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
     // pin the (doc_id, band_key) set: three consumers (both self-join
     // sides + the bucket-size guard) would otherwise each recompute
     // the full MinHash signatures — at scale this is the materialized
     // signature table between the map stage and the candidate join
-    val bands = sig
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+    val bands = minhashBands(Tables.documents(s, dir)
+        .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = bands.groupBy(col("bk")).count()
       .filter(col("count").between(2, 20)).select(col("bk"))
@@ -782,14 +798,7 @@ object Dedup {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandsOf(docs: org.apache.spark.sql.DataFrame) = docs
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 7),
-          |  s -> array_min(transform(ws,
-          |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) = minhashBands(docs)
     // ---- store build (in production: last night's append, not a rebuild)
     graft.sources.CatalogSurface.saveTable(
       bandsOf(w.filter(col("doc_id") % 10 =!= 0)),
@@ -1323,14 +1332,7 @@ object Dedup {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(lvl)
-    val bands = w.select(col("doc_id"), expr(
-      """transform(sequence(0, 7),
-        |  s -> array_min(transform(ws,
-        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
-      .persist(lvl)
+    val bands = minhashBands(w).persist(lvl)
     def verify(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       cand
         .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
@@ -1635,15 +1637,10 @@ object Dedup {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(mem)
-    val sig = w.select(col("doc_id"), expr(
-      """transform(sequence(0, 7),
-        |  s -> array_min(transform(ws,
-        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
       .persist(mem)
     val bands = sig
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(CAST(b AS STRING), '|', element_at(sg, 2*b+1), '|', element_at(sg, 2*b+2))))""".stripMargin)).as("bk"))
+      .select(col("doc_id"), explode(expr(minhashBandSql)).as("bk"))
       .persist(mem)
     val sized = bands.groupBy(col("bk")).count()
       .filter(col("count").between(2, 20)).select(col("bk"))
@@ -1668,6 +1665,149 @@ object Dedup {
         expr("round(CAST(SUM(CAST(round(abs(n_agree / 8.0D - jacc), 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("mae"))
       .select(col("n_agree"), expr("round(n_agree / 8.0D, 6) + 0.0D").as("est_jaccard"),
         col("n_pairs"), col("avg_exact"), col("mae"))
+  }
+
+  /** One geometry block of the band-sweep oracle: bands → bucket
+    * histogram → capped candidates → one stats row. */
+  private def sweepGeomCtes(bN: Int, r: Int): String =
+    s"""bands_$bN$r AS (SELECT doc_id,
+       |  md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[$r*b+1 : $r*b+$r], '|')) AS bk
+       |  FROM sig, unnest(range(0, $bN)) AS t(b)),
+       |st_$bN$r AS MATERIALIZED (SELECT bk, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM bands_$bN$r GROUP BY 1),
+       |cand_$bN$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands_$bN$r a JOIN bands_$bN$r b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN (SELECT bk FROM st_$bN$r WHERE c BETWEEN 2 AND 20) sz ON a.bk = sz.bk),
+       |row_$bN$r AS (SELECT 'b${bN}r$r' AS geometry,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM st_$bN$r) AS n_buckets,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM st_$bN$r WHERE c > 20) AS n_hot,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$bN$r) AS n_cand,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$bN$r c
+       |     JOIN w wa ON wa.doc_id = c.d1 JOIN w wb ON wb.doc_id = c.d2
+       |     WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+       |       / CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE) >= 0.5) AS n_ver,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$bN$r c
+       |     JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_found_capped,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |     SELECT DISTINCT t.d1, t.d2 FROM truth t
+       |     JOIN bands_$bN$r a ON a.doc_id = t.d1
+       |     JOIN bands_$bN$r b ON b.doc_id = t.d2 AND b.bk = a.bk)) AS n_collide)""".stripMargin
+
+  /** LSH BAND-GEOMETRY ABLATION (r14, VERDICT r13 Next #5 — the
+    * justification [[dedupMinhashCalib]] stops short of): the ladder
+    * ships 4 bands × 2 rows as a constant; this lane computes, from
+    * the SAME 8-permutation signature table, the numbers that justify
+    * (or indict) the geometry — for (b=4,r=2), (b=2,r=4) and
+    * (b=8,r=1): bucket count, capped-out hot buckets, candidate-pair
+    * volume under the production 2..20 bucket cap, exact-Jaccard
+    * verified pairs (precision), and recall against the
+    * [[dedupRecall]] brute-force ground-truth block. This is the LSH
+    * S-curve tradeoff every deployment documents: r=4 collides only
+    * near-identical docs (high precision, low recall), r=1 buckets on
+    * a single min-hash (high recall, hot buckets, low precision);
+    * b=4,r=2 is the shipped middle.
+    *
+    * Scale shape: ONE signature map pass feeds all three geometries
+    * (the bands are re-expansions of the persisted 8-sig table, not
+    * re-hashes of the corpus); every candidate join is band-keyed and
+    * bucket-capped; the quadratic truth block is confined to the one
+    * (lang, source) ground-truth block exactly as [[dedupRecall]]
+    * runs it. Output is 3 rows. */
+  val dedupBandSweep: QueryDef = QueryDef(
+    "q_dedup_band_sweep",
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, list_distinct($duckWordsSql) AS ws FROM documents),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(range(0, 8),
+       |    s -> list_aggregate(list_transform(ws,
+       |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sg
+       |  FROM w),
+       |blk AS (SELECT min(lang) AS blang, min(source) AS bsource FROM documents),
+       |twb AS (SELECT doc_id, lang, source, list_distinct($duckWordsSql) AS ws
+       |  FROM documents, blk WHERE lang = blang AND source = bsource),
+       |truth AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM twb a JOIN twb b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |   AND 2 * least(len(a.ws), len(b.ws)) >= greatest(len(a.ws), len(b.ws))
+       |  WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE) >= 0.5),
+       |${sweepGeomCtes(4, 2)},
+       |${sweepGeomCtes(2, 4)},
+       |${sweepGeomCtes(8, 1)},
+       |allr AS (SELECT * FROM row_42 UNION ALL SELECT * FROM row_24
+       |  UNION ALL SELECT * FROM row_81)
+       |SELECT geometry, n_buckets, n_hot, n_cand, n_ver,
+       |  round(COALESCE(n_ver / CAST(NULLIF(n_cand, 0) AS DOUBLE), 0), 6) + 0.0 AS prec,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+       |  n_found_capped, n_collide,
+       |  round(COALESCE(n_found_capped / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE), 0), 6) + 0.0 AS recall_capped,
+       |  round(COALESCE(n_collide / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE), 0), 6) + 0.0 AS recall_band
+       |FROM allr""".stripMargin) { (s, dir) =>
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val jaccGe = """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
+                   |  / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE) >= 0.5D""".stripMargin
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
+      .persist(mem)
+    // ONE signature table feeds all three geometries
+    val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg")).persist(mem)
+    val docs = Tables.documents(s, dir)
+    val blk = docs.agg(min(col("lang")).as("blang"), min(col("source")).as("bsource"))
+    // the block key stays in the join (the dedupRecall shape): the
+    // quadratic pass is an equi-join on (lang, source), never a loop
+    val twb = docs.join(broadcast(blk),
+        col("lang") === col("blang") && col("source") === col("bsource"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"array_distinct($wordsSql)").as("ws"))
+    val truth = twb.select(col("doc_id").as("d1"), col("lang"), col("source"), col("ws").as("w1"))
+      .join(twb.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+          col("source").as("source2"), col("ws").as("w2")),
+        col("lang") === col("lang2") && col("source") === col("source2")
+          && col("d1") < col("d2")
+          && expr("2 * least(size(w1), size(w2)) >= greatest(size(w1), size(w2))"))
+      .filter(expr(jaccGe))
+      .select(col("d1"), col("d2")).persist(mem)
+    val truthCnt = truth.agg(count(lit(1)).as("n_true"))
+    def geomRow(bN: Int, r: Int): org.apache.spark.sql.DataFrame = {
+      val bands = sig.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${bN - 1}),
+           |  b -> md5(concat(CAST(b AS STRING), '|', array_join(slice(sg, $r*b+1, $r), '|'))))""".stripMargin)).as("bk"))
+        .persist(mem)
+      val st = bands.groupBy(col("bk")).agg(count(lit(1)).as("c")).persist(mem)
+      val bstats = st.agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > 20, 1L).otherwise(0L)).as("n_hot"))
+      val sized = st.filter(col("c").between(2, 20)).select(col("bk"))
+      val cand = bands.select(col("doc_id").as("d1"), col("bk"))
+        .join(bands.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+          col("bk") === col("bk2") && col("d1") < col("d2"))
+        .join(sized, Seq("bk"), "left_semi")
+        .select(col("d1"), col("d2")).distinct().persist(mem)
+      val cstat = cand.agg(count(lit(1)).as("n_cand"))
+      val vstat = cand
+        .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
+        .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
+        .filter(expr(jaccGe)).agg(count(lit(1)).as("n_ver"))
+      val fstat = truth.join(cand, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_found_capped"))
+      // uncapped band-collision recall: does the truth pair share ANY
+      // band key — a truth-sized probe (never the uncapped pair set)
+      val collide = truth
+        .join(bands.select(col("doc_id").as("d1"), col("bk")), Seq("d1"))
+        .join(bands.select(col("doc_id").as("d2"), col("bk").as("bk2")), Seq("d2"))
+        .filter(col("bk") === col("bk2"))
+        .select(col("d1"), col("d2")).distinct()
+        .agg(count(lit(1)).as("n_collide"))
+      bstats.crossJoin(cstat).crossJoin(vstat).crossJoin(fstat).crossJoin(collide)
+        .withColumn("geometry", lit(s"b${bN}r$r"))
+    }
+    val rows = Seq((4, 2), (2, 4), (8, 1))
+      .map { case (bN, r) => geomRow(bN, r) }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(truthCnt))
+      .select(col("geometry"), col("n_buckets"), col("n_hot"),
+        col("n_cand"), col("n_ver"),
+        expr("round(coalesce(n_ver / CAST(nullif(n_cand, 0) AS DOUBLE), 0), 6) + 0.0D").as("prec"),
+        col("n_true"), col("n_found_capped"), col("n_collide"),
+        expr("round(coalesce(n_found_capped / CAST(nullif(n_true, 0) AS DOUBLE), 0), 6) + 0.0D").as("recall_capped"),
+        expr("round(coalesce(n_collide / CAST(nullif(n_true, 0) AS DOUBLE), 0), 6) + 0.0D").as("recall_band"))
   }
 
   /** SEMDEDUP THRESHOLD CURVE (r12 — the calibration behind the 0.3
@@ -1778,5 +1918,5 @@ object Dedup {
     dedupHammingMultiprobe, dedupNgramSpans, dedupIncremental,
     dedupIncrementalStore, dedupChunks, datasetClean, dedupLshSplit, dedupRecall,
     dedupClusters, dedupSemantic, dedupClustersIncr, splitLeakproof, sourceMatrix,
-    dedupNormLadder, dedupMinhashCalib, semCurve)
+    dedupNormLadder, dedupMinhashCalib, semCurve, dedupBandSweep)
 }

@@ -467,7 +467,11 @@ object Retrieval {
        |FROM sc""".stripMargin) { (s, dir) =>
     val ch = Tables.documents(s, dir)
       .select(col("doc_id"), expr(graft.queries.Tokenize.sparkTrim).as("ws"))
-      .filter(size(col("ws")) > 0) // zero-token doc: sequence() would throw
+      // defensive only: Tokenize.sparkTrim never yields an empty array
+      // today (empty/whitespace text tokenizes to [""], size 1), so
+      // this filter — like the greatest(...) clamp below — is a no-op
+      // kept as a guard should the tokenizer ever change
+      .filter(size(col("ws")) > 0)
       .select(col("doc_id"), col("ws"),
         explode(expr("sequence(0, greatest(size(ws) - 1, 0), 48)")).as("st"))
       .select(expr("doc_id * 1024 + st DIV 48").as("cid"),

@@ -946,7 +946,13 @@ object TextAnalysis {
     sb.toString
   }
 
-  val bpeEncode: QueryDef = QueryDef("q_text_bpe_encode", bpeEncodeOracle) { (s, dir) =>
+  /** The trained encode table (distinct word → BPE symbol count):
+    * [[bpeTrainMerges]] then the merges replayed in rank order as a
+    * literal codegen'd replace chain over the vocabulary-sized
+    * DISTINCT word table — shared by [[bpeEncode]], [[bpeFertility]]
+    * and [[packBpe]], never joined against anything corpus-sized. */
+  private def bpeEncTable(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val (_, merges) = bpeTrainMerges(s, dir, 10)
     var dict = Tables.documents(s, dir)
       .select(explode(expr(Tokenize.sparkTrim)).as("w")).distinct()
@@ -955,7 +961,11 @@ object TextAnalysis {
     for ((pair, merged, _) <- merges) {
       dict = dict.withColumn("syms", applyMergeAnchored(col("syms"), pair, merged))
     }
-    val enc = dict.select(col("w"), size(split(col("syms"), bpeSep)).as("ns"))
+    dict.select(col("w"), size(split(col("syms"), bpeSep)).as("ns"))
+  }
+
+  val bpeEncode: QueryDef = QueryDef("q_text_bpe_encode", bpeEncodeOracle) { (s, dir) =>
+    val enc = bpeEncTable(s, dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(Tokenize.sparkTrim)).as("w"))
       .join(enc, Seq("w"))
@@ -1620,15 +1630,7 @@ object TextAnalysis {
       |  round(CAST(SUM(ns) AS DOUBLE) / COUNT(*), 6) + 0.0 AS fertility,
       |  round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0 AS compression
       |FROM per GROUP BY lang""".stripMargin)) { (s, dir) =>
-    val (_, merges) = bpeTrainMerges(s, dir, 10)
-    var dict = Tables.documents(s, dir)
-      .select(explode(expr(Tokenize.sparkTrim)).as("w")).distinct()
-      .withColumn("syms", expr(
-        "substring(regexp_replace(w, '(.)', concat('$1', char(31))), 1, greatest(2 * length(w) - 1, 0))"))
-    for ((pair, merged, _) <- merges) {
-      dict = dict.withColumn("syms", applyMergeAnchored(col("syms"), pair, merged))
-    }
-    val enc = dict.select(col("w"), size(split(col("syms"), bpeSep)).as("ns"))
+    val enc = bpeEncTable(s, dir)
     Tables.documents(s, dir)
       .select(col("lang"), explode(expr(Tokenize.sparkTrim)).as("w"))
       .join(enc, Seq("w"))
@@ -1637,6 +1639,55 @@ object TextAnalysis {
         sum(col("ns")).as("n_bpe"),
         expr("round(CAST(SUM(ns) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("fertility"),
         expr("round(CAST(SUM(length(w)) AS DOUBLE) / SUM(ns), 6) + 0.0D").as("compression"))
+  }
+
+  /** BPE-TOKEN-AWARE SEQUENCE PACKING (r14, VERDICT r13 Next #3 —
+    * closing the gap between the tokenizer surface and the packing
+    * surface): every budget/packing lane so far counts WHITESPACE
+    * tokens, but a training run budgets and packs in TOKENIZER
+    * tokens — context length is spent in BPE symbols, not words. This
+    * lane packs per-source 512-BPE-symbol sequences from the trained
+    * encoder's counts ([[bpeEncTable]] — the [[bpeEncode]] chain
+    * verbatim) with [[Curation.packSequences]]'s prefix-sum packer,
+    * and emits the whitespace-budget seq_no beside it: the rows where
+    * `seq_no` ≠ `seq_no_ws` are exactly the packing drift a
+    * whitespace-budgeted pipeline would feed a BPE-budgeted trainer.
+    *
+    * Scale shape: training touches the corpus once
+    * ([[bpeTrainMerges]]); encoding is the vocabulary-sized literal
+    * replace chain; the per-doc rollup is one token-explode hash-agg;
+    * packing is the per-source prefix-sum window — no global sort
+    * ([[Curation.packSequences]]'s argument). Oracle: the
+    * [[bpeEncodeOracleWith]] train+encode chain composed with the
+    * packing window CTE — one SQL replay of the whole composition. */
+  val packBpe: QueryDef = QueryDef(
+    "q_pack_bpe",
+    bpeEncodeOracleWith(s"""
+      |,enc AS (SELECT w, len(string_split(syms, chr(31))) AS ns FROM d10),
+      |tok AS (SELECT doc_id, source, unnest(${Tokenize.duckTrim}) AS w FROM documents),
+      |db AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(SUM(e.ns) AS BIGINT) AS n_bpe
+      |  FROM tok t JOIN enc e ON e.w = t.w GROUP BY doc_id, source)
+      |SELECT doc_id, source, n_tok, n_bpe,
+      |  CAST(floor((SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe) / 512.0) AS BIGINT) AS seq_no,
+      |  CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS seq_no_ws
+      |FROM db""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val enc = bpeEncTable(s, dir)
+    val db = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(Tokenize.sparkTrim)).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("ns")).as("n_bpe"))
+    val wq = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    db
+      .withColumn("seq_no",
+        floor((sum(col("n_bpe")).over(wq) - col("n_bpe")) / lit(512.0)).cast("long"))
+      .withColumn("seq_no_ws",
+        floor((sum(col("n_tok")).over(wq) - col("n_tok")) / lit(512.0)).cast("long"))
   }
 
   /** QUALITY-SCORE DRIFT BY GENERATION (r12 — the quality column of
@@ -1767,5 +1818,5 @@ object TextAnalysis {
     editDist, repetition, decontaminate, piiRedact, perplexity, bpePairs, winnowing,
     bm25, oovRate, readability, bpeMerge2, bpeVocab, bpeEncode, qualityTrain,
     qualityCalibration, boilerplate, noveltyCurve, pmiCollocations, noveltyIncr,
-    langIdEval, contamReport, bpeFertility, qualityDrift, decontamSem)
+    langIdEval, contamReport, bpeFertility, qualityDrift, decontamSem, packBpe)
 }
