@@ -85,8 +85,7 @@ object CorpusDelta {
     val nQ = t("quality survivors (frozen scorer)")(aqW.count())
     val ibands = Dedup.minhashBands(aqW).persist(lvl)
     t("survivor band build")(ibands.count())
-    val jacc = """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
-                 |  / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE) >= 0.5D""".stripMargin
+    val jacc = Dedup.jaccardKeepSql
     def vcount(cand: org.apache.spark.sql.DataFrame): Long = cand
       .join(aqW.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
       .join(aqW.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))

@@ -467,8 +467,7 @@ object DatasetPipeline {
       cand
         .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
         .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
-        .filter(expr(
-          "CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)") >= 0.5)
+        .filter(expr(Dedup.jaccardKeepSql))
         .select(col("d1"), col("d2"))
     // day-0 state: components over the OLD generation's capped pairs
     // (stands in for reading the persisted label table)

@@ -45,6 +45,34 @@ object Dedup {
     w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
       .select(col("doc_id"), explode(expr(minhashBandSql)).as("bk"))
 
+  /** THE exact word-set Jaccard >= 0.5 verification predicate over
+    * ALREADY-DISTINCT word arrays `w1`, `w2` — the r14 optimization of
+    * the candidate-verify hot path shared by every banded-LSH lane,
+    * the curation DAGs and the streaming dedup gates.
+    *
+    * Both sides are sets (`array_distinct` upstream), so
+    * |union| = size(w1) + size(w2) − |intersect| and the old
+    * `size(array_distinct(concat(w1, w2)))` union materialization (an
+    * O(|A|+|B|) allocate-and-rehash per candidate, previously
+    * evaluated in BOTH the join condition and the output projection)
+    * is replaced by integer arithmetic on the one `array_intersect`.
+    * The 0.5 threshold becomes the EXACT integer inequality
+    * 3·|inter| >= s1 + s2 (j >= 1/2 ⟺ 2·|inter| >= s1+s2−|inter|;
+    * the old double division cannot disagree — a rounding flip at the
+    * boundary would need |union| ≈ 1e15). The leading size precheck
+    * (implied by |inter| <= least(s1, s2)) short-circuits the
+    * intersect entirely on size-incompatible candidates. */
+  private[graft] val jaccardKeepSql: String =
+    """3 * least(size(w1), size(w2)) >= size(w1) + size(w2)
+      |  AND 3 * size(array_intersect(w1, w2)) >= size(w1) + size(w2)""".stripMargin
+
+  /** The matching Jaccard VALUE over distinct word arrays — identical
+    * double to the old `intersect / distinct(concat)` form (same two
+    * integers divided), without materializing the union array. */
+  private[graft] val jaccardValSql: String =
+    """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
+      |  / CAST(size(w1) + size(w2) - size(array_intersect(w1, w2)) AS DOUBLE)""".stripMargin
+
   /** Exact dedup on a normalized content key: md5 of the normalized
     * text; survivor = lowest doc_id per key. */
   val dedupExact: QueryDef = QueryDef(
@@ -191,9 +219,8 @@ object Dedup {
     val pairs = cand
       .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
       .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(expr(jaccardKeepSql))
+      .withColumn("jaccard", expr(jaccardValSql))
       .select(col("d1"), col("d2"), col("jaccard"))
     (w, pairs)
   }
@@ -321,9 +348,8 @@ object Dedup {
     val verified = cand
       .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
       .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(expr(jaccardKeepSql))
+      .withColumn("jaccard", expr(jaccardValSql))
       .select(col("d1"), col("d2"), col("jaccard"))
     (w, sig, verified)
   }
@@ -401,12 +427,14 @@ object Dedup {
         : (org.apache.spark.sql.DataFrame, Long) =
       Fixpoint.checkpointWith(df, coalesce(sum(col("lbl")), lit(0L)))
     def release(df: org.apache.spark.sql.DataFrame): Unit = Fixpoint.release(df)
+    val verbose = java.lang.Boolean.getBoolean("graft.fixpoint.verbose")
     var (labels, prevSum) = checkpointWithSum(
       edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
     var iter = 0
     var done = false
     while (!done && iter < 30) {
+      val t0 = System.nanoTime()
       val viaNeighbor = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
       // pointer doubling: every label is itself a node id in the label
@@ -423,6 +451,8 @@ object Dedup {
       done = nextSum == prevSum
       prevSum = nextSum
       iter += 1
+      if (verbose) System.err.println(
+        f"[fixpoint] round $iter ${(System.nanoTime() - t0) / 1e9}%.2f s sum=$nextSum")
     }
     require(done, s"label propagation did not converge within $iter rounds")
     Fixpoint.release(edges)
@@ -771,9 +801,8 @@ object Dedup {
     cand
       .join(w.select(col("doc_id").as("new_id"), col("ws").as("w1")), Seq("new_id"))
       .join(w.select(col("doc_id").as("old_id"), col("ws").as("w2")), Seq("old_id"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(expr(jaccardKeepSql))
+      .withColumn("jaccard", expr(jaccardValSql))
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
@@ -817,9 +846,8 @@ object Dedup {
     cand
       .join(w.select(col("doc_id").as("new_id"), col("ws").as("w1")), Seq("new_id"))
       .join(w.select(col("doc_id").as("old_id"), col("ws").as("w2")), Seq("old_id"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(expr(jaccardKeepSql))
+      .withColumn("jaccard", expr(jaccardValSql))
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
@@ -855,9 +883,8 @@ object Dedup {
     a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
         && col("d1") < col("d2")
         && expr("2 * least(size(w1), size(w2)) >= greatest(size(w1), size(w2))"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(expr(jaccardKeepSql))
+      .withColumn("jaccard", expr(jaccardValSql))
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
@@ -1148,9 +1175,8 @@ object Dedup {
     val truth = a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
         && col("d1") < col("d2")
         && expr("2 * least(size(w1), size(w2)) >= greatest(size(w1), size(w2))"))
-      .withColumn("j",
-        expr("CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)"))
-      .filter(col("j") >= 0.5)
+      .filter(expr(jaccardKeepSql))
+      .withColumn("j", expr(jaccardValSql))
       .select(col("d1"), col("d2"), col("j"))
     truth.join(capped, Seq("d1", "d2"), "left")
       .join(split, Seq("d1", "d2"), "left")
@@ -1337,8 +1363,7 @@ object Dedup {
       cand
         .join(w.select(col("doc_id").as("d1"), col("ws").as("w1")), Seq("d1"))
         .join(w.select(col("doc_id").as("d2"), col("ws").as("w2")), Seq("d2"))
-        .filter(expr(
-          "CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE)") >= 0.5)
+        .filter(expr(jaccardKeepSql))
         .select(col("d1"), col("d2"))
     // yesterday's state: components over the OLD corpus's capped pairs
     // (stands in for reading the persisted label table)
@@ -1657,8 +1682,7 @@ object Dedup {
       .select(
         expr("CAST(size(filter(sequence(1, 8), i -> element_at(sga, i) = element_at(sgb, i))) AS BIGINT)")
           .as("n_agree"),
-        expr("round(CAST(size(array_intersect(w1, w2)) AS DOUBLE) / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE), 6)")
-          .as("jacc"))
+        expr(s"round($jaccardValSql, 6)").as("jacc"))
     pe.groupBy(col("n_agree"))
       .agg(count(lit(1)).as("n_pairs"),
         expr("round(CAST(SUM(CAST(jacc AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) + 0.0D").as("avg_exact"),
@@ -1743,8 +1767,7 @@ object Dedup {
        |  round(COALESCE(n_collide / CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE), 0), 6) + 0.0 AS recall_band
        |FROM allr""".stripMargin) { (s, dir) =>
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val jaccGe = """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
-                   |  / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE) >= 0.5D""".stripMargin
+    val jaccGe = jaccardKeepSql
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(mem)

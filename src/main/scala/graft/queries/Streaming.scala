@@ -1497,9 +1497,7 @@ object Streaming {
     val ver = cand
       .join(bw.select(col("doc_id").as("new_id"), col("ws").as("w1")), Seq("new_id"))
       .join(fetchOldWords(corpusDocs, oldIds), Seq("old_id"))
-      .filter(expr(
-        """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
-          |  / CAST(size(array_distinct(concat(w1, w2))) AS DOUBLE) >= 0.5D""".stripMargin))
+      .filter(expr(Dedup.jaccardKeepSql))
     val vm = ver.groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
     batch.select(col("doc_id"))
       .join(vm, col("doc_id") === col("new_id"), "left")
