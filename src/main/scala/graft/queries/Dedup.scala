@@ -428,9 +428,15 @@ object Dedup {
       Fixpoint.checkpointWith(df, coalesce(sum(col("lbl")), lit(0L)))
     def release(df: org.apache.spark.sql.DataFrame): Unit = Fixpoint.release(df)
     val verbose = java.lang.Boolean.getBoolean("graft.fixpoint.verbose")
+    // seed = least(node, min neighbor): the old identity seed's
+    // distinct() is the same groupBy(src) shuffle, so folding round
+    // 1's neighbor-min into the seed aggregate is free — one fewer
+    // loop round (one fewer full barrier at scale) for every
+    // component lane. The pointer-doubling invariant holds: edges are
+    // bidirectional, so a min neighbor is itself a node in the table.
     var (labels, prevSum) = checkpointWithSum(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")))
+      edges.groupBy(col("src")).agg(min(col("dst")).as("md"))
+        .select(col("src").as("node"), least(col("src"), col("md")).as("lbl")))
     var iter = 0
     var done = false
     while (!done && iter < 30) {
