@@ -130,6 +130,73 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance over an OFFSET SLICE of two numeric
+  * arrays — `l2_dist_sq_at(a, b, off, len)` sums (a[off+i]-b[off+i])²
+  * for i in [0, len), 0-based. The generalized form of
+  * [[L2DistanceSq]] the PQ subspace encode/LUT loops need (off = j*8
+  * inside a `transform` lambda) and the matryoshka prefix distances
+  * need (off = 0, len < dim). Same accumulation contract: one
+  * sequential double fold in element order, bit-identical to both the
+  * oracle's list_reduce and the interpreted
+  * `aggregate(sequence(1, len), 0D, ...)` HOF it replaces (r14: that
+  * HOF was the hot inner loop of every IVF/PQ distance pass, running
+  * interpreted per element; this emits a primitive loop into
+  * WholeStageCodegen). */
+case class L2DistanceSqAt(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftFloat = isFloat(first)
+  private lazy val rightFloat = isFloat(second)
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val off = c.asInstanceOf[Number].intValue()
+    val len = d.asInstanceOf[Number].intValue()
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      val xv = if (leftFloat) x.getFloat(off + i).toDouble else x.getDouble(off + i)
+      val yv = if (rightFloat) y.getFloat(off + i).toDouble else y.getDouble(off + i)
+      val dd = xv - yv
+      acc += dd * dd
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y, o, l) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val xr = if (leftFloat) s"(double) $x.getFloat($off + $i)" else s"$x.getDouble($off + $i)"
+      val yr = if (rightFloat) s"(double) $y.getFloat($off + $i)" else s"$y.getDouble($off + $i)"
+      s"""
+         |int $off = (int) $o;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < (int) $l; $i++) {
+         |  double $d = $xr - $yr;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): L2DistanceSqAt =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object VectorFunctions {
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
@@ -157,5 +224,9 @@ object VectorFunctions {
       "l2_dist_sq",
       arity("l2_dist_sq(array<numeric>, array<numeric>)", 2)(
         exprs => L2DistanceSq(exprs.head, exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_dist_sq_at",
+      arity("l2_dist_sq_at(array<numeric>, array<numeric>, off, len)", 4)(
+        exprs => L2DistanceSqAt(exprs.head, exprs(1), exprs(2), exprs(3))), "built-in")
   }
 }

@@ -15,6 +15,7 @@ object ResidProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val q = emb.orderBy(col("vec_id")).limit(3)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

@@ -351,10 +351,13 @@ object Similarity {
        |      i -> (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))
        |         * (CAST($a[$off+i] AS DOUBLE) - CAST($b[$off+i] AS DOUBLE))),
        |      (x, y) -> x + y), 6)""".stripMargin
+  // r14: the interpreted aggregate(sequence(1,n), ...) HOF this emitted
+  // was the hot inner loop of every IVF/PQ/Lloyd distance pass (per-
+  // element lambda dispatch, no codegen). l2_dist_sq_at is the native
+  // codegen'd loop with the IDENTICAL sequential double fold (same
+  // element order, same 6-dp round), so every value is bit-equal.
   private[queries] def sparkD(n: Int, a: String, b: String, off: String = "0"): String =
-    s"""round(aggregate(sequence(1, $n), 0D,
-       |  (acc, i) -> acc + (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))
-       |                  * (CAST(element_at($a, $off+i) AS DOUBLE) - CAST(element_at($b, $off+i) AS DOUBLE))), 6)""".stripMargin
+    s"round(l2_dist_sq_at($a, $b, $off, $n), 6)"
 
   /** The IVF-PQ ADC candidate-scoring CTE chain shared by the
     * [[ivfPqSearch]] oracle and the [[simRerank]] oracle: everything
@@ -425,7 +428,8 @@ object Similarity {
   /** Per-vector 8-symbol PQ codes `(vec_id, j, cj)` against codebook
     * `cb` — likewise subset-parametric. */
   private[queries] def pqCodesFor(emb: org.apache.spark.sql.DataFrame,
-      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding").as("ve"))
       .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("c"),
@@ -434,6 +438,7 @@ object Similarity {
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("rd2").as("d"), col("c"))).as("b"))
       .select(col("vec_id"), col("j"), col("b.c").as("cj"))
+  }
 
   private[queries] def adcCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
       nprobe: Int = 2,
@@ -441,6 +446,7 @@ object Similarity {
       coarse: Option[org.apache.spark.sql.DataFrame] = None,
       codebook: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
       emb.orderBy(col("vec_id")).limit(n)
@@ -1301,12 +1307,14 @@ object Similarity {
     * broadcast coarse table, and the decimal-exact per-dimension-mean
     * Lloyd update over a (persisted) assignment. */
   private[queries] def coarseAssign(emb: org.apache.spark.sql.DataFrame,
-      coarse: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      coarse: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     emb.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("k"), expr(sparkD(64, "embedding", "ke")).as("rd2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("rd2").as("d"), col("k").as("c"))).as("b"))
       .select(col("vec_id"), col("b.c").as("list"), col("b.d").as("d2"))
+  }
 
   private[queries] def lloydStepFrom(emb: org.apache.spark.sql.DataFrame,
       va: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -1589,6 +1597,7 @@ object Similarity {
          |  WHERE rn <= 5),
          |${dims.map(duckLeg).mkString(",\n")}
          |${dims.map(duckSel).mkString("\nUNION ALL\n")}""".stripMargin) { (s, dir) =>
+      VectorFunctions.register(s)
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val q = emb.orderBy(col("vec_id")).limit(3)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

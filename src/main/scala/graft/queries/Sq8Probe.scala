@@ -15,6 +15,7 @@ object Sq8Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     def headN(n: Int, idc: String, vc: String) =
       emb.orderBy(col("vec_id")).limit(n)
