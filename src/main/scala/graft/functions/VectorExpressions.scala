@@ -197,6 +197,76 @@ case class L2DistanceSqAt(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** 16-bit SimHash over an array of per-word md5 hex strings —
+  * `simhash16(mds)` returns the 16-char '0'/'1' string whose bit j is
+  * set when the ±1 votes of each word's j-th hex digit high bit sum
+  * positive. Replaces (r14) the interpreted
+  * `transform(sequence(0,15), j -> CASE WHEN aggregate(mds, ...) ...)`
+  * chain that re-folded the whole word array once PER BIT (16 HOF
+  * passes, each with per-element lambda dispatch): this is ONE native
+  * pass over the words updating 16 counters. Hex digits are ASCII, so
+  * the high-bit test `c IN ('8'..'f')` is `c >= '8'` on the byte
+  * ('8'&lt;'9'&lt;'a'..'f' in ASCII, and md5 hex is lowercase), which
+  * is value-identical. Empty input yields all-zero bits, exactly like
+  * the old fold's 0-seed. */
+case class SimHash16(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](16)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < 16) {
+        val b = s.getByte(j)
+        if (b >= '8') counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      out(j) = if (counts(j) > 0) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $counts = new int[16];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    if ($s.getByte($j) >= (byte) '8') $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |byte[] $out = new byte[16];
+         |for (int $j = 0; $j < 16; $j++) {
+         |  $out[$j] = $counts[$j] > 0 ? (byte) '1' : (byte) '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
@@ -228,5 +298,9 @@ object VectorFunctions {
       "l2_dist_sq_at",
       arity("l2_dist_sq_at(array<numeric>, array<numeric>, off, len)", 4)(
         exprs => L2DistanceSqAt(exprs.head, exprs(1), exprs(2), exprs(3))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash16",
+      arity("simhash16(array<string>)", 1)(
+        exprs => SimHash16(exprs.head)), "built-in")
   }
 }

@@ -29,6 +29,7 @@ object CorpusDelta {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

@@ -531,12 +531,10 @@ object Dedup {
     * each word's j-th md5 hex digit high bit), over an `mds` column of
     * per-word md5s — hashing is hoisted out of the 16-bit loop, which
     * would otherwise recompute every word's md5 once per bit. */
-  private[queries] val simhashSparkSql =
-    """array_join(transform(sequence(0, 15),
-      |  j -> CASE WHEN aggregate(mds,
-      |         0, (a, m) -> a + (CASE WHEN substring(m, j+1, 1) IN ('8','9','a','b','c','d','e','f')
-      |                           THEN 1 ELSE -1 END)) > 0
-      |       THEN '1' ELSE '0' END), '')""".stripMargin
+  // r14: simhash16 is the native one-pass expression (16 counters over
+  // one traversal of mds) replacing the 16-fold interpreted HOF chain;
+  // values are identical (same votes, same sign rule, lowercase hex).
+  private[queries] val simhashSparkSql = "simhash16(mds)"
   private[queries] val md5WordsSparkSql = s"transform($wordsSql, x -> md5(x))"
   private val simhashDuckSql =
     """array_to_string(list_transform(range(0, 16),
@@ -551,6 +549,7 @@ object Dedup {
     s"""WITH w AS (SELECT doc_id, $duckWordsSql AS ws FROM documents)
        |SELECT doc_id, $simhashDuckSql AS simhash
        |FROM w""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("mds", expr(md5WordsSparkSql))
       .select(col("doc_id"), expr(simhashSparkSql).as("simhash"))
@@ -577,6 +576,7 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String, chunks: Int)
       : org.apache.spark.sql.DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    VectorFunctions.register(s)
     // pin the signature table: every consumer below would otherwise
     // recompute the 16-bit vote aggregation over every word — at scale
     // this is the materialized signature table between the map stage
@@ -1094,6 +1094,7 @@ object Dedup {
        |SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
        |FROM near WHERE rn2 = 1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
     val wExact = Window.partitionBy(col("ckey")).orderBy(col("doc_id"))
     val wNear = Window.partitionBy(col("lang"), col("source"), col("sh16"))
       .orderBy(col("doc_id"))
