@@ -267,6 +267,97 @@ case class SimHash16(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared runtime of [[MinHash8]] — kept as a static helper so the
+  * generated code is one call into compiled Scala (the digest loop
+  * itself cannot usefully inline into Janino source). */
+object MinHashUtil {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".getBytes
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  /** 8 seed-salted MinHash values of a word-set column: per seed s,
+    * min over words of md5(s + "|" + word), returned as the lowercase
+    * hex strings. Digest bytes compare unsigned (hex encoding is
+    * order-preserving), so only the 8 winners are hex-encoded. Empty
+    * input yields 8 nulls — exactly array_min over an empty array. */
+  def minhash8(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](8)
+    val digest = mdLocal.get()
+    var i = 0
+    while (i < n) {
+      val wb = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < 8) {
+        digest.reset()
+        digest.update(('0' + s).toByte)
+        digest.update('|'.toByte)
+        digest.update(wb)
+        val d = digest.digest()
+        if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](8)
+    var s = 0
+    while (s < 8) {
+      if (mins(s) != null) {
+        val hex = new Array[Byte](32)
+        var k = 0
+        while (k < 16) {
+          hex(2 * k) = hexChars((mins(s)(k) >> 4) & 0xf)
+          hex(2 * k + 1) = hexChars(mins(s)(k) & 0xf)
+          k += 1
+        }
+        out(s) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** THE unigram-set MinHash signature as a native expression —
+  * `minhash8(ws)` == `transform(sequence(0, 7), s -> array_min(
+  * transform(ws, x -> md5(concat(CAST(s AS STRING), '|', x)))))`
+  * value-for-value. The r14 motivation: the HOF form materialized 8
+  * intermediate per-word string arrays per row and paid interpreted
+  * lambda dispatch per (seed, word); the 8·|ws| md5 digests are
+  * intrinsic (the oracle pins the salted-hash rule), but everything
+  * around them is not. */
+case class MinHash8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashUtil.minhash8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashUtil.minhash8($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash8 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
@@ -302,5 +393,9 @@ object VectorFunctions {
       "simhash16",
       arity("simhash16(array<string>)", 1)(
         exprs => SimHash16(exprs.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash8",
+      arity("minhash8(array<string>)", 1)(
+        exprs => MinHash8(exprs.head)), "built-in")
   }
 }

@@ -27,10 +27,10 @@ object Dedup {
     * by every banded-LSH lane here, the curation DAG, the streaming
     * ingest gate and CorpusDelta, so the band rule cannot silently
     * drift between the batch and streaming twins. */
-  private[graft] val minhashSigSql: String =
-    """transform(sequence(0, 7),
-      |  s -> array_min(transform(ws,
-      |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin
+  // r14: minhash8 is the native expression computing the identical 8
+  // salted-md5 minima in ONE pass over ws (no per-seed intermediate
+  // arrays, winners-only hex encoding); values are byte-identical.
+  private[graft] val minhashSigSql: String = "minhash8(ws)"
 
   /** THE 4-band × 2-row band-key expansion over a `sg` signature
     * column — the other half of the shared banding rule. */
@@ -41,9 +41,11 @@ object Dedup {
   /** (doc_id, bk) band-key table of a (doc_id, ws) word-set table —
     * [[minhashSigSql]] + [[minhashBandSql]] composed; one Generate
     * pass, no shuffle. */
-  private[graft] def minhashBands(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def minhashBands(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    VectorFunctions.register(w.sparkSession)
     w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
       .select(col("doc_id"), explode(expr(minhashBandSql)).as("bk"))
+  }
 
   /** THE exact word-set Jaccard >= 0.5 verification predicate over
     * ALREADY-DISTINCT word arrays `w1`, `w2` — the r14 optimization of
@@ -104,6 +106,7 @@ object Dedup {
        |    s -> coalesce(list_aggregate(list_transform(shingles,
        |           x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min'), '')), ',') AS sig
        |FROM sh""".stripMargin) { (s, dir) =>
+    VectorFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("ws", expr(wordsSql))
       .withColumn("shingles", expr(
@@ -112,9 +115,9 @@ object Dedup {
           |    i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), expr(
-        """array_join(transform(sequence(0, 7),
-          |  s -> coalesce(array_min(transform(shingles,
-          |         x -> md5(concat(CAST(s AS STRING), '|', x)))), '')), ',')""".stripMargin).as("sig"))
+        // minhash8 over the shingle array + the lane's '' fill for the
+        // empty-shingle (null) case — same values as the HOF chain
+        "array_join(transform(minhash8(shingles), m -> coalesce(m, '')), ',')").as("sig"))
   }
 
   /** Banded LSH candidate pairs: unigram-set MinHash (8 hashes), 4
@@ -200,10 +203,8 @@ object Dedup {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = w.select(col("doc_id"), expr(
-      """transform(sequence(0, 7),
-        |  s -> array_min(transform(ws,
-        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    VectorFunctions.register(w.sparkSession)
+    val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
     val bands = sig
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, 3),
@@ -300,10 +301,8 @@ object Dedup {
     val w = docs
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(lvl)
-    val sig = w.select(col("doc_id"), expr(
-      """transform(sequence(0, 7),
-        |  s -> array_min(transform(ws,
-        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    VectorFunctions.register(w.sparkSession)
+    val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
       .persist(lvl) // two consumers: the band explode and the leave-one-out probe
     val bands2 = sig
       .select(col("doc_id"), col("sg"), explode(expr(
@@ -786,10 +785,8 @@ object Dedup {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = w.select(col("doc_id"), expr(
-      """transform(sequence(0, 7),
-        |  s -> array_min(transform(ws,
-        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin).as("sg"))
+    VectorFunctions.register(w.sparkSession)
+    val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
     val bands = sig
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, 3),
@@ -1669,6 +1666,7 @@ object Dedup {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(mem)
+    VectorFunctions.register(w.sparkSession)
     val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg"))
       .persist(mem)
     val bands = sig
@@ -1779,6 +1777,7 @@ object Dedup {
       .select(col("doc_id"), expr(s"array_distinct($wordsSql)").as("ws"))
       .persist(mem)
     // ONE signature table feeds all three geometries
+    VectorFunctions.register(w.sparkSession)
     val sig = w.select(col("doc_id"), expr(minhashSigSql).as("sg")).persist(mem)
     val docs = Tables.documents(s, dir)
     val blk = docs.agg(min(col("lang")).as("blang"), min(col("source")).as("bsource"))
