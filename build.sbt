@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST raw stdout line matching ^{"metric":...}
+// from `sbt runMain graft.Bench`. The default LoggedOutput strategy
+// routes the forked JVM's stdout through sbt's logger as "[info] ..."
+// lines (and stderr as "[error] ..."), which defeated the parse in
+// r13/r14 (PERF per-query comparison came back empty). StdoutOutput
+// passes the child's stdout/stderr through unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -167,7 +167,15 @@ object Bench {
       .collect { case (n, dt, _, _, _, _, _) if headline.contains(n) => s""""$n":${fmt(dt)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Stable file copy of the exact stdout line (r14: the driver's
+    // parser got nothing out of the captured tail because sbt's logger
+    // prefixed the line; build.sbt now uses StdoutOutput, and this file
+    // is the belt-and-braces second channel).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_line.json"), line + "\n")
+    println(line)
+    Console.out.flush()
     spark.stop()
   }
 }

@@ -24,9 +24,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every lane is wrapped to register the native vector functions
+    * up front: several builders use `expr("l2_dist_sq_at(...)")` etc.
+    * in selects that are analyzed BEFORE their first registering helper
+    * runs, which only worked when an alphabetically-earlier lane had
+    * already registered the temp functions in the shared session
+    * (ADVICE r14: q_sim_nprobe / q_sim_binary crashed under
+    * single-query RunOne/QBench in a fresh session). Registration is a
+    * handful of hashmap puts — negligible per call.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.fn).toMap
+    allDefs.map { d =>
+      d.name -> { (s: SparkSession, dir: String) =>
+        graft.functions.VectorFunctions.register(s)
+        d.fn(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -82,6 +82,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // the element reads below are raw getFloat/getDouble — any other
+  // element type would be read as garbage, so fail at analysis instead
+  // (ADVICE r14)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorFunctions.checkFloatArrays("l2_dist_sq", Seq(left, right))
+
   // each side may be array<float> (raw embeddings) or array<double>
   // (derived centroids) — dispatch the element read on the bound type
   private def isFloat(e: Expression): Boolean =
@@ -148,6 +155,10 @@ case class L2DistanceSqAt(first: Expression, second: Expression,
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorFunctions.checkFloatArrays("l2_dist_sq_at", Seq(first, second))
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -222,6 +233,12 @@ case class SimHash16(child: Expression)
     val n = arr.numElements()
     while (i < n) {
       val s = arr.getUTF8String(i)
+      // input contract: md5 hex strings (every call site feeds literal
+      // md5() output). Reading 16 bytes of anything shorter would be
+      // out-of-bounds, so fail loudly instead (VERDICT r14 §3).
+      if (s.numBytes() < 16)
+        throw new IllegalArgumentException(
+          s"simhash16 expects md5 hex strings (>=16 bytes), got '$s'")
       var j = 0
       while (j < 16) {
         val b = s.getByte(j)
@@ -250,6 +267,8 @@ case class SimHash16(child: Expression)
          |int[] $counts = new int[16];
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  if ($s.numBytes() < 16) throw new IllegalArgumentException(
+         |    "simhash16 expects md5 hex strings (>=16 bytes), got '" + $s + "'");
          |  for (int $j = 0; $j < 16; $j++) {
          |    if ($s.getByte($j) >= (byte) '8') $counts[$j]++; else $counts[$j]--;
          |  }
@@ -359,6 +378,23 @@ case class MinHash8(child: Expression)
 }
 
 object VectorFunctions {
+  /** Shared analysis-time check for the raw-read distance expressions:
+    * both vector sides must be array<float> or array<double> (the
+    * generated code reads elements with getFloat/getDouble and would
+    * silently misread any other width). */
+  def checkFloatArrays(fn: String, sides: Seq[Expression])
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    sides.zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+          !Seq(FloatType, DoubleType).contains(
+            e.dataType.asInstanceOf[ArrayType].elementType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} must be array<float> or array<double>, " +
+            s"got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     exprs => {
@@ -368,34 +404,45 @@ object VectorFunctions {
       build(exprs)
     }
 
-  /** Register `cosine_sim(a, b)` and `ngrams_3(text)` for use in
-    * SQL/expr strings. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
+  /** THE single list of native functions. Both registration paths —
+    * per-session temp functions below and the shared-cluster
+    * [[graft.GraftExtensions]] injection — iterate this, so a function
+    * added here is automatically available on both (ADVICE r14: the
+    * extensions path had drifted to cosine_sim only, leaving every
+    * IVF/minhash/simhash lane unresolvable in an extensions-configured
+    * session). (name, implementing class, builder). */
+  val specs: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity],
       arity("cosine_sim(array<numeric>, array<numeric>)", 2)(
-        exprs => CosineSimilarity(exprs.head, exprs(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngrams_3",
-      arity("ngrams_3(text)", 1)(exprs => NGramGenerator(exprs.head, 3)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngrams_2",
-      arity("ngrams_2(text)", 1)(exprs => NGramGenerator(exprs.head, 2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_dist_sq",
+        exprs => CosineSimilarity(exprs.head, exprs(1)))),
+    ("ngrams_3", classOf[NGramGenerator],
+      arity("ngrams_3(text)", 1)(exprs => NGramGenerator(exprs.head, 3))),
+    ("ngrams_2", classOf[NGramGenerator],
+      arity("ngrams_2(text)", 1)(exprs => NGramGenerator(exprs.head, 2))),
+    ("l2_dist_sq", classOf[L2DistanceSq],
       arity("l2_dist_sq(array<numeric>, array<numeric>)", 2)(
-        exprs => L2DistanceSq(exprs.head, exprs(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_dist_sq_at",
+        exprs => L2DistanceSq(exprs.head, exprs(1)))),
+    ("l2_dist_sq_at", classOf[L2DistanceSqAt],
       arity("l2_dist_sq_at(array<numeric>, array<numeric>, off, len)", 4)(
-        exprs => L2DistanceSqAt(exprs.head, exprs(1), exprs(2), exprs(3))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash16",
-      arity("simhash16(array<string>)", 1)(
-        exprs => SimHash16(exprs.head)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash8",
-      arity("minhash8(array<string>)", 1)(
-        exprs => MinHash8(exprs.head)), "built-in")
+        exprs => L2DistanceSqAt(exprs.head, exprs(1), exprs(2), exprs(3)))),
+    ("simhash16", classOf[SimHash16],
+      arity("simhash16(array<string>)", 1)(exprs => SimHash16(exprs.head))),
+    ("minhash8", classOf[MinHash8],
+      arity("minhash8(array<string>)", 1)(exprs => MinHash8(exprs.head))))
+
+  /** Register every native function as a session temp function.
+    * Idempotent per session: SparkEntry.queries wraps every lane with
+    * this call, and re-registration would log one
+    * `SimpleFunctionRegistry ... replaced` WARN per function per query
+    * (thousands of stderr lines in a full bench run, polluting the
+    * driver's captured tail). minhash8 is the last spec, so its
+    * presence implies all earlier ones landed. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash8"))) return
+    specs.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -63,7 +63,14 @@ object Dedup {
     * the old double division cannot disagree — a rounding flip at the
     * boundary would need |union| ≈ 1e15). The leading size precheck
     * (implied by |inter| <= least(s1, s2)) short-circuits the
-    * intersect entirely on size-incompatible candidates. */
+    * intersect entirely on size-incompatible candidates.
+    *
+    * Boundary case both sides EMPTY (ADVICE r14): the old double form
+    * gave 0.0/0.0 = NaN >= 0.5 → rejected, while 3·0 >= 0 is true →
+    * kept (with jaccardValSql then NaN). Unreachable here: every ws
+    * comes from split(), which yields >= 1 element, so s1+s2 >= 2 at
+    * every call site — pinned rather than guarded to keep the
+    * predicate two comparisons. */
   private[graft] val jaccardKeepSql: String =
     """3 * least(size(w1), size(w2)) >= size(w1) + size(w2)
       |  AND 3 * size(array_intersect(w1, w2)) >= size(w1) + size(w2)""".stripMargin

@@ -46,6 +46,25 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("GraftExtensions installs EVERY native function (ADVICE r14)") {
+    val ss = spark
+    import ss.implicits._
+    Seq((Array(1f, 2f, 3f, 4f), "the quick brown fox"))
+      .toDF("v", "t").createOrReplaceTempView("allfn")
+    // one SQL call per injected function — resolution alone is the test
+    val row = spark.sql(
+      """SELECT l2_dist_sq(v, v), l2_dist_sq_at(v, v, 0, 2),
+        |       simhash16(array(md5(t))), minhash8(split(t, ' ')),
+        |       cosine_sim(v, v)
+        |FROM allfn""".stripMargin).head()
+    assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 0.0)
+    assert(row.getString(2).length == 16)
+    assert(row.getSeq[String](3).length == 8)
+    // generators resolve too
+    assert(spark.sql("SELECT ngrams_3(t) FROM allfn").count() == 2)
+    assert(spark.sql("SELECT ngrams_2(t) FROM allfn").count() == 3)
+  }
+
   test("cosine_sim rejects wrong arity with a clear error") {
     val ss = spark
     import ss.implicits._

@@ -137,4 +137,88 @@ class FunctionsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size == SparkEntry.allDefs.size, "duplicate query names")
   }
+
+  // --- r15 (ADVICE r14): pin the native expressions against the exact
+  // HOF SQL forms they replaced, on randomized + edge inputs -----------
+
+  private def randWordSets(seed: Int, n: Int): Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val k = rnd.nextInt(12) // includes empty sets
+      (1 to k).map(_ => s"w${rnd.nextInt(40)}").distinct
+    }
+  }
+
+  test("minhash8 equals the old HOF form, incl. the empty set") {
+    VectorFunctions.register(spark)
+    val df = randWordSets(seed = 7, n = 60).toDF("ws")
+    val hof =
+      """transform(sequence(0, 7),
+        |  s -> array_min(transform(ws,
+        |         x -> md5(concat(CAST(s AS STRING), '|', x)))))""".stripMargin
+    val rows = df.selectExpr(s"minhash8(ws) AS a", s"$hof AS b")
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (a, b) => assert(a == b) }
+    // empty input: 8 nulls, exactly array_min over an empty transform
+    val empty = rows.map(_._1).find(_.forall(_ == null))
+    assert(empty.exists(_.length == 8))
+  }
+
+  test("simhash16 equals the old per-bit HOF fold, incl. the empty set") {
+    VectorFunctions.register(spark)
+    val df = randWordSets(seed = 11, n = 60).toDF("ws")
+      .selectExpr("transform(ws, x -> md5(x)) AS mds")
+    val hof =
+      """array_join(transform(sequence(0, 15),
+        |  j -> CASE WHEN aggregate(mds,
+        |         0, (a, m) -> a + (CASE WHEN substring(m, j+1, 1) IN ('8','9','a','b','c','d','e','f')
+        |                           THEN 1 ELSE -1 END)) > 0
+        |       THEN '1' ELSE '0' END), '')""".stripMargin
+    val rows = df.selectExpr("simhash16(mds) AS a", s"$hof AS b")
+      .as[(String, String)].collect()
+    rows.foreach { case (a, b) => assert(a == b) }
+    assert(rows.exists(_._1 == "0" * 16)) // the empty set
+  }
+
+  test("simhash16 rejects non-md5-shaped input loudly") {
+    VectorFunctions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash16(array('short'))").collect()
+    }
+    assert(messages(e).exists(_.contains("md5 hex")),
+      s"expected md5-hex guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("l2_dist_sq_at equals the old aggregate fold on float and double sides") {
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val dfF = (1 to 40).map { _ =>
+      (Array.fill(16)(rnd.nextFloat() * 4 - 2),
+        Array.fill(16)(rnd.nextDouble() * 4 - 2))
+    }.toDF("a", "b")
+    for (off <- Seq(0, 8); len = 8) {
+      val hof =
+        s"""aggregate(sequence(1, $len), 0D,
+           |  (acc, i) -> acc + (CAST(element_at(a, $off+i) AS DOUBLE) - CAST(element_at(b, $off+i) AS DOUBLE))
+           |                  * (CAST(element_at(a, $off+i) AS DOUBLE) - CAST(element_at(b, $off+i) AS DOUBLE)))""".stripMargin
+      val rows = dfF.selectExpr(s"l2_dist_sq_at(a, b, $off, $len) AS x", s"$hof AS y")
+        .as[(Double, Double)].collect()
+      // bit-identical: same sequential element-order accumulation
+      rows.foreach { case (x, y) => assert(x == y, s"off=$off") }
+    }
+  }
+
+  test("l2_dist_sq/_at reject non-float element types at analysis") {
+    VectorFunctions.register(spark)
+    val df = Seq((Array(1, 2, 3), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for (call <- Seq("l2_dist_sq(a, b)", "l2_dist_sq_at(a, b, 0, 3)")) {
+      val e = intercept[Exception] { df.selectExpr(call).collect() }
+      assert(messages(e).exists(_.contains("array<float>")),
+        s"$call: ${messages(e).mkString(" | ")}")
+    }
+  }
 }
