@@ -377,6 +377,56 @@ case class MinHash8(child: Expression)
     copy(child = newChild)
 }
 
+/** Runtime of [[IntersectSize]] (static helper so codegen is one call
+  * into compiled Scala, the [[MinHashUtil]] pattern). */
+object ArraySetUtil {
+  /** |a ∩ b| for two string arrays whose elements are DISTINCT within
+    * each array (the tokenizer's array_distinct output) — exactly
+    * `size(array_intersect(a, b))` on such inputs, without
+    * materializing the intersect array. Builds the hash set over the
+    * SMALLER side (the count is symmetric for distinct inputs).
+    * Non-null elements only (every call site feeds split() output). */
+  def interSize(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val m = large.numElements()
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    var c = 0
+    i = 0
+    while (i < m) {
+      if (set.contains(large.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `inter_size(a, b)` == `size(array_intersect(a, b))` for arrays that
+  * are already element-distinct — the exact-Jaccard verify hot path
+  * (the predicate runs once in the join filter and once in the value
+  * projection per candidate; array_intersect allocates and returns the
+  * intersect ARRAY both times just to take its size). */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArraySetUtil.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArraySetUtil.interSize($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Shared analysis-time check for the raw-read distance expressions:
     * both vector sides must be array<float> or array<double> (the
@@ -428,19 +478,22 @@ object VectorFunctions {
     ("simhash16", classOf[SimHash16],
       arity("simhash16(array<string>)", 1)(exprs => SimHash16(exprs.head))),
     ("minhash8", classOf[MinHash8],
-      arity("minhash8(array<string>)", 1)(exprs => MinHash8(exprs.head))))
+      arity("minhash8(array<string>)", 1)(exprs => MinHash8(exprs.head))),
+    ("inter_size", classOf[IntersectSize],
+      arity("inter_size(array<string>, array<string>)", 2)(
+        exprs => IntersectSize(exprs.head, exprs(1)))))
 
   /** Register every native function as a session temp function.
     * Idempotent per session: SparkEntry.queries wraps every lane with
     * this call, and re-registration would log one
     * `SimpleFunctionRegistry ... replaced` WARN per function per query
     * (thousands of stderr lines in a full bench run, polluting the
-    * driver's captured tail). minhash8 is the last spec, so its
-    * presence implies all earlier ones landed. */
+    * driver's captured tail). The LAST spec's presence implies all
+    * earlier ones landed (specs register in order). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash8"))) return
+        org.apache.spark.sql.catalyst.FunctionIdentifier(specs.last._1))) return
     specs.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

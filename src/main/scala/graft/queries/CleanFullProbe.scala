@@ -25,7 +25,10 @@ object CleanFullProbe {
       r
     }
     if (args.length > 1 && args(1) == "fine") {
-      // granular stage-2 decomposition (duplicates stages()'s prefix)
+      // granular stage-3 decomposition (duplicates stages()'s prefix);
+      // two rounds so the second set is warm
+      for (round <- 1 to 2) {
+      println(s"[probe] ---- fine round $round ----")
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val docsQ = graft.Tables.documents(spark, sfDir)
         .join(TextAnalysis.qualityScored(spark, sfDir)
@@ -43,6 +46,26 @@ object CleanFullProbe {
       val nc = t("contracted components loop")(
         Dedup.contractedClusters(m, verified).count())
       println(s"[probe] fine counts: verified=$nv clustered=$nc")
+      spark.catalog.clearCache()
+      }
+    } else if (args.length > 1 && args(1) == "warm") {
+      // two full chain runs in one JVM: the second tick set is the
+      // warm (post-codegen) per-stage distribution QBench floors see
+      for (round <- 1 to 2) {
+        println(s"[probe] ---- chain run $round ----")
+        val st = t(s"run $round stages() eager chain")(
+          DatasetPipeline.stages(spark, sfDir))
+        t(s"run $round stage7+8 actions")(st.packed.count())
+        spark.catalog.clearCache()
+      }
+    } else if (args.length > 1 && args(1) == "warmincr") {
+      for (round <- 1 to 2) {
+        println(s"[probe] ---- incr chain run $round ----")
+        val st = t(s"run $round stagesIncr() eager chain")(
+          DatasetPipeline.stagesIncr(spark, sfDir))
+        t(s"run $round output actions")(st.out.count())
+        spark.catalog.clearCache()
+      }
     } else {
       val st = t("DAG build (lazy)")(DatasetPipeline.stages(spark, sfDir))
       val nq = t("stage1 quality survivors")(st.docsQ.count())

@@ -109,6 +109,22 @@ object DatasetPipeline {
 
   private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** Stage-boundary timing for [[CleanFullProbe]]: the stage chain's
+    * boundaries are EAGER localCheckpoints, so all the work happens
+    * inside [[stages]]/[[stagesIncr]] and downstream counts time
+    * nothing. Enabled by env `GRAFT_STAGE_TICK` (inherited by the
+    * forked probe JVM); one cached boolean otherwise. */
+  private val tickOn = sys.env.contains("GRAFT_STAGE_TICK")
+  private[queries] def tick[A](label: String)(f: => A): A =
+    if (!tickOn) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[stage-tick] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   // stage-5 PII patterns — the [[TextAnalysis.piiRedact]] pair, kept in
   // the RE2 ∩ java.util.regex dialect so Spark and DuckDB agree
   private val piiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
@@ -143,11 +159,11 @@ object DatasetPipeline {
     import org.apache.spark.sql.expressions.Window
     VectorFunctions.register(s)
     // stage 1 — trained quality filter (scorer trains on the raw corpus)
-    val docsQ = Tables.documents(s, dir)
+    val docsQ = tick("s1 quality train+join")(Tables.documents(s, dir)
       .join(TextAnalysis.qualityScored(s, dir)
         .filter(col("score") >= 0.5).select(col("doc_id"), col("score")),
         Seq("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // stage 2 — benchmark DECONTAMINATION (r12, the q_text_decontaminate
     // rule run inside the DAG): the held-out benchmark (doc_id < 20
     // stands in) hashes to a tiny DISTINCT 8-gram set that BROADCASTS;
@@ -167,22 +183,22 @@ object DatasetPipeline {
       .select(col("doc_id"), explode(expr(gramsOf)).as("gh"))
       .join(broadcast(benchG), col("gh") === col("bh"), "left_semi")
       .select(col("doc_id")).distinct()
-    val docsD = docsQ.join(contam, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val docsD = tick("s2 decontam")(
+      docsQ.join(contam, Seq("doc_id"), "left_anti").localCheckpoint(true))
     // stage 3 — split-ladder pairs + signature cliques + contracted
     // components + longest-doc survivorship, on decontaminated survivors
     val (w, sig, verified) = Dedup.splitPipelineOn(docsD)
     val grp = sig.groupBy(col("sg")).agg(min(col("doc_id")).as("rep"))
     val m = sig.join(grp, Seq("sg")).select(col("doc_id"), col("rep")).persist(lvl)
-    val ranked = Dedup.contractedClusters(m, verified)
+    val ranked = tick("s3 ladder+loop+rank")(Dedup.contractedClusters(m, verified)
       .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
       .select(col("doc_id"), col("cluster_id"), col("rn"))
-      .localCheckpoint(true)
-    val s1 = docsD
+      .localCheckpoint(true))
+    val s1 = tick("s3 survivor cut")(docsD
       .join(ranked.filter(col("rn") > 1).select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // stage 4 — SemDeDup cells over the embedded subset of survivors,
     // cells from a TRAINED K=8 coarse quantizer (two decimal-exact
     // Lloyd steps from the lowest-8-id survivor seed). The 8-row
@@ -196,9 +212,11 @@ object DatasetPipeline {
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
         col("embedding").as("ke"))
     val va0 = Similarity.coarseAssign(e1, coS).persist(lvl)
-    val co1 = Similarity.lloydStepFrom(e1, va0).localCheckpoint(true)
+    val co1 = tick("s4 lloyd step 1")(
+      Similarity.lloydStepFrom(e1, va0).localCheckpoint(true))
     val va1 = Similarity.coarseAssign(e1, co1).persist(lvl)
-    val co2 = Similarity.lloydStepFrom(e1, va1).localCheckpoint(true)
+    val co2 = tick("s4 lloyd step 2")(
+      Similarity.lloydStepFrom(e1, va1).localCheckpoint(true))
     val asg = Similarity.coarseAssign(e1, co2)
       .select(col("vec_id"), col("list"))
       .join(e1, Seq("vec_id"))
@@ -209,13 +227,13 @@ object DatasetPipeline {
         col("list") === col("list2") && col("mate") < col("vec_id"))
       .filter(expr("cosine_sim(ea, eb)") >= 0.3)
       .select(col("vec_id").as("doc_id")).distinct()
-    val s2 = s1.join(semDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s2 = tick("s4 semdedup cut")(
+      s1.join(semDrop, Seq("doc_id"), "left_anti").localCheckpoint(true))
     // stage 5 — PII REDACTION (r13): the piiRedact enrichment+mask run
     // map-only over the dedup survivors; `text` is REPLACED by its
     // redacted form so every downstream tokenization counts the masked
     // corpus, and n_pii rides along as the audit column
-    val pii = s2
+    val pii = tick("s5 pii redact")(s2
       .withColumn("txt", concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@mail.example.com from 10.0."),
         (col("doc_id") % 256).cast("string"), lit(".7 thanks")))
@@ -225,7 +243,7 @@ object DatasetPipeline {
       .withColumn("text",
         regexp_replace(regexp_replace(col("txt"), piiEmail, "<EMAIL>"), piiIp, "<IP>"))
       .drop("txt")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // stage 6 — per-source boilerplate bigram table over the survivors,
     // applied as a token-level strike: positions {i, i+1} of every
     // boilerplate bigram occurrence are struck from the packable count
@@ -250,13 +268,13 @@ object DatasetPipeline {
       .select(col("doc_id"), explode(expr("array(i, i + 1)")).as("p"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_struck"))
-    val toks = wt.join(struck, Seq("doc_id"), "left")
+    val toks = tick("s6 boilerplate strike")(wt.join(struck, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("n_pii"),
         size(col("ws")).cast("long").as("n_tok_raw"),
         (size(col("ws")).cast("long") - coalesce(col("n_struck"), lit(0L))).as("n_tok"),
         expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1024) DIV CAST(size(ws) AS BIGINT)")
           .as("bucket"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // stage 7 — per-source token budget over the STRIPPED counts:
     // bucket-histogram cum-sum (≤1025 rows per source), threshold
     // applied as a broadcast map-side filter
@@ -457,8 +475,8 @@ object DatasetPipeline {
     // frozen scorer; quality survivors of BOTH generations
     val qk = TextAnalysis.qualityScoredFrozen(s, dir)
       .filter(col("score") >= 0.5).select(col("doc_id"), col("score"))
-    val aq = Tables.documents(s, dir).join(qk, Seq("doc_id"))
-      .localCheckpoint(true)
+    val aq = tick("i1 frozen quality+join")(
+      Tables.documents(s, dir).join(qk, Seq("doc_id")).localCheckpoint(true))
     val w = aq.select(col("doc_id"),
         expr(s"array_distinct(${Tokenize.spark})").as("ws"))
       .persist(lvl)
@@ -479,7 +497,7 @@ object DatasetPipeline {
         col("bk") === col("bk2") && col("d1") < col("d2"))
       .join(osized, Seq("bk"), "left_semi")
       .select(col("d1"), col("d2")).distinct()
-    val olabels = componentLabelsOf(verify(ocand))
+    val olabels = tick("i2 old-gen components")(componentLabelsOf(verify(ocand)))
     // nightly delta: capped-bucket candidates touching a new doc,
     // bucket caps from TODAY'S full band table — old×old never forms
     val fsized = bands.groupBy(col("bk")).count()
@@ -496,15 +514,16 @@ object DatasetPipeline {
       .join(olabels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
       .persist(lvl)
-    val merged = Dedup.contractedClusters(m, ipairs).persist(lvl)
+    val merged = tick("i3 delta merge loop")(
+      Dedup.contractedClusters(m, ipairs).persist(lvl))
     // day-0 survivorship over OLD clusters
     val oranked = olabels.select(col("node").as("doc_id"), col("lbl").as("prior"))
       .join(w.select(col("doc_id"), expr("size(ws)").as("n_words")), Seq("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("prior")).orderBy(col("n_words").desc, col("doc_id"))))
-    val s1o = aq.filter(col("doc_id") % 10 =!= 0)
+    val s1o = tick("i4 day-0 survivors")(aq.filter(col("doc_id") % 10 =!= 0)
       .join(oranked.filter(col("rn") > 1).select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // day-0 SemDeDup: train the K=8 cells on old embedded survivors
     val e1o = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .join(s1o.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
@@ -513,9 +532,11 @@ object DatasetPipeline {
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("k"),
         col("embedding").as("ke"))
     val va0 = Similarity.coarseAssign(e1o, coS).persist(lvl)
-    val co1 = Similarity.lloydStepFrom(e1o, va0).localCheckpoint(true)
+    val co1 = tick("i5 lloyd step 1")(
+      Similarity.lloydStepFrom(e1o, va0).localCheckpoint(true))
     val va1 = Similarity.coarseAssign(e1o, co1).persist(lvl)
-    val co2 = Similarity.lloydStepFrom(e1o, va1).localCheckpoint(true) // FROZEN cells
+    val co2 = tick("i5 lloyd step 2")(
+      Similarity.lloydStepFrom(e1o, va1).localCheckpoint(true)) // FROZEN cells
     val asgo = Similarity.coarseAssign(e1o, co2)
       .select(col("vec_id"), col("list")).join(e1o, Seq("vec_id")).persist(lvl)
     val semdropo = asgo.select(col("vec_id"), col("list"), col("embedding").as("ea"))
@@ -524,7 +545,8 @@ object DatasetPipeline {
         col("list") === col("list2") && col("mate") < col("vec_id"))
       .filter(expr("cosine_sim(ea, eb)") >= 0.3)
       .select(col("vec_id").as("doc_id")).distinct()
-    val s2o = s1o.join(semdropo, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val s2o = tick("i6 day-0 semdedup cut")(
+      s1o.join(semdropo, Seq("doc_id"), "left_anti").localCheckpoint(true))
     // nightly stage 2: append-only survivorship against the merge
     val hasOld = merged.filter(col("doc_id") % 10 =!= 0)
       .select(col("cluster_id")).distinct()
@@ -535,9 +557,9 @@ object DatasetPipeline {
         Window.partitionBy(col("cluster_id")).orderBy(col("n_words").desc, col("doc_id"))))
     val ndrop = nmerged.join(hasOld, Seq("cluster_id"), "left_semi").select(col("doc_id"))
       .union(nonly.filter(col("rn") > 1).select(col("doc_id"))).distinct()
-    val s1n = aq.filter(col("doc_id") % 10 === 0)
+    val s1n = tick("i7 nightly survivors")(aq.filter(col("doc_id") % 10 === 0)
       .join(ndrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // nightly stage 3: frozen-cell assignment, drop vs store + batch
     val e1n = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .join(s1n.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
@@ -563,7 +585,7 @@ object DatasetPipeline {
     def toks(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("lang"), col("source"),
         size(expr(Tokenize.sparkTrim)).cast("long").as("n_tok"))
-    val wto = toks(s2o).localCheckpoint(true)
+    val wto = tick("i8 day-0 token counts")(toks(s2o).localCheckpoint(true))
     val packo = wto.withColumn("seq_no",
       floor((sum(col("n_tok")).over(wp) - col("n_tok")) / lit(512.0)).cast("long"))
     val obase = wto.groupBy(col("source")).agg(sum(col("n_tok")).as("base_tok"))

@@ -73,14 +73,19 @@ object Dedup {
     * predicate two comparisons. */
   private[graft] val jaccardKeepSql: String =
     """3 * least(size(w1), size(w2)) >= size(w1) + size(w2)
-      |  AND 3 * size(array_intersect(w1, w2)) >= size(w1) + size(w2)""".stripMargin
+      |  AND 3 * inter_size(w1, w2) >= size(w1) + size(w2)""".stripMargin
 
   /** The matching Jaccard VALUE over distinct word arrays — identical
     * double to the old `intersect / distinct(concat)` form (same two
-    * integers divided), without materializing the union array. */
+    * integers divided), without materializing the union array.
+    * `inter_size` (r15) == `size(array_intersect(w1, w2))` on
+    * element-distinct inputs, without allocating the intersect ARRAY
+    * per evaluation (the predicate runs in the join filter AND the
+    * value projection — two array materializations per surviving
+    * candidate before; FunctionsSpec pins the equivalence). */
   private[graft] val jaccardValSql: String =
-    """CAST(size(array_intersect(w1, w2)) AS DOUBLE)
-      |  / CAST(size(w1) + size(w2) - size(array_intersect(w1, w2)) AS DOUBLE)""".stripMargin
+    """CAST(inter_size(w1, w2) AS DOUBLE)
+      |  / CAST(size(w1) + size(w2) - inter_size(w1, w2) AS DOUBLE)""".stripMargin
 
   /** Exact dedup on a normalized content key: md5 of the normalized
     * text; survivor = lowest doc_id per key. */
@@ -322,11 +327,15 @@ object Dedup {
     val lvl0 = bands2
       .join(bsz.filter(col("count").between(2, cap)).select(col("bk")), Seq("bk"), "left_semi")
       .select(col("doc_id"), concat(lit("0|"), col("bk")).as("k"))
+    // persisted (r15): ref is referenced by rsz, lvl1 AND hot2 — only
+    // its rsz Exchange is reused by the planner, so the semi-join +
+    // md5 projection re-ran 3× per action before
     val ref = bands2
       .join(bsz.filter(col("count") > cap).select(col("bk")), Seq("bk"), "left_semi")
       .select(col("doc_id"),
         md5(concat(col("bk"), lit("|"),
           expr("element_at(sg, CAST((2*b+2) % 8 + 1 AS INT))"))).as("rk"))
+      .persist(lvl)
     val rsz = ref.groupBy(col("rk")).count()
     val lvl1 = ref
       .join(rsz.filter(col("count").between(2, refinedCap)).select(col("rk")), Seq("rk"), "left_semi")
@@ -337,11 +346,14 @@ object Dedup {
     val hot2 = ref
       .join(rsz.filter(col("count") > refinedCap).select(col("rk")), Seq("rk"), "left_semi")
       .select(col("doc_id")).distinct()
+    // persisted (r15): loo feeds lsz AND lvl2 — the hot2 semi-join and
+    // the 4-key md5 explode re-ran twice per action before
     val loo = hot2.join(sig, Seq("doc_id"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, 3), ob -> md5(concat(CAST(ob AS STRING), '|',
           |  array_join(transform(filter(sequence(1, 8), i -> i != 2*ob+1 AND i != 2*ob+2),
           |    i -> element_at(sg, CAST(i AS INT))), '|'))))""".stripMargin)).as("lk"))
+      .persist(lvl)
     val lsz = loo.groupBy(col("lk")).count()
     val lvl2 = loo
       .join(lsz.filter(col("count").between(2, refinedCap)).select(col("lk")), Seq("lk"), "left_semi")

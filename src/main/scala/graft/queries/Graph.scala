@@ -182,7 +182,12 @@ object Graph {
       |  CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
     val sn = Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n")).distinct()
+      // dedup rides the self-join's ok exchange (r15, guide §2.4):
+      // HashPartitioning(ok) satisfies the (ok, n) dedup's clustering,
+      // so this is ONE exchange where distinct() + join took two
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n"))
+      .repartition(col("ok"))
+      .dropDuplicates("ok", "n")
     val e = sn.as("a").join(sn.withColumnRenamed("n", "n2").as("b"),
         col("a.ok") === col("b.ok") && col("a.n") < col("b.n2"))
       .select(col("a.n").as("u"), col("n2").as("v")).distinct()
@@ -227,7 +232,12 @@ object Graph {
       |FROM com JOIN deg da ON da.u = a JOIN deg db ON db.u = b""".stripMargin) { (s, dir) =>
     val sn = Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n")).distinct()
+      // dedup rides the self-join's ok exchange (r15, guide §2.4):
+      // HashPartitioning(ok) satisfies the (ok, n) dedup's clustering,
+      // so this is ONE exchange where distinct() + join took two
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n"))
+      .repartition(col("ok"))
+      .dropDuplicates("ok", "n")
     // persist the COLLAPSED edge list: the union below and the wedge
     // join each reference it twice, and without the pin every branch
     // re-runs the order-key self-join (the data-volume pass)
@@ -247,6 +257,36 @@ object Graph {
         round(col("c").cast("double") / (col("da") + col("db") - col("c")), 6).as("jaccard"))
   }
 
+  /** Shared co-purchase adjacency of the two BFS lanes: (src, dst) in
+    * BOTH directions, deduped, persisted pre-partitioned on src.
+    *
+    * Exchange accounting (r15, guide §2.4 — the build dominated both
+    * lanes): the old chain was li DISTINCT (exchange on (ok, pk)) →
+    * self-join (second exchange on ok) → pair DISTINCT (third
+    * exchange, ~1M (p1,p2) rows that do NOT collapse map-side at 20k
+    * parts) → union both directions → repartition(src) (fourth
+    * exchange, ~2M rows). This chain rides every dedup on an exchange
+    * it needs anyway: HashPartitioning(ok) satisfies the (ok, pk)
+    * dedup's ClusteredDistribution (subset rule), so dropDuplicates
+    * after repartition(ok) adds NO exchange and the self-join reuses
+    * the same exchange for both sides; emitting both directions in
+    * the join (pk != pk2) makes the final repartition(src) +
+    * dropDuplicates(src, dst) the ONLY other exchange. 4 exchanges →
+    * 2, and the (p1,p2) distinct's ~1M-row shuffle is gone. */
+  private def coPurchaseAdj(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok"))
+      .dropDuplicates("ok", "pk")
+    li.as("a").join(li.withColumnRenamed("pk", "pk2").as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("pk2"))
+      .select(col("a.pk").as("src"), col("pk2").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** K-HOP BFS — single-source shortest hop distances (dist <= 3)
     * over the part CO-PURCHASE graph: parts are adjacent when some
     * order contains both. Source = the minimum part id in the graph;
@@ -259,12 +299,16 @@ object Graph {
     * self-join emits <= 78 pairs per order) followed by one hash-agg
     * distinct; the three BFS rounds are each ONE keyed equi-join
     * (frontier -> neighbors) plus ONE anti-join against the visited
-    * set — frontier-sized, never corpus-sized, and the whole
-    * fixed-depth expansion is a single lazy plan (no driver loop).
-    * An unbounded-diameter BFS would switch to the
-    * [[Dedup.componentLabels]] checkpoint-per-round engine; the
-    * unrolled form is chosen because k-hop is itself the standard
-    * primitive and it is oracle-expressible as chained CTEs.
+    * set — frontier-sized, never corpus-sized — materialized per
+    * round as an eager lineage cut (the [[Fixpoint]] generation
+    * discipline, shared with the convergence twin; r15 — the
+    * previously-lazy unrolled plan re-canonicalized a depth-growing
+    * tree at the final action and pinned every generation).
+    * An unbounded-diameter BFS switches to the
+    * [[Dedup.componentLabels]] checkpoint-per-round engine
+    * ([[bfsConverge]]); the fixed-depth form is kept because k-hop is
+    * itself the standard primitive and it is oracle-expressible as
+    * chained CTEs.
     *
     * Determinism: distances are exact integers; the source is the
     * unique global minimum node id. */
@@ -290,23 +334,19 @@ object Graph {
          |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
          |SELECT CAST(node AS BIGINT) AS part_id, CAST(dist AS BIGINT) AS dist
          |FROM v3""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val ed = li.as("a")
-        .join(li.withColumnRenamed("pk", "pk2").as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("pk2"))
-        .select(col("a.pk").as("p1"), col("pk2").as("p2")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // hash-partition by src ONCE: the cached layout satisfies every
-      // round's join key, so the 2|E| adjacency is never re-shuffled
-      // (only the tiny frontier side moves — the componentLabels trick)
-      val bi = ed.select(col("p1").as("src"), col("p2").as("dst"))
-        .union(ed.select(col("p2"), col("p1")))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 1-row source — broadcast by AQE size rules, no hint needed
-      var visited = ed.agg(min(col("p1")).as("node"))
+      val bi = coPurchaseAdj(s, dir)
+      // 1-row source — broadcast by AQE size rules, no hint needed.
+      // Each round's visited generation is an EAGER lineage cut, not a
+      // lazy persist (r15, the r10 plan-canonicalization lesson the
+      // convergence twin already applied): the old single lazy plan
+      // referenced round d's visited three times inside round d+1, so
+      // the final action re-canonicalized a plan whose depth grew with
+      // the hop count, and all three generations stayed pinned.
+      // Checkpointing bounds the plan each round reads to a LogicalRDD
+      // leaf and releases the superseded generation (≤ |V| rows each).
+      var visited = bi.agg(min(col("src")).as("node"))
         .withColumn("dist", lit(0L))
+        .localCheckpoint(true)
       for (d <- 1 to 3) {
         val fresh = bi
           .join(visited.filter(col("dist") === (d - 1)).select(col("node")),
@@ -315,8 +355,9 @@ object Graph {
           .join(visited.select(col("node").as("vn")),
             col("node") === col("vn"), "left_anti")
           .withColumn("dist", lit(d.toLong))
-        visited = visited.union(fresh)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val next = visited.union(fresh).localCheckpoint(true)
+        Fixpoint.release(visited)
+        visited = next
       }
       visited.select(col("node").cast("long").as("part_id"),
         col("dist").cast("long").as("dist"))
@@ -355,20 +396,9 @@ object Graph {
       |  WHERE w.dist < 12)
       |SELECT CAST(node AS BIGINT) AS part_id, CAST(MIN(dist) AS BIGINT) AS dist
       |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val ed = li.as("a")
-      .join(li.withColumnRenamed("pk", "pk2").as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("pk2"))
-      .select(col("a.pk").as("p1"), col("pk2").as("p2")).distinct()
-      .persist(lvl)
-    val bi = ed.select(col("p1").as("src"), col("p2").as("dst"))
-      .union(ed.select(col("p2"), col("p1")))
-      .repartition(col("src"))
-      .persist(lvl)
+    val bi = coPurchaseAdj(s, dir)
     var (visited, prevN) = Fixpoint.checkpointWith(
-      ed.agg(min(col("p1")).as("node")).withColumn("dist", lit(0L)),
+      bi.agg(min(col("src")).as("node")).withColumn("dist", lit(0L)),
       count(lit(1)))
     var d = 0
     var done = false

@@ -136,6 +136,15 @@ object Retrieval {
       val w1 = pool.filter(col("rk") === 1)
         .select(col("qid"), col("vec_id"), col("rel"),
           expr("0.5D * rel").as("score"))
+        // per-round cuts (r15): each greedy step's pick is ≤|q| rows,
+        // but the OLD lazy unroll referenced round i−1's sel in THREE
+        // places inside round i (pen join, anti-join, next union), so
+        // the final action re-canonicalized a plan tree whose size
+        // grew geometrically with K — the same class of cost the r10
+        // lineage-cut sweep removed elsewhere. K−1 extra tiny eager
+        // jobs buy a constant-depth plan per round. Same joins, same
+        // window, same floats — the oracle is untouched.
+        .localCheckpoint(true)
       var sel = w1.select(col("qid"), col("vec_id"))
       var picks = w1.withColumn("pick", lit(1L))
       for (i <- 2 to K) {
@@ -150,6 +159,7 @@ object Retrieval {
         val wn = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
         val wi = scored.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
           .select(col("qid"), col("vec_id"), col("rel"), col("score"))
+          .localCheckpoint(true)
         picks = picks.unionByName(wi.withColumn("pick", lit(i.toLong)))
         sel = sel.unionByName(wi.select(col("qid"), col("vec_id")))
       }

@@ -210,6 +210,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("inter_size equals size(array_intersect) on distinct arrays") {
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 80).map { _ =>
+      def arr() = (1 to rnd.nextInt(15)).map(_ => s"w${rnd.nextInt(25)}").distinct
+      (arr(), arr()) // includes empty sides
+    }.toDF("w1", "w2")
+    val rows = df.selectExpr(
+      "inter_size(w1, w2) AS a", "size(array_intersect(w1, w2)) AS b")
+      .as[(Int, Int)].collect()
+    rows.foreach { case (a, b) => assert(a == b) }
+    assert(rows.exists(_._1 == 0) && rows.exists(_._1 > 0))
+  }
+
   test("l2_dist_sq/_at reject non-float element types at analysis") {
     VectorFunctions.register(spark)
     val df = Seq((Array(1, 2, 3), Array(1.0, 2.0, 3.0))).toDF("a", "b")
